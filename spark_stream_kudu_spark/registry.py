@@ -1,0 +1,73 @@
+"""Central query registry — the engine's declared operator contract.
+
+Every operator family (SURVEY.md §2.4) registers one or more named
+queries here. Each entry carries:
+
+- ``builder(spark, sf_dir) -> DataFrame``: the Spark-first
+  implementation (DataFrame/SQL; Catalyst plans it).
+- ``oracle``: equivalent ANSI SQL the DuckDB oracle runs over the same
+  parquet tables; ``None`` for genuinely non-SQL-expressible operators
+  (the driver then records a weaker rows-only check).
+
+Column names are part of the contract: builders alias every computed
+column to the same name the oracle SQL uses, because the correctness
+gate hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    category: str
+    description: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    bench: bool = False  # include in the headline bench suite
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    category: str,
+    description: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator: register a query builder under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, category, description, fn, oracle, bench, tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all operator modules (triggering registration) and return
+    the full registry."""
+    import spark_stream_kudu_spark.operators.relational  # noqa: F401
+    import spark_stream_kudu_spark.operators.dedup  # noqa: F401
+    import spark_stream_kudu_spark.operators.similarity  # noqa: F401
+    import spark_stream_kudu_spark.operators.text  # noqa: F401
+    import spark_stream_kudu_spark.operators.multimodal  # noqa: F401
+    import spark_stream_kudu_spark.streaming.queries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> QuerySpec:
+    load_all()
+    return _REGISTRY[name]
