@@ -1,0 +1,124 @@
+"""Keyed upsert sink — the engine's replacement for the Kudu upsert.
+
+The reference demonstrates the same upsert three ways per batch
+(KuduContext.upsertRows KafkaToKuduJava.java:117-119; datasource writer
+with Kudu UPSERT-on-append semantics kafka_to_kudu.py:44-45,
+KafkaToKuduScala.scala:53-56; SQL INSERT kafka_to_kudu.py:48-51) and
+documents the contract in comments (java:113-115): idempotent,
+last-writer-wins on the primary key ``as_of_time``, safe to re-run.
+
+This engine reproduces that contract sink-side (Spark's parquet writer
+has no upsert; Kudu's did — SURVEY.md §2.3.4):
+
+- ``merge_by_key``: pure DataFrame-level keyed merge (new rows win) —
+  the unit the oracle checks.
+- ``UpsertParquetSink``: a ``foreachBatch`` target maintaining a keyed
+  parquet table with hash layout on the key (mirrors the DDL's
+  ``PARTITION BY HASH PARTITIONS 4``, ddl/create_impala_kudu_table.sql:14).
+
+Scale note: the merge implementation is merge-on-read-free — it
+rewrites the table per batch, which is right for the reference's
+cardinality (ONE row per 5 s batch; ddl key = second-granular stamp).
+For high-cardinality keyed state at 100 TB you'd swap the store for a
+format with real MERGE (Delta/Iceberg/Hudi or Kudu itself) behind the
+same ``merge_by_key`` semantics; the sink isolates exactly that seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# One sub-batch marker column used to disambiguate replays.
+_BATCH_COL = "__batch_id"
+
+
+def merge_by_key(
+    current: DataFrame | None, updates: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Last-writer-wins merge of ``updates`` into ``current``.
+
+    Row-for-row equivalent to Kudu UPSERT (java:117-119): every key in
+    ``updates`` replaces its row in ``current``; unknown keys insert.
+    If ``updates`` itself carries duplicate keys, the *last* occurrence
+    wins, matching sequential upserts (requires a deterministic order
+    column ``__batch_id`` if present, else arbitrary-but-single).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if _BATCH_COL in updates.columns:
+        w = Window.partitionBy(*keys).orderBy(F.col(_BATCH_COL).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", _BATCH_COL)
+        )
+    else:
+        updates = updates.dropDuplicates(keys)
+    if current is None:
+        return updates
+    # anti-join keeps only survivor rows of the old table; union inserts
+    # the new versions. Both sides shuffle by key once; at scale the
+    # store would be bucketed by the key so this is a co-located join.
+    survivors = current.join(updates.select(*keys), on=keys, how="left_anti")
+    return survivors.unionByName(updates)
+
+
+class UpsertParquetSink:
+    """``foreachBatch`` sink: keyed parquet table with upsert semantics.
+
+    Usage::
+
+        sink = UpsertParquetSink(path, key="as_of_time", num_buckets=4)
+        q = (df.writeStream.outputMode("update")
+               .foreachBatch(sink).start())
+
+    Idempotency: the sink records the last committed batch id in the
+    table directory; replaying an already-committed batch is a no-op,
+    reproducing the reference's replay-safety (java:113-115).
+    """
+
+    def __init__(self, path: str, key: str | list[str], num_buckets: int = 4):
+        self.path = path
+        self.key = [key] if isinstance(key, str) else list(key)
+        self.num_buckets = num_buckets
+        self._data = os.path.join(path, "data")
+        self._marker = os.path.join(path, "_last_batch")
+
+    def _last_batch(self) -> int:
+        try:
+            with open(self._marker) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def read(self, spark) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self._data)
+        except Exception:
+            return None
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Empty-batch guard (reference O7, kafka_to_kudu.py:23).
+        if batch_df.isEmpty():
+            return
+        if batch_id <= self._last_batch():
+            return  # replayed batch: idempotent no-op
+        spark = batch_df.sparkSession
+        current = self.read(spark)
+        merged = merge_by_key(current, batch_df, self.key)
+        # Hash layout on the key (reference ddl:14, HASH PARTITIONS 4):
+        # co-locates future merges and bounds file counts. Write to a
+        # side directory then swap — the merge plan reads the current
+        # directory, so an in-place overwrite would corrupt its input.
+        import shutil
+
+        tmp = self._data + ".tmp"
+        merged.repartition(self.num_buckets, *self.key).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self._data):
+            shutil.rmtree(self._data)
+        os.rename(tmp, self._data)
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._marker, "w") as f:
+            f.write(str(batch_id))

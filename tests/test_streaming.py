@@ -1,0 +1,141 @@
+"""Streaming end-to-end tests (SURVEY.md §5.3).
+
+Asserts the reference's documented sink contract
+(KafkaToKuduJava.java:113-115, ddl/create_impala_kudu_table.sql:12):
+- one upserted row per batch
+- idempotent under batch replay
+- last-writer-wins on same-second key collision
+plus the event-time windowed mode.
+"""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink, merge_by_key
+from spark_stream_kudu_spark.streaming.traffic import (
+    TRAFFIC_RAW_SCHEMA,
+    parse_traffic,
+    run_traffic_pipeline,
+    traffic_aggregate,
+    windowed_traffic_aggregate,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def _mkdirs():
+    d = os.path.join(TMP, f"t_{uuid.uuid4().hex[:10]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def test_parse_traffic_handles_whitespace(spark):
+    raw = spark.createDataFrame(
+        [Row(value="1511290952000,37"), Row(value="1511290953000,4 \n")]
+    )
+    rows = parse_traffic(raw).orderBy("measurement_time").collect()
+    assert [tuple(r) for r in rows] == [(1511290952000, 37), (1511290953000, 4)]
+
+
+def test_traffic_aggregate_contract(spark):
+    raw = spark.createDataFrame(
+        [Row(value=f"{1511290952000 + i * 1000},{10 + i}") for i in range(4)]
+    )
+    out = traffic_aggregate(parse_traffic(raw), F.lit(1700000000000)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["as_of_time"] == 1700000000000
+    assert r["avg_num_veh"] == 11.5
+    assert (r["min_num_veh"], r["max_num_veh"]) == (10, 13)
+    assert (r["first_meas_time"], r["last_meas_time"]) == (
+        1511290952000,
+        1511290955000,
+    )
+
+
+def test_upsert_sink_idempotent_replay(spark):
+    d = _mkdirs()
+    sink = UpsertParquetSink(os.path.join(d, "sink"), key="k")
+    b1 = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    sink(b1, 0)
+    sink(b1, 0)  # replayed batch: must be a no-op
+    b2 = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    sink(b2, 1)
+    sink(b2, 1)
+    final = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert final == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_by_key_last_writer_wins_within_batch(spark):
+    cur = spark.createDataFrame([Row(k=1, v="old", __batch_id=0)]).drop("__batch_id")
+    upd = spark.createDataFrame(
+        [Row(k=1, v="mid", __batch_id=1), Row(k=1, v="new", __batch_id=2)]
+    )
+    out = merge_by_key(cur, upd, "k").collect()
+    assert len(out) == 1 and out[0]["v"] == "new"
+
+
+def test_same_second_key_collision_collapses(spark):
+    # Two batches stamped with the same as_of_time (reference:
+    # UNIX_TIMESTAMP() is second-granular, py:32) -> one row survives.
+    d = _mkdirs()
+    sink = UpsertParquetSink(os.path.join(d, "sink"), key="as_of_time")
+    raw1 = spark.createDataFrame([Row(value="1000,1")])
+    raw2 = spark.createDataFrame([Row(value="2000,9")])
+    stamp = F.lit(1700000000000)
+    sink(traffic_aggregate(parse_traffic(raw1), stamp), 0)
+    sink(traffic_aggregate(parse_traffic(raw2), stamp), 1)
+    rows = sink.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["max_num_veh"] == 9  # last writer won
+
+
+@pytest.mark.parametrize("mode", ["parity", "event_time"])
+def test_pipeline_end_to_end(spark, mode):
+    d = _mkdirs()
+    src = os.path.join(d, "csv")
+    os.makedirs(src)
+    base_ms = 1700000000000
+    for k in range(3):
+        with open(os.path.join(src, f"b{k}.csv"), "w") as f:
+            for i in range(20):
+                f.write(f"{base_ms + (k * 20 + i) * 1000},{k * 10 + (i % 5)}\n")
+    raw = (
+        spark.readStream.schema(TRAFFIC_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .text(src)
+    )
+    q = run_traffic_pipeline(
+        raw,
+        sink_path=os.path.join(d, "sink"),
+        checkpoint=os.path.join(d, "ckpt"),
+        mode=mode,
+        as_of_time_fn=(lambda bid: 1700000100000 + bid * 5000)
+        if mode == "parity"
+        else None,
+    )
+    q.awaitTermination()
+    table = UpsertParquetSink(os.path.join(d, "sink"), key="as_of_time").read(spark)
+    rows = table.orderBy("as_of_time").collect()
+    if mode == "parity":
+        # one row per micro-batch (3 files -> 3 batches)
+        assert len(rows) == 3
+        assert [r["min_num_veh"] for r in rows] == [0, 10, 20]
+    else:
+        # event-time sliding windows: 60 rows over 60s span at 5s slide
+        # -> many windows; all aggregated state lands in the keyed table
+        assert len(rows) > 3
+        assert all(r["as_of_time"] % 5000 == 0 for r in rows)
+
+
+def test_windowed_aggregate_is_incremental_plan(spark):
+    # The streaming plan must contain a stateful aggregation, not a
+    # batch re-scan (SURVEY.md §3.4).
+    d = _mkdirs()
+    raw = spark.readStream.schema(TRAFFIC_RAW_SCHEMA).text(d)
+    agg = windowed_traffic_aggregate(parse_traffic(raw))
+    assert agg.isStreaming
