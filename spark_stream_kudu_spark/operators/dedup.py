@@ -1,6 +1,460 @@
-"""Deduplication operators (extension surface; SURVEY.md §2.4 north star).
+"""Deduplication operators — the LLM-data-pipeline extension family.
 
-Implemented Spark-first, filled in incrementally:
-exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+Five dedup strategies over ``documents`` / ``embeddings``, all
+Spark-first and all oracle-checked:
+
+- exact (hash-groupBy on the raw text)
+- fingerprint (sorted-distinct-token canonicalization -> md5)
+- MinHash signatures + LSH band-join candidate pairs
+- n-gram Jaccard verification
+- SimHash (32-bit) signatures + Hamming-LSH pairs
+- embedding-cosine near-dup pairs (label-blocked)
+
+Design for 100 TB:
+- Every per-document computation (tokens, shingles, hashes, signatures)
+  is a row-local native Catalyst expression — no Python workers, no
+  shuffle, scales linearly with input splits.
+- Candidate generation is the classic LSH reduction: explode to
+  (band, band_key) and self-join — the only shuffle, keyed by band
+  hash, which is uniformly distributed by construction. Exact-duplicate
+  clusters make popular buckets; AQE skew-join handles them.
+- Verification (Jaccard / Hamming / cosine) runs only on candidate
+  pairs, never all-pairs. The oracle queries use modulo blocking where
+  an unfiltered pair space would be quadratic.
+
+The portable hash primitive is md5-derived (functions.hashing) so the
+DuckDB oracle reproduces every signature bit-for-bit; at production
+scale you'd swap in xxhash64 via the same expression shape.
 """
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_int32,
+    minhash_params,
+    sql_md5_int32,
+)
+from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.textutil import (
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+SHINGLE_N = 3
+SIMHASH_BITS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keeper_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register(
+    "dedup_exact",
+    "dedup",
+    "Exact duplicate detection: hash-groupBy on content, keeper = min doc_id. "
+    "One shuffle on the content hash; at 100 TB group by md5 prefix buckets first.",
+    oracle=_EXACT_ORACLE,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprint dedup (canonicalized token-set hash)
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({sql_tokens('text')})), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id,
+       (doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)) AS is_dup
+FROM f
+"""
+
+
+@register(
+    "dedup_fingerprint",
+    "dedup",
+    "Document fingerprinting: sorted distinct-token canonical form -> md5; marks "
+    "each doc as keeper/dup within its fingerprint group (window min).",
+    oracle=_FP_ORACLE,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text"))))))
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_cols(text_col: F.Column) -> list[F.Column]:
+    """NUM_HASHES min-hash values over SHINGLE_N-token shingles.
+
+    Row-local: shingle array -> md5-int32 per shingle -> min of the
+    universal hash family per seed. Pure Catalyst (transform/array_min);
+    cost O(shingles x hashes) per row, zero shuffles.
+    """
+    sh = word_shingles(tokens(text_col), SHINGLE_N)
+    hs = F.transform(sh, md5_int32)
+
+    def universal_hash(a: int, b: int):
+        # closure factory: PySpark derives HOF arity from the lambda's
+        # parameter count, so the coefficients can't be default args
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    return [
+        F.array_min(F.transform(hs, universal_hash(a, b))).alias(f"mh_{k}")
+        for k, (a, b) in enumerate(minhash_params(NUM_HASHES))
+    ]
+
+
+def _sql_minhash_cte() -> str:
+    """Shared oracle CTE producing doc_id + mh_0..mh_{n-1}."""
+    toks = sql_tokens("text")
+    shingles = sql_word_shingles("t", SHINGLE_N)
+    h_item = sql_md5_int32("x")
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(h, v -> ({a} * v + {b}) % {MERSENNE_P})) AS mh_{k}"
+        for k, (a, b) in enumerate(minhash_params(NUM_HASHES))
+    )
+    return f"""
+tok AS (SELECT doc_id, {toks} AS t FROM documents),
+sh  AS (SELECT doc_id, {shingles} AS s FROM tok),
+hs  AS (SELECT doc_id, list_transform(s, x -> {h_item}) AS h FROM sh),
+sig AS (SELECT doc_id,
+         {sig_cols}
+        FROM hs)"""
+
+
+_MH_SIG_ORACLE = f"""
+WITH {_sql_minhash_cte()}
+SELECT * FROM sig
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    "dedup",
+    f"MinHash signatures ({NUM_HASHES} hashes, {SHINGLE_N}-token shingles, md5-based "
+    "universal hash family) — the dense per-document verification of the MinHash "
+    "machinery; every signature value oracle-checked.",
+    oracle=_MH_SIG_ORACLE,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", *minhash_signature_cols(F.col("text")))
+
+
+def _band_key_cols() -> list[F.Column]:
+    cols = []
+    for j in range(BANDS):
+        parts = [F.col(f"mh_{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        cols.append(F.md5(F.concat_ws("_", *parts)).alias(f"band_{j}"))
+    return cols
+
+
+_MH_PAIRS_ORACLE = f"""
+WITH {_sql_minhash_cte()},
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
+    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ")) AS bkey FROM sig"
+    for j in range(BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    "dedup",
+    f"MinHash-LSH candidate pairs: {BANDS} bands x {ROWS_PER_BAND} rows; docs whose "
+    "signatures collide in any band become candidates (the scalable near-dup "
+    "reduction: explode to (band, key), one self-join shuffle, distinct pairs).",
+    oracle=_MH_PAIRS_ORACLE,
+    bench=True,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bands = _minhash_bands(d)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    sig = d.select("doc_id", *minhash_signature_cols(F.col("text")))
+    for j, col in enumerate(_band_key_cols()):
+        sig = sig.withColumn(f"band_{j}", col)
+    pairs = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"band_{j}").alias("bkey"))
+                    for j in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (verification stage)
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct({sql_word_shingles('t', SHINGLE_N)}) AS s FROM tok)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id % 97 = b.doc_id % 97
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "dedup",
+    f"Exact {SHINGLE_N}-gram Jaccard similarity on blocked candidate pairs "
+    "(modulo blocking here; in production the MinHash-LSH pairs feed this verify "
+    "stage). Set arithmetic entirely in native array expressions.",
+    oracle=_JACCARD_ORACLE,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_distinct(F.array_intersect(F.col("a.s"), F.col("b.s"))))
+    union = F.size(F.array_distinct(F.concat(F.col("a.s"), F.col("b.s"))))
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.doc_id") % 97 == F.col("b.doc_id") % 97),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            fround(inter * F.lit(1.0) / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_CTE = f"""
+tok AS (SELECT doc_id, unnest(list_distinct({sql_tokens('text')})) AS tk FROM documents),
+h AS (SELECT doc_id, {sql_md5_int32('tk')} AS hv FROM tok),
+v AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS i) g
+      GROUP BY doc_id, i),
+sim AS (SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM v GROUP BY doc_id)"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH_CTE}
+SELECT * FROM sim
+"""
+
+
+def _simhash_df(d: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: explode distinct tokens, per-bit votes,
+    majority sign -> bit. One groupBy(doc_id) shuffle with map-side
+    combine; skew-free (keys are doc ids)."""
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tk")
+    )
+    h = toks.select("doc_id", md5_int32(F.col("tk")).alias("hv"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("hv").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim_expr = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", sim_expr.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    "dedup",
+    f"{SIMHASH_BITS}-bit SimHash signatures: per-token md5 hash, per-bit majority "
+    "vote (explode + groupBy with map-side combine).",
+    oracle=_SIMHASH_ORACLE,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(_docs(spark, sf_dir))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS bkey
+  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    "dedup",
+    "Hamming-LSH near-dup pairs over SimHash: band the 32-bit signature into 4 "
+    "bytes, self-join on any equal byte (pigeonhole: hamming<=6 pairs often share "
+    "a byte), verify exact Hamming distance via bit_count(xor).",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_df(_docs(spark, sf_dir))
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("simhash"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bkey"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.j").alias("j"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+_EMB_COS_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor((list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+             * 1000000 + 0.5) / 1000000 AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (list_dot_product(a.v, b.v) /
+       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) > 0.3
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    "dedup",
+    "Embedding-cosine near-dup pairs with label blocking (in production: LSH or IVF "
+    "cluster blocking) — double-precision dot products as native array expressions.",
+    oracle=_EMB_COS_ORACLE,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.vectors import cosine_similarity
+
+    tune_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos > 0.3)
+        .select("vec_a", "vec_b", fround(cos, 6).alias("cosine"))
+    )

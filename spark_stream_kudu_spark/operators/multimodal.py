@@ -1,1 +1,179 @@
-"""Multimodal binary-column operators (extension surface). Filled in incrementally."""
+"""Multimodal (binary) column operators.
+
+The engine treats images/audio/video as opaque ``BinaryType`` columns
+with typed metadata structs (SURVEY.md §1.2 extension types). The
+testdata has no real media, so the *content* here is bytes derived from
+``documents.text`` — but the Spark-side plumbing is the real thing:
+
+- binary columns + flat metadata projection (oracle-checked)
+- an Arrow-batched ``mapInPandas`` decode/feature-extract kernel with
+  the exact schema/batching shape a real decoder plugs into. The
+  actual codec call is STUBBED behind ``decode_image_stub`` — a
+  deterministic fake (real decode needs PIL/ffmpeg, absent here); its
+  deterministic outputs are still oracle-verified, so the whole UDF
+  pipeline (schema, Arrow transfer, batch iteration) is tested.
+
+At 100 TB: binary payloads dominate partition size — keep
+``maxPartitionBytes`` low enough that a batch of decoded frames fits
+executor memory, and always project metadata columns *without* the
+payload when the payload isn't needed (column pruning does this for
+free if the payload is a separate column, never inside a struct with
+hot metadata).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+FRAME_BYTES = 256  # fake "frame" granularity for sampling offsets
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def with_binary_payload(d: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + metadata columns.
+
+    In production the payload comes from the storage layer (parquet
+    BinaryType / object-store refs); here it's utf-8 bytes of ``text``.
+    """
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.md5(F.col("text")).alias("checksum"),
+    )
+
+
+_META_ORACLE = f"""
+SELECT doc_id,
+       octet_length(encode(text))                                    AS byte_len,
+       CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+       md5(text)                                                     AS checksum,
+       'application/octet-stream'                                    AS content_type
+FROM documents
+"""
+
+
+@register(
+    "multimodal_meta",
+    "multimodal",
+    "Binary-column metadata projection: byte length, frame count at "
+    f"{FRAME_BYTES}-byte granularity, content checksum — computed without ever "
+    "shipping the payload to Python.",
+    oracle=_META_ORACLE,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("byte_len"),
+        F.ceil(F.octet_length("payload") / F.lit(float(FRAME_BYTES)))
+        .cast("long")
+        .alias("n_frames"),
+        "checksum",
+        "content_type",
+    )
+
+
+def decode_image_stub(payload: bytes, checksum: str) -> tuple[int, int, float]:
+    """STUB decoder — deterministic fake in place of a real codec.
+
+    A real deployment replaces this body with e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # needs pillow
+        return img.width, img.height, float(np.asarray(img).mean())
+
+    (pillow/ffmpeg are not in this container). The fake derives
+    dimensions from the checksum and a mean-byte statistic from the
+    payload so outputs are deterministic and independently computable
+    by the oracle.
+    """
+    h = bytes.fromhex(checksum)
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    mean_byte = (sum(payload) / len(payload)) if payload else 0.0
+    return width, height, mean_byte
+
+
+# The corpus is ASCII, so the payload byte-sum equals the sum of
+# character codes — giving the stub decoder an exact SQL twin.
+_DECODE_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, text, md5(text) AS checksum,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, any_value(checksum) AS checksum,
+         sum(ord(substr(text, i, 1))) AS bsum, count(*) AS blen
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id,
+       16 + (CAST('0x' || substr(checksum, 1, 2) AS BIGINT) % 64)  AS width,
+       16 + (CAST('0x' || substr(checksum, 3, 2) AS BIGINT) % 64)  AS height,
+       floor((bsum * 1.0 / blen) * 10000 + 0.5) / 10000            AS mean_byte
+FROM s
+"""
+
+
+@register(
+    "multimodal_decode_stub",
+    "multimodal",
+    "Arrow-batched mapInPandas decode/feature-extract kernel (the real multimodal "
+    "path: payload bytes -> per-item features). Codec is a clearly-marked "
+    "deterministic stub; the UDF plumbing (schema, batch shape, Arrow transfer) is "
+    "real and the stub's outputs are oracle-verified.",
+    oracle=_DECODE_ORACLE,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = with_binary_payload(_docs(spark, sf_dir))
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                decode_image_stub(p, c)
+                for p, c in zip(pdf["payload"], pdf["checksum"])
+            ]
+            import numpy as np
+
+            w, h, mb = (np.array(x) for x in zip(*feats))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int64"),
+                    "height": h.astype("int64"),
+                    "mean_byte": np.floor(mb * 1e4 + 0.5) / 1e4,
+                }
+            )
+
+    return d.mapInPandas(
+        decode, schema="doc_id long, width long, height long, mean_byte double"
+    )
+
+
+def frame_offsets(d: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: per-payload list of byte offsets, one per
+    FRAME_BYTES window — the shape a video frame-sampler consumes."""
+    n = F.ceil(F.octet_length("payload") / F.lit(float(FRAME_BYTES))).cast("int")
+    return d.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n - 1), lambda i: i * FRAME_BYTES).alias(
+            "offsets"
+        ),
+    )

@@ -1,1 +1,224 @@
-"""Similarity-search operators (extension surface). Filled in incrementally."""
+"""Similarity search over the ``embeddings`` table (ARRAY<FLOAT>).
+
+Three implementations of top-k cosine neighbors, same declared result:
+
+- ``sim_topk_bruteforce``: native Catalyst expressions (zip_with /
+  aggregate dot products) — the oracle-verified baseline, zero Python.
+- ``sim_topk_pandas``: the *throughput* path — an Arrow-batched pandas
+  UDF computing blockwise numpy matmuls against a broadcast query
+  matrix; verified against the SAME oracle, proving the vectorized
+  kernel is value-identical.
+- ``sim_topk_ivf``: the *scale* path — IVF-style inverted file index:
+  deterministic centroid subset, assign every vector to its nearest
+  centroid (one pass), probe only the query's cluster. Sub-linear scan
+  cost at the price of recall; also oracle-verified (the oracle mirrors
+  the same index construction).
+
+Determinism across engines: similarities are computed in double
+precision, floor-rounded to 6 decimals *before* ranking, and ranked
+with a unique tiebreak (vec_id), so ordering can never depend on
+sub-1e-6 float noise.
+
+At 100 TB: the query side is small and broadcast; the corpus side
+scans partition-local with no shuffle until the final per-query top-k
+(a tiny aggregate). IVF adds one extra broadcast (centroids) and a
+cluster-key filter that prunes the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.vectors import cosine_similarity
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+N_QUERIES = 8  # query set: vec_id < N_QUERIES
+TOP_K = 5
+IVF_MOD = 50  # centroids: vec_id % IVF_MOD == 0 (deterministic "training")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+_SQL_COS = (
+    "(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))))"
+)
+
+_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         floor(({_SQL_COS.format(a='q.qv', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+"""
+
+
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    "similarity",
+    f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors: broadcast the "
+    "query side, score partition-locally with native array expressions, rank with "
+    "a per-query window (rounded-then-ranked for cross-engine determinism).",
+    oracle=_BRUTE_ORACLE,
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+@register(
+    "sim_topk_pandas",
+    "similarity",
+    "Same top-k contract via the Arrow/numpy throughput kernel: mapInPandas over "
+    "corpus partitions, blockwise matmul against the broadcast query matrix — the "
+    "path you run at 100 TB; verified against the identical oracle as bruteforce.",
+    oracle=_BRUTE_ORACLE,
+)
+def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            corpus = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cnorm = np.sqrt((corpus * corpus).sum(axis=1))
+            # (n_corpus x dim) @ (dim x n_queries) -> cosine block
+            cos = (corpus @ mat.T) / (cnorm[:, None] * norms[None, :])
+            n, m = cos.shape
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(ids, n),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(np.int64), m),
+                    "cosine": np.floor(cos.T.reshape(-1) * 1e6 + 0.5) / 1e6,
+                }
+            )
+            yield out[out["qid"] != out["neighbor_id"]]
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="qid long, neighbor_id long, cosine double"
+    )
+    return _rank_topk(scored)
+
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_MOD} = 0),
+assign0 AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         floor(((list_dot_product(e.v, cent.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))))
+               * 1000000 + 0.5) / 1000000 AS csim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, cid AS qcid FROM assign WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid, a.vec_id AS neighbor_id,
+         floor(((list_dot_product(q.qv, a.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v)))))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q JOIN assign a ON a.cid = q.qcid AND a.vec_id <> q.qid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_ivf",
+    "similarity",
+    f"IVF approximate top-{TOP_K}: deterministic centroids (vec_id % {IVF_MOD} = 0), "
+    "single-pass nearest-centroid assignment (broadcast centroids), probe only the "
+    "query's inverted list. The 100 TB path: cluster-key filter prunes the corpus "
+    "scan; recall traded for a ~(1/n_centroids) scan cost.",
+    oracle=_IVF_ORACLE,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") % IVF_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    csim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    scored = (
+        assign.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)

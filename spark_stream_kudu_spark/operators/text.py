@@ -1,1 +1,235 @@
-"""Text-analysis operators (extension surface). Filled in incrementally."""
+"""Text-analysis operators over ``documents`` — all native expressions.
+
+Language-ID (stopword-ratio heuristic), quality scoring
+(length/stopword/punctuation features), token counting (whitespace +
+BPE-ish regex + chars/4 estimate), and document fingerprinting
+(canonical token-set hash lives in operators.dedup).
+
+Everything is row-local string/array expressions: at 100 TB these run
+inside the parquet scan stage with zero shuffles and full column
+pruning (only ``doc_id``/``text`` are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+# Tiny deterministic stopword inventories. Not a production lexicon —
+# the operator contract is the *mechanism* (per-language token-ratio
+# argmax); swap in real lists per deployment.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "en", "es", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "auf"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "pour", "sur"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr"]  # tie-break order
+
+PUNCT_CLASS = "[.,;:!?]"
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _stop_count(tok: Column, words: list[str]) -> Column:
+    """How many tokens are in the stopword list (multiset count)."""
+    wl = [F.lit(w) for w in words]
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def _sql_stop_count(tokens_expr: str, words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({tokens_expr}, t -> list_contains({lst}, t)))"
+
+
+# --------------------------------------------------------------------------
+# Language ID
+# --------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    toks = sql_tokens("text")
+    scores = ",\n         ".join(
+        f"{_sql_stop_count('t', STOPWORDS[lang])} * 1.0 / len(t) AS s_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    # argmax with fixed priority order on ties
+    cond = []
+    for lang in LANG_PRIORITY:
+        others = [o for o in LANG_PRIORITY if o != lang]
+        conj = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        cond.append(f"WHEN {conj} THEN '{lang}'")
+    best = " ".join(cond)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PRIORITY) + ")"
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {toks} AS t FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM tok
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN {greatest} = 0 THEN 'und' {best} ELSE 'und' END AS pred_lang,
+       floor(({greatest}) * 1000000 + 0.5) / 1000000 AS best_ratio
+FROM sc
+"""
+
+
+@register(
+    "text_langid",
+    "text",
+    "Language identification: per-language stopword token ratio, argmax with a "
+    "fixed priority tie-break, 'und' when no list matches. Mechanism oracle-checked "
+    "end to end (the synthetic corpus is vocabulary-neutral).",
+    oracle=_langid_sql(),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    d = d.select("doc_id", F.col("lang").alias("labeled_lang"), tok.alias("t"))
+    for lang in LANG_PRIORITY:
+        d = d.withColumn(
+            f"s_{lang}",
+            _stop_count(F.col("t"), STOPWORDS[lang]) * F.lit(1.0) / F.size("t"),
+        )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_PRIORITY])
+    pred = F.when(best == 0, "und")
+    for lang in LANG_PRIORITY:
+        others = [o for o in LANG_PRIORITY if o != lang]
+        conj = F.lit(True)
+        for o in others:
+            conj = conj & (F.col(f"s_{lang}") >= F.col(f"s_{o}"))
+        pred = pred.when(conj, lang)
+    pred = pred.otherwise("und")
+    return d.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("pred_lang"),
+        fround(best, 6).alias("best_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_obs,
+         {sql_tokens('text')} AS t,
+         length(translate(text, ' ', '')) AS n_nospace,
+         length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS n_punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars_obs,
+         len(t) AS n_tokens,
+         n_nospace * 1.0 / len(t) AS avg_token_len,
+         {_sql_stop_count('t', STOPWORDS['en'])} * 1.0 / len(t) AS stop_ratio,
+         n_punct * 1.0 / n_chars_obs AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_chars_obs, n_tokens,
+       floor(avg_token_len * 10000 + 0.5) / 10000 AS avg_token_len,
+       floor(stop_ratio * 10000 + 0.5) / 10000    AS stop_ratio,
+       floor(punct_ratio * 10000 + 0.5) / 10000   AS punct_ratio,
+       floor((0.4 * least(1.0, n_tokens / 64.0)
+              + 0.4 * stop_ratio
+              + 0.2 * (CASE WHEN avg_token_len BETWEEN 3 AND 8 THEN 1.0 ELSE 0.0 END))
+             * 10000 + 0.5) / 10000               AS quality_score
+FROM feat
+"""
+
+
+@register(
+    "text_quality",
+    "text",
+    "Quality scoring: length / avg-token-length / stopword-ratio / punctuation-ratio "
+    "features combined into a bounded score — the standard pre-training corpus "
+    "filter shape, all as scan-local expressions.",
+    oracle=_QUALITY_ORACLE,
+    bench=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_obs"),
+        t.alias("t"),
+        F.length(F.translate(F.col("text"), " ", "")).alias("n_nospace"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
+        ).alias("n_punct"),
+    )
+    feat = base.select(
+        "doc_id",
+        "n_chars_obs",
+        F.size("t").alias("n_tokens"),
+        (F.col("n_nospace") * F.lit(1.0) / F.size("t")).alias("avg_token_len"),
+        (_stop_count(F.col("t"), STOPWORDS["en"]) * F.lit(1.0) / F.size("t")).alias(
+            "stop_ratio"
+        ),
+        (F.col("n_punct") * F.lit(1.0) / F.col("n_chars_obs")).alias("punct_ratio"),
+    )
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(64.0))
+        + F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.2)
+        * F.when(F.col("avg_token_len").between(3, 8), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return feat.select(
+        "doc_id",
+        "n_chars_obs",
+        "n_tokens",
+        fround(F.col("avg_token_len"), 4).alias("avg_token_len"),
+        fround(F.col("stop_ratio"), 4).alias("stop_ratio"),
+        fround(F.col("punct_ratio"), 4).alias("punct_ratio"),
+        fround(score, 4).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       len({sql_tokens('text')})                                      AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))           AS re_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT)                       AS est_tokens_chars,
+       length(text)                                                   AS n_chars_obs
+FROM documents
+"""
+
+
+@register(
+    "text_tokens",
+    "text",
+    "Token counting three ways: whitespace split, BPE-ish regex segmentation "
+    "(letters/digits/symbol runs), and the chars/4 estimate.",
+    oracle=_TOKENS_ORACLE,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_RE), F.lit(0))).alias(
+            "re_tokens"
+        ),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_tokens_chars"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    )
