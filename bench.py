@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline query suite at the bench scale factor.
+
+Runs every registry query flagged ``bench=True`` (the representative
+mix: filtered agg, join-heavy TPC-H shapes, window aggregation,
+MinHash-LSH dedup, vector top-k, text scoring) against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": "<dir>"}
+
+Timing is end-to-end per query: plan construction + execution to a
+count-consuming action (``df.count()`` after a cache-free run would
+under-measure column materialization, so we use ``collect()`` for
+small outputs and ``count()`` for large ones).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_stream_kudu_spark.registry import load_all  # noqa: E402
+from spark_stream_kudu_spark.session import get_spark  # noqa: E402
+
+# Queries whose output is small enough to collect (forces full value
+# materialization); everything else is counted.
+_COLLECT_MAX_ROWS = 100_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {n: s for n, s in load_all().items() if s.bench}
+
+    # JVM/codegen warmup on the smallest fixture so the first timed
+    # query doesn't pay one-time session costs.
+    warm = load_all()["q01_pricing_summary"]
+    warm.builder(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        n = df.count()
+        if n <= _COLLECT_MAX_ROWS:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

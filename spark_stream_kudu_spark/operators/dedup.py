@@ -131,25 +131,39 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def minhash_signature_cols(text_col: F.Column) -> list[F.Column]:
-    """NUM_HASHES min-hash values over SHINGLE_N-token shingles.
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id + NUM_HASHES min-hash columns over SHINGLE_N-token shingles.
 
-    Row-local: shingle array -> md5-int32 per shingle -> min of the
-    universal hash family per seed. Pure Catalyst (transform/array_min);
-    cost O(shingles x hashes) per row, zero shuffles.
+    Explode-based: one row per shingle, each shingle md5-hashed exactly
+    once, then a single groupBy(doc_id) computes all NUM_HASHES minima
+    in one pass (map-side partial aggregation).
+
+    Why not nested array expressions (array_min over transform)? Each
+    signature column would inline and re-evaluate the md5 shingle array
+    — lambda-bound subtrees defeat Catalyst's subexpression elimination
+    — multiplying the dominant md5/concat cost by NUM_HASHES (measured
+    ~100x slower at sf0.1). The explode form is also the shape that
+    scales: shingle rows stream through one shuffle keyed by doc_id,
+    with combine-side minima keeping shuffle volume at
+    O(docs x NUM_HASHES) regardless of document length.
     """
-    sh = word_shingles(tokens(text_col), SHINGLE_N)
-    hs = F.transform(sh, md5_int32)
-
-    def universal_hash(a: int, b: int):
-        # closure factory: PySpark derives HOF arity from the lambda's
-        # parameter count, so the coefficients can't be default args
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
-
-    return [
-        F.array_min(F.transform(hs, universal_hash(a, b))).alias(f"mh_{k}")
-        for k, (a, b) in enumerate(minhash_params(NUM_HASHES))
-    ]
+    # The documents table is few-but-wide rows (one small parquet file
+    # -> one input split), while the work below is CPU-heavy per row
+    # (shingle explosion + md5). Spread rows across cores first: the
+    # repartition shuffles only the thin (doc_id, text) projection and
+    # buys full parallelism for the expensive stage.
+    cores = d.sparkSession.sparkContext.defaultParallelism
+    sh = d.select("doc_id", "text").repartition(cores).select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+    h = sh.select("doc_id", md5_int32(F.col("s")).alias("h"))
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{k}")
+            for k, (a, b) in enumerate(minhash_params(NUM_HASHES))
+        ]
+    )
 
 
 def _sql_minhash_cte() -> str:
@@ -185,8 +199,7 @@ SELECT * FROM sig
     oracle=_MH_SIG_ORACLE,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", *minhash_signature_cols(F.col("text")))
+    return minhash_signatures(_docs(spark, sf_dir))
 
 
 def _band_key_cols() -> list[F.Column]:
@@ -222,24 +235,37 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < 
     bench=True,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucket docs by (band, band_key) and emit in-bucket combinations —
+    # one groupBy shuffle; a band self-join would re-run the whole
+    # signature computation for each side and shuffle twice. Bucket
+    # cardinality is bounded by the largest near-dup cluster; at scale
+    # add a bucket-size cap + salted re-bucketing for adversarial data.
     d = _docs(spark, sf_dir)
     bands = _minhash_bands(d)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
 
 def _minhash_bands(d: DataFrame) -> DataFrame:
-    sig = d.select("doc_id", *minhash_signature_cols(F.col("text")))
+    sig = minhash_signatures(d)
     for j, col in enumerate(_band_key_cols()):
         sig = sig.withColumn(f"band_{j}", col)
     pairs = sig.select(
