@@ -1,0 +1,184 @@
+"""Advanced relational surface: pivot, JSON access, distribution window
+functions, and sketch aggregates — rounding out SURVEY.md §2.4 beyond
+the core contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# --------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+_PIVOT_ORACLE = f"""
+SELECT o_orderpriority,
+       {", ".join(
+           f"floor((coalesce(sum(CASE WHEN o_orderstatus = '{s}' THEN o_totalprice END), 0)) * 100 + 0.5) / 100 AS total_{s}"
+           for s in _STATUSES
+       )},
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q33_pivot",
+    "aggregation",
+    "Pivot orders by status: groupBy().pivot() compiles to conditional "
+    "aggregation — one pass, one shuffle, no per-value scans.",
+    oracle=_PIVOT_ORACLE,
+)
+def q33_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    # explicit value list: avoids the extra distinct-values job and
+    # keeps output schema static (required for the oracle contract)
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.sum("o_totalprice"))
+    )
+    n = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    out = pv.join(n, "o_orderpriority")
+    for s in _STATUSES:
+        out = out.withColumn(
+            f"total_{s}", fround(F.coalesce(F.col(s), F.lit(0.0)), 2)
+        ).drop(s)
+    return out.select("o_orderpriority", *[f"total_{s}" for s in _STATUSES], "n")
+
+
+# --------------------------------------------------------------------------
+# Semi-structured: JSON property access
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k')                AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50) AS k_high
+FROM events
+"""
+
+
+@register(
+    "q34_json_extract",
+    "scalar",
+    "JSON property extraction from the events.props column "
+    "(get_json_object == json_extract_string), with typed casts downstream.",
+    oracle=_JSON_ORACLE,
+)
+def q34_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+        (k.cast("long") >= 50).alias("k_high"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions
+# --------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT c_custkey,
+       ntile(4)        OVER w AS quartile,
+       floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor((cume_dist()    OVER w) * 1000000 + 0.5) / 1000000 AS cume,
+       first_value(c_custkey) OVER w AS richest_key,
+       last_value(c_custkey)  OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                     AS poorest_key,
+       c_mktsegment
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+@register(
+    "q35_distribution_windows",
+    "window",
+    "ntile / percent_rank / cume_dist / first_value / last_value over a total "
+    "per-segment order (explicit full frame for last_value).",
+    oracle=_NTILE_ORACLE,
+)
+def q35_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.last("c_custkey").over(w_full).alias("poorest_key"),
+        "c_mktsegment",
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregates (approximate — rows-only check by design)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q36_approx_sketches",
+    "aggregation",
+    "Sketch aggregates: approx_count_distinct (HyperLogLog++) and approximate "
+    "percentiles — the constant-memory cardinality/quantile path for 100 TB "
+    "aggregations. Approximate by contract, so no value oracle (rows-only); the "
+    "exact twins are covered by q13/q37.",
+    oracle=None,
+)
+def q36_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT l_returnflag,
+       floor((median(l_extendedprice)) * 100 + 0.5) / 100 AS median_price,
+       floor((quantile_cont(l_extendedprice, 0.9)) * 100 + 0.5) / 100 AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q37_exact_percentiles",
+    "aggregation",
+    "Exact median / continuous quantile per group (Spark percentile == DuckDB "
+    "quantile_cont) — the exact twin of the q36 sketches.",
+    oracle=_MEDIAN_ORACLE,
+)
+def q37_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+        fround(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+    )

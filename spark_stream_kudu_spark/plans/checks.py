@@ -1,0 +1,73 @@
+"""Physical-plan quality checks.
+
+The engine's scale story rests on Catalyst doing specific things to
+specific queries — filters reaching the parquet scan, small dimensions
+broadcast, aggregates running partial+final, the relational core never
+crossing into Python. These helpers read ``explain``/plan strings so
+tests can assert those properties instead of hoping for them
+(SURVEY.md §4: everything delegated to Catalyst — so verify the
+delegation actually happens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the parquet scan carries a pushed filter mentioning
+    ``fragment`` (column name, typically)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line and "[]" not in line.split("PushedFilters")[1][:4]:
+            return True
+    return False
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in the (first) parquet scan's ReadSchema — what
+    actually gets read off disk after pruning."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("ReadSchema:")[1].strip()
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            return [f.split(":")[0] for f in inner.split(",") if ":" in f]
+    return []
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Hash aggregation planned as partial + final (map-side combine)."""
+    plan = formatted_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial_" in plan
+
+
+def python_eval_nodes(df: DataFrame) -> list[str]:
+    """Plan nodes that cross into Python workers (should be empty for
+    the relational core; only extension UDF paths may contain them)."""
+    plan = formatted_plan(df)
+    return [
+        line.strip()
+        for line in plan.splitlines()
+        if any(n in line for n in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
+    ]
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of whole-stage-codegen subtrees Spark generates for the
+    plan (the 'codegen' explain mode actually runs codegen; AQE's
+    formatted plan doesn't mark spans before execution)."""
+    s = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    return s.count("WholeStageCodegen subtree")

@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules (triggering registration) and return
     the full registry."""
     import spark_stream_kudu_spark.operators.relational  # noqa: F401
+    import spark_stream_kudu_spark.operators.advanced  # noqa: F401
     import spark_stream_kudu_spark.operators.dedup  # noqa: F401
     import spark_stream_kudu_spark.operators.similarity  # noqa: F401
     import spark_stream_kudu_spark.operators.text  # noqa: F401

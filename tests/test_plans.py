@@ -1,0 +1,78 @@
+"""Plan-quality tests: assert the physical plans the scale story needs
+— pushdown, pruning, broadcast, partial aggregation, JVM-only core —
+rather than trusting them (the difference between 'works at sf0.1' and
+'works at 100 TB' usually lives in these properties).
+"""
+
+from spark_stream_kudu_spark.plans import checks
+from spark_stream_kudu_spark.registry import load_all
+
+ALL = load_all()
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_smoke):
+    df = ALL["q01_pricing_summary"].builder(spark, sf_smoke)
+    assert checks.has_pushed_filter(df, "l_shipdate")
+    cols = checks.scan_read_schema(df)
+    # only the 7 referenced columns come off disk, not all 11
+    assert set(cols) <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+
+
+def test_q06_selective_scan(spark, sf_smoke):
+    df = ALL["q06_forecast_revenue"].builder(spark, sf_smoke)
+    assert checks.has_pushed_filter(df, "l_shipdate")
+    assert checks.has_pushed_filter(df, "l_discount")
+    assert checks.has_partial_aggregate(df)
+
+
+def test_q03_broadcasts_dimension(spark, sf_smoke):
+    df = ALL["q03_topk_revenue"].builder(spark, sf_smoke)
+    assert checks.uses_broadcast_join(df)
+
+
+def test_q05_broadcasts_small_tables(spark, sf_smoke):
+    df = ALL["q05_regional_revenue"].builder(spark, sf_smoke)
+    assert checks.uses_broadcast_join(df)
+
+
+def test_aggregates_are_partial_final(spark, sf_smoke):
+    for name in ["q01_pricing_summary", "q12_group_having", "q30_tumbling_window"]:
+        df = ALL[name].builder(spark, sf_smoke)
+        assert checks.has_partial_aggregate(df), name
+
+
+def test_relational_core_never_enters_python(spark, sf_smoke):
+    """The hot path must stay JVM-side: no Python eval nodes in any
+    relational/streaming-semantics/dedup/text plan. Only the explicitly
+    vectorized extension kernels may cross the boundary."""
+    allowed_python = {"sim_topk_pandas", "multimodal_decode_stub", "stream_traffic_pipeline"}
+    for name, spec in ALL.items():
+        if name in allowed_python:
+            continue
+        df = spec.builder(spark, sf_smoke)
+        nodes = checks.python_eval_nodes(df)
+        assert not nodes, f"{name} crosses into Python: {nodes}"
+
+
+def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
+    """When we do cross into Python it must be the Arrow path
+    (MapInPandas), never row-at-a-time BatchEvalPython."""
+    for name in ["sim_topk_pandas", "multimodal_decode_stub"]:
+        df = ALL[name].builder(spark, sf_smoke)
+        nodes = checks.python_eval_nodes(df)
+        assert nodes, f"{name} expected a Python eval node"
+        assert all("BatchEvalPython" not in n for n in nodes), nodes
+
+
+def test_codegen_covers_core_plans(spark, sf_smoke):
+    for name in ["q01_pricing_summary", "q03_topk_revenue", "q26_scalar_math"]:
+        df = ALL[name].builder(spark, sf_smoke)
+        assert checks.whole_stage_codegen_spans(df) >= 1, name
