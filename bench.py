@@ -10,10 +10,10 @@ MinHash-LSH dedup, vector top-k, text scoring) against
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q01_pricing_summary": sec, ...}, "sf": "<dir>"}
 
-Timing is end-to-end per query: plan construction + execution to a
-count-consuming action (``df.count()`` after a cache-free run would
-under-measure column materialization, so we use ``collect()`` for
-small outputs and ``count()`` for large ones).
+Timing is end-to-end per query: plan construction + ONE full execution
+to the ``noop`` sink, which materializes every output column on the
+executors (unlike ``count()``, which lets Catalyst prune the plan to a
+row count) without collecting results to the driver.
 """
 
 from __future__ import annotations
@@ -27,11 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_stream_kudu_spark.registry import load_all  # noqa: E402
 from spark_stream_kudu_spark.session import get_spark  # noqa: E402
-
-# Queries whose output is small enough to collect (forces full value
-# materialization); everything else is counted.
-_COLLECT_MAX_ROWS = 100_000
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,9 +45,7 @@ def main() -> None:
         spec = specs[name]
         t0 = time.perf_counter()
         df = spec.builder(spark, sf_dir)
-        n = df.count()
-        if n <= _COLLECT_MAX_ROWS:
-            df.collect()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
