@@ -222,3 +222,109 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _rank_topk(scored)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash-for-vectors)
+# --------------------------------------------------------------------------
+
+N_PLANES = 4  # 2^4 = 16 buckets; ~1/16 of the corpus scanned per query
+_DIM = 64  # embeddings fixture dimension (FIXTURES.md §B)
+_SCALE = 1 << 20  # exact-integer scaling for the plane dot products
+
+
+def _plane_hash_sql(i: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('hp{i}_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)"
+        " - 2147483648)"
+    )
+
+
+_RPLSH_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {_SCALE}) AS BIGINT) AS vi
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, {_DIM - 1})) AS i) g
+),
+dots AS (
+  SELECT vec_id,
+         {", ".join(f"sum(vi * {_plane_hash_sql(i)}) AS dot_{i}" for i in range(N_PLANES))}
+  FROM d GROUP BY vec_id
+),
+sig AS (
+  SELECT vec_id,
+         {" + ".join(f"(CASE WHEN dot_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_PLANES))}
+           AS bucket
+  FROM dots
+),
+e AS (
+  SELECT s.vec_id, s.bucket, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM sig s JOIN embeddings em USING (vec_id)
+),
+q AS (SELECT vec_id AS qid, bucket, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+s2 AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         floor((list_dot_product(q.qv, e.v) /
+                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.qid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s2
+)
+SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_rplsh",
+    "similarity",
+    f"Random-hyperplane LSH approximate top-{TOP_K}: {N_PLANES} deterministic "
+    "md5-derived hyperplanes -> sign-bit bucket per vector; candidates share the "
+    "query's bucket (~1/2^planes of the corpus), then exact cosine + rank. Plane "
+    "dot products in exact scaled-integer arithmetic so sign bits are "
+    "bit-identical across engines. At 100 TB the bucket is a partition key: "
+    "bucket-pruned scan, no shuffle until the tiny per-query top-k.",
+    oracle=_RPLSH_ORACLE,
+)
+def sim_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val").cast("double") * _SCALE).cast("long").alias("vi"),
+    )
+
+    def plane_hash(i: int):
+        return md5_int32(
+            F.concat(F.lit(f"hp{i}_"), F.col("i").cast("string"))
+        ) - F.lit(1 << 31)
+
+    dots = dims.groupBy("vec_id").agg(
+        *[F.sum(F.col("vi") * plane_hash(i)).alias(f"dot_{i}") for i in range(N_PLANES)]
+    )
+    bucket = None
+    for i in range(N_PLANES):
+        bit = F.when(F.col(f"dot_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sig = dots.select("vec_id", bucket.alias("bucket"))
+    ebkt = e.join(sig, "vec_id")
+    q = ebkt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = ebkt.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+    )
+    return _rank_topk(scored)

@@ -62,9 +62,11 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.operators.advanced  # noqa: F401
     import spark_stream_kudu_spark.operators.dedup  # noqa: F401
     import spark_stream_kudu_spark.operators.similarity  # noqa: F401
+    import spark_stream_kudu_spark.operators.temporal  # noqa: F401
     import spark_stream_kudu_spark.operators.text  # noqa: F401
     import spark_stream_kudu_spark.operators.multimodal  # noqa: F401
     import spark_stream_kudu_spark.streaming.queries  # noqa: F401
+    import spark_stream_kudu_spark.streaming.stateful  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -140,3 +140,83 @@ def test_windowed_aggregate_is_incremental_plan(spark):
     raw = spark.readStream.schema(TRAFFIC_RAW_SCHEMA).text(d)
     agg = windowed_traffic_aggregate(parse_traffic(raw))
     assert agg.isStreaming
+
+
+def test_stateful_first_seen_across_batches(spark):
+    """applyInPandasWithState first-seen dedup: a key emitted in batch 1
+    is suppressed in batch 2; new keys in batch 2 still emit; the final
+    emitted set equals the batch-mode window-rank-1 query."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from spark_stream_kudu_spark.streaming.stateful import first_seen_stateful
+
+    d = _mkdirs()
+    src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    batch1 = [
+        (1, ts(0), 7, "click"),
+        (2, ts(1), 7, "click"),  # same key, later -> suppressed
+        (3, ts(2), 8, "view"),
+    ]
+    batch2 = [
+        (4, ts(10), 7, "click"),  # key seen in batch 1 -> suppressed
+        (5, ts(11), 9, "click"),  # new key -> emitted
+        (6, ts(12), 8, "purchase"),  # new key (same user, new type) -> emitted
+    ]
+
+    write_batch("b1", batch1)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        os.path.join(src, "*")
+    )
+    out = first_seen_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_t")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        after_b1 = {
+            (r.user_id, r.event_type): r.event_id
+            for r in spark.sql("SELECT * FROM first_seen_t").collect()
+        }
+        assert after_b1 == {(7, "click"): 1, (8, "view"): 3}
+
+        write_batch("b2", batch2)
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM first_seen_t").collect()
+        final = {(r.user_id, r.event_type): (r.event_id, r.first_ms) for r in emitted}
+        assert final == {
+            (7, "click"): (1, 1704067200000),
+            (8, "view"): (3, 1704067202000),
+            (9, "click"): (5, 1704067211000),
+            (8, "purchase"): (6, 1704067212000),
+        }
+        # No key emitted twice (cross-batch suppression).
+        assert len(emitted) == len(final)
+    finally:
+        q.stop()
