@@ -182,3 +182,49 @@ def q37_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
         fround(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted two-phase aggregation (scale technique, oracle-identical)
+# --------------------------------------------------------------------------
+
+_SALT_BUCKETS = 16
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items,
+       CAST(max(round(l_quantity)) AS BIGINT) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q42_salted_agg",
+    "aggregation",
+    f"Skew-salted two-phase aggregation: {_SALT_BUCKETS}-way salt on a "
+    "3-value grouping key (worst-case skew: every row shares one of 3 keys), "
+    "partial agg on (key, salt), final agg on key. Result is provably "
+    "identical to the direct GROUP BY (the oracle runs the unsalted form); "
+    "the plan trades one extra tiny shuffle for partial partitions bounded "
+    "at 1/salt of a key's rows — the standard fix when AQE skew handling "
+    "isn't enough (e.g. a single hot key beyond split granularity).",
+    oracle=_SALTED_ORACLE,
+)
+def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    salted = li.withColumn(
+        "salt", F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(_SALT_BUCKETS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum(cents).alias("p_rev"),
+        F.count(F.lit(1)).alias("p_n"),
+        F.max(F.round("l_quantity")).alias("p_maxq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("p_rev").alias("revenue_cents"),
+        F.sum("p_n").alias("n_items"),
+        F.max("p_maxq").cast("long").alias("max_qty"),
+    )

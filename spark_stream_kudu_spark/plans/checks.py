@@ -20,6 +20,13 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan string (pre-execution; AQE may re-plan at
+    runtime, but join *strategy* regressions — nested loop where an
+    equi-join belongs — already show here)."""
+    return formatted_plan(df)
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if the parquet scan carries a pushed filter mentioning
     ``fragment`` (column name, typically)."""

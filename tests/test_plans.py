@@ -76,3 +76,37 @@ def test_codegen_covers_core_plans(spark, sf_smoke):
     for name in ["q01_pricing_summary", "q03_topk_revenue", "q26_scalar_math"]:
         df = ALL[name].builder(spark, sf_smoke)
         assert checks.whole_stage_codegen_spans(df) >= 1, name
+
+
+def test_asof_join_never_nested_loop(spark, sf_smoke):
+    """The as-of join must be the union+carry-forward shape (shuffle +
+    window), never an inequality theta-join that plans as a broadcast
+    nested loop — the difference between O(n) and O(n*m) at scale."""
+    df = ALL["q38_asof_join"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_smoke):
+    """Bucketized range join must plan as a hash-partitioned equi-join
+    (residual time filter attached), not a nested loop."""
+    df = ALL["q39_range_join"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_is_join_free(spark, sf_smoke):
+    """Decorrelated form: one window shuffle, zero joins in the plan."""
+    df = ALL["q40_correlated_subquery"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert "Join" not in plan, "decorrelated query should not plan a join"
+
+
+def test_stateful_first_seen_uses_arrow(spark, sf_smoke):
+    """The batch twin stays JVM-side; the streaming form's Python hop is
+    the Arrow-batched FlatMapGroupsInPandasWithState, asserted in
+    tests/test_streaming.py via end-to-end behavior."""
+    df = ALL["stream_first_seen"].builder(spark, sf_smoke)
+    assert not checks.python_eval_nodes(df)
