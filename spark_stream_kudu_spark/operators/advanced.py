@@ -211,6 +211,7 @@ GROUP BY l_returnflag
     "at 1/salt of a key's rows — the standard fix when AQE skew handling "
     "isn't enough (e.g. a single hot key beyond split granularity).",
     oracle=_SALTED_ORACLE,
+    bench=True,
 )
 def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")

@@ -287,6 +287,7 @@ SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
     "bit-identical across engines. At 100 TB the bucket is a partition key: "
     "bucket-pruned scan, no shuffle until the tiny per-query top-k.",
     oracle=_RPLSH_ORACLE,
+    bench=True,
 )
 def sim_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.functions.hashing import md5_int32

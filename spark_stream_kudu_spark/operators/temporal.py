@@ -87,6 +87,7 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
     "user_id, last(ignorenulls) window) — never as an inequality theta-join. "
     "Right side deduped to one row per (user, ts) so tie semantics are exact.",
     oracle=_ASOF_ORACLE,
+    bench=True,
 )
 def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -276,6 +277,7 @@ FROM orders
     "orders enter the frame together — the deterministic semantics for "
     "time-based trailing windows; summed in exact integer cents.",
     oracle=_RANGE_FRAME_ORACLE,
+    bench=True,
 )
 def q41_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir)

@@ -124,6 +124,7 @@ WHERE rn = 1
     "by (ts, event_id) order. The streaming form keeps O(distinct keys) state "
     "sharded by key; this bounded form is the window rank-1 query.",
     oracle=_FIRST_SEEN_ORACLE,
+    bench=True,
 )
 def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
