@@ -229,3 +229,48 @@ def q42_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_n").alias("n_items"),
         F.max("p_maxq").cast("long").alias("max_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array surface (nested-type functions over grouped data)
+# --------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+WITH g AS (
+  SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(lines) AS n_lines,
+       lines[1] AS first_line,
+       lines[-1] AS last_line,
+       list_contains(lines, 3) AS has_line_3,
+       array_to_string(lines, ',') AS joined
+FROM g
+"""
+
+
+@register(
+    "q43_array_functions",
+    "scalar",
+    "Nested-type surface: per-group sorted array aggregation then element "
+    "access, membership, size, and join-to-string — all native array "
+    "expressions (SURVEY §1.2 extension types); arrays stay row-local so the "
+    "only shuffle is the groupBy.",
+    oracle=_ARRAY_ORACLE,
+)
+def q43_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.array_contains("lines", 3).alias("has_line_3"),
+        F.concat_ws(",", F.transform("lines", lambda x: x.cast("string"))).alias(
+            "joined"
+        ),
+    )
