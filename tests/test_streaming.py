@@ -220,3 +220,21 @@ def test_stateful_first_seen_across_batches(spark):
         assert len(emitted) == len(final)
     finally:
         q.stop()
+
+
+def test_kudu_adapter_gates_cleanly(spark):
+    """Without the kudu-spark jar the adapter must (a) report
+    unavailability, (b) fail with an actionable error on write, and
+    (c) stay interface-compatible with UpsertParquetSink."""
+    import pytest as _pytest
+
+    from spark_stream_kudu_spark.streaming.kudu import KuduUpsertSink, kudu_available
+
+    assert kudu_available(spark) is False  # jar not in this container
+    sink = KuduUpsertSink(master="kudu-master:7051", table="traffic_conditions")
+    assert callable(sink) and hasattr(sink, "read")  # foreachBatch contract
+    df = spark.createDataFrame([Row(as_of_time=1, avg_num_veh=2.0)])
+    with _pytest.raises(RuntimeError, match="kudu-spark datasource not on the classpath"):
+        sink(df, 0)
+    # empty batch short-circuits before the classpath check (O7 guard)
+    sink(df.filter(F.col("as_of_time") < 0), 1)
