@@ -83,30 +83,32 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
     "q38_asof_join",
     "join",
     "As-of join: each purchase matched to the latest view at-or-before it per "
-    "user. Implemented scalably as union + carry-forward (one shuffle on "
+    "user. Implemented scalably as union + carry-forward (ONE shuffle on "
     "user_id, last(ignorenulls) window) — never as an inequality theta-join. "
-    "Right side deduped to one row per (user, ts) so tie semantics are exact.",
+    "Ties (same user+ts) resolve to the max view event_id via the sort key, "
+    "with no separate dedupe shuffle.",
     oracle=_ASOF_ORACLE,
     bench=True,
 )
 def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_event_id"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
     # side=0 sorts view rows before purchase rows at equal ts, giving the
-    # inclusive v.ts <= p.ts semantics of ASOF JOIN.
+    # inclusive v.ts <= p.ts semantics of ASOF JOIN. Ordering views at
+    # the same (user, ts) by event_id ascending makes the carry-forward
+    # pick the max-event_id view — the tie rule — without a separate
+    # pre-dedupe shuffle: the whole join is ONE exchange on user_id.
     v = views.select(
         "user_id",
         "ts",
         F.lit(0).alias("side"),
         F.lit(None).cast("long").alias("event_id"),
-        "view_event_id",
+        F.col("event_id").alias("view_event_id"),
         F.col("ts").alias("view_ts"),
     )
     p = purchases.select(
@@ -119,7 +121,7 @@ def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("side").asc())
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("view_event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = v.unionByName(p)

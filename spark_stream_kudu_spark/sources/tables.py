@@ -116,13 +116,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # Parquet TIMESTAMP(NANOS) -> read raw ns as long
-        # (spark.sql.legacy.parquet.nanosAsLong, set by tune_session),
-        # then truncate to microseconds with *integer* division — a
-        # double division would lose precision above 2^53 ns.
+        # The driver's events parquet stores TIMESTAMP(NANOS) -> read
+        # raw ns as long (spark.sql.legacy.parquet.nanosAsLong, set by
+        # tune_session), then truncate to microseconds with *integer*
+        # division — a double division would lose precision above
+        # 2^53 ns. Type-adaptive: an events table already written with
+        # standard µs timestamps (user data, test fixtures) passes
+        # through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
