@@ -277,6 +277,17 @@ SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
 """
 
 
+def _plane_ints(i: int) -> list[int]:
+    """Plane i's 64 components — hashlib md5 here is bit-identical to the
+    md5() the oracle SQL computes, so both engines see the same planes."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"hp{i}_{d}".encode()).hexdigest()[:8], 16) - (1 << 31)
+        for d in range(_DIM)
+    ]
+
+
 @register(
     "sim_topk_rplsh",
     "similarity",
@@ -284,37 +295,31 @@ SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
     "md5-derived hyperplanes -> sign-bit bucket per vector; candidates share the "
     "query's bucket (~1/2^planes of the corpus), then exact cosine + rank. Plane "
     "dot products in exact scaled-integer arithmetic so sign bits are "
-    "bit-identical across engines. At 100 TB the bucket is a partition key: "
-    "bucket-pruned scan, no shuffle until the tiny per-query top-k.",
+    "bit-identical across engines, and computed ROW-LOCALLY (plane literals + "
+    "zip_with/aggregate in the scan projection — no explode, no extra shuffle). "
+    "At 100 TB the bucket is a partition key: bucket-pruned scan, no shuffle "
+    "until the tiny per-query top-k.",
     oracle=_RPLSH_ORACLE,
     bench=True,
 )
 def sim_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_stream_kudu_spark.functions.hashing import md5_int32
-
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    dims = e.select(
-        "vec_id", F.posexplode("embedding").alias("i", "val")
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("val").cast("double") * _SCALE).cast("long").alias("vi"),
-    )
-
-    def plane_hash(i: int):
-        return md5_int32(
-            F.concat(F.lit(f"hp{i}_"), F.col("i").cast("string"))
-        ) - F.lit(1 << 31)
-
-    dots = dims.groupBy("vec_id").agg(
-        *[F.sum(F.col("vi") * plane_hash(i)).alias(f"dot_{i}") for i in range(N_PLANES)]
+    scaled = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * _SCALE).cast("long")
     )
     bucket = None
     for i in range(N_PLANES):
-        bit = F.when(F.col(f"dot_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        plane = F.array(*[F.lit(p).cast("long") for p in _plane_ints(i)])
+        dot = F.aggregate(
+            F.zip_with(F.col("scaled"), plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    sig = dots.select("vec_id", bucket.alias("bucket"))
-    ebkt = e.join(sig, "vec_id")
+    ebkt = e.withColumn("scaled", scaled).select(
+        "vec_id", "embedding", bucket.alias("bucket")
+    )
     q = ebkt.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("bucket").alias("qbucket"),

@@ -233,3 +233,51 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_tokens_chars"),
         F.length("text").cast("long").alias("n_chars_obs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash fingerprint (order-sensitive, streamable)
+# --------------------------------------------------------------------------
+
+_RH_BASE = 31
+_RH_MOD = (1 << 31) - 1  # keeps acc*31 + token_hash < 2^63 in both engines
+
+
+_ROLLING_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+  FROM tok
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), hs),
+         (acc, x) -> (acc * {_RH_BASE} + x) % {_RH_MOD}
+       ) AS fingerprint
+FROM h
+"""
+
+
+@register(
+    "text_rolling_hash",
+    "text",
+    f"Order-sensitive document fingerprint: polynomial rolling hash "
+    f"(base {_RH_BASE}, mod 2^31-1) folded over per-token md5 hashes — unlike "
+    "the sorted-set fingerprint (dedup_fingerprint), token order changes the "
+    "value, so it detects reordered near-copies; the fold is a row-local "
+    "aggregate expression (zero shuffles) and streams left-to-right, the shape "
+    "an incremental/chunked hasher uses at scale.",
+    oracle=_ROLLING_ORACLE,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    d = _docs(spark, sf_dir)
+    hashes = F.transform(tokens(F.col("text")), md5_int32)
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _RH_BASE + x) % _RH_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -238,3 +238,64 @@ def test_kudu_adapter_gates_cleanly(spark):
         sink(df, 0)
     # empty batch short-circuits before the classpath check (O7 guard)
     sink(df.filter(F.col("as_of_time") < 0), 1)
+
+
+def test_watermark_drops_late_data(spark):
+    """Event-time semantics under append mode: records older than the
+    watermark are dropped; on-time records in the same batch still
+    aggregate. (The semantic upgrade over the reference's arrival-time
+    window, SURVEY §2.3.1 — late data there is silently re-windowed.)"""
+    d = _mkdirs()
+    src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    from spark_stream_kudu_spark.streaming.traffic import TRAFFIC_RAW_SCHEMA
+
+    base_ms = 1_700_000_000_000  # window grid aligns to epoch
+
+    def write_batch(name, rows):
+        spark.createDataFrame([(r,) for r in rows], TRAFFIC_RAW_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(src, name))
+
+    # Batch 1: two on-time records around t0 advance the watermark to
+    # t0+10min - 2min.
+    write_batch("b1", [f"{base_ms},10", f"{base_ms + 600_000},20"])
+
+    stream = spark.readStream.schema(TRAFFIC_RAW_SCHEMA).parquet(os.path.join(src, "*"))
+    out = windowed_traffic_aggregate(
+        parse_traffic(stream), window="60 seconds", slide="60 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_t")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: one record 30 min BEFORE the watermark (dropped) and
+        # one on-time record right at the stream head (kept, new window).
+        write_batch("b2", [f"{base_ms - 1_800_000},99", f"{base_ms + 660_000},30"])
+        q.processAllAvailable()
+        # Batch 3: push event time far forward so every prior window is
+        # below the watermark and append mode emits it.
+        write_batch("b3", [f"{base_ms + 3_600_000},40"])
+        q.processAllAvailable()
+        rows = {
+            r.as_of_time: (r.min_num_veh, r.max_num_veh)
+            for r in spark.sql("SELECT * FROM wm_t").collect()
+        }
+        # the late 99 must appear nowhere
+        assert all(99 not in vals for vals in rows.values()), rows
+
+        def window_end(ts_ms):  # tumbling grid aligns to epoch minutes
+            return (ts_ms // 60_000) * 60_000 + 60_000
+
+        # every on-time record's window was emitted once finalized
+        assert rows[window_end(base_ms)] == (10, 10)
+        assert rows[window_end(base_ms + 600_000)] == (20, 20)
+        assert rows[window_end(base_ms + 660_000)] == (30, 30)
+    finally:
+        q.stop()
