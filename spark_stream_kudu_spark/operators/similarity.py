@@ -334,3 +334,131 @@ def sim_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
     )
     return _rank_topk(scored)
+
+
+# --------------------------------------------------------------------------
+# OR-amplified multi-table hyperplane LSH
+# --------------------------------------------------------------------------
+
+N_TABLES = 4  # L independent hash tables; candidate if ANY table collides
+
+
+def _table_plane_ints(t: int, i: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"hp{t}_{i}_{d}".encode()).hexdigest()[:8], 16) - (1 << 31)
+        for d in range(_DIM)
+    ]
+
+
+def _mt_plane_sql(t: int, i: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('hp{t}_' || '{i}_' || CAST(i AS VARCHAR)), 1, 8)"
+        " AS BIGINT) - 2147483648)"
+    )
+
+
+_MT_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {_SCALE}) AS BIGINT) AS vi
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, {_DIM - 1})) AS i) g
+),
+dots AS (
+  SELECT vec_id,
+         {", ".join(f"sum(vi * {_mt_plane_sql(t, i)}) AS dot_{t}_{i}"
+                    for t in range(N_TABLES) for i in range(N_PLANES))}
+  FROM d GROUP BY vec_id
+),
+sig AS (
+  SELECT vec_id,
+         {", ".join(
+             " + ".join(f"(CASE WHEN dot_{t}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+                        for i in range(N_PLANES))
+             + f" AS b_{t}"
+             for t in range(N_TABLES)
+         )}
+  FROM dots
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {t} AS tbl, b_{t} AS bkey FROM sig"
+                      for t in range(N_TABLES))}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qb AS (SELECT vec_id AS qid, tbl, bkey FROM bands WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id AS neighbor_id
+  FROM qb JOIN bands b ON b.tbl = qb.tbl AND b.bkey = qb.bkey AND b.vec_id <> qb.qid
+),
+s2 AS (
+  SELECT c.qid, c.neighbor_id,
+         floor((list_dot_product(q.v, n.v) /
+                (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e n ON n.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s2
+)
+SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_rplsh_multi",
+    "similarity",
+    f"OR-amplified LSH: {N_TABLES} independent {N_PLANES}-plane tables; a "
+    "corpus vector is a candidate if it collides with the query in ANY table "
+    "(recall ~1-(1-p^k)^L vs a single table's p^k). Signatures are row-local "
+    "(plane literals); the explode is L rows per vector — the standard "
+    "recall/cost dial for LSH at scale, with the bucket join still "
+    "hash-uniform.",
+    oracle=_MT_ORACLE,
+)
+def sim_topk_rplsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    scaled = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * _SCALE).cast("long")
+    )
+    ecols = e.withColumn("scaled", scaled)
+    buckets = []
+    for t in range(N_TABLES):
+        b = None
+        for i in range(N_PLANES):
+            plane = F.array(*[F.lit(p).cast("long") for p in _table_plane_ints(t, i)])
+            dot = F.aggregate(
+                F.zip_with(F.col("scaled"), plane, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            b = bit if b is None else b + bit
+        buckets.append(
+            F.struct(F.lit(t).alias("tbl"), b.cast("int").alias("bkey"))
+        )
+    bands = ecols.select(
+        "vec_id", "embedding", F.explode(F.array(*buckets)).alias("tb")
+    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bkey").alias("bkey"))
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("tbl").alias("qtbl"),
+        F.col("bkey").alias("qbkey"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bkey") == F.col("qbkey"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    return _rank_topk(cand)

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness rests on — beyond the fixed fixtures:
+
+- the upsert sink's merge is idempotent and last-writer-wins for ANY
+  batch sequence (the property the reference asserts only in comments,
+  KafkaToKuduJava.java:113-115)
+- hash sampling/splitting is a pure function of the key: invariant
+  under arbitrary repartitioning
+- the rolling-hash fingerprint distinguishes token order but not
+  partitioning/expression context
+
+Examples are kept small (Spark round-trip per example) — these are
+semantic properties, not load tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+KEYS = st.integers(min_value=0, max_value=5)
+BATCH = st.lists(st.tuples(KEYS, st.integers(-100, 100)), min_size=0, max_size=8)
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return spark
+
+
+@SETTINGS
+@given(batches=st.lists(BATCH, min_size=1, max_size=3))
+def test_merge_by_key_last_writer_wins_any_sequence(sess, batches):
+    """Folding any batch sequence through merge_by_key leaves exactly the
+    last-written value per key, and re-applying the final batch is a
+    no-op (idempotent replay)."""
+    from spark_stream_kudu_spark.streaming.sinks import merge_by_key
+
+    spark = sess
+    schema = "k long, v long, __batch_id long"
+
+    def to_df(batch):
+        # __batch_id encodes arrival order; merge_by_key keeps the
+        # highest per key (last writer) within a batch.
+        return spark.createDataFrame(
+            [(k, v, i) for i, (k, v) in enumerate(batch)], schema
+        )
+
+    state = None
+    expected: dict[int, int] = {}
+    for batch in batches:
+        state = merge_by_key(state, to_df(batch), key="k")
+        for k, v in batch:  # iteration order == arrival order
+            expected[k] = v
+    state_replayed = merge_by_key(state, to_df(batches[-1]), key="k")
+    got = {r.k: r.v for r in state_replayed.collect()}
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True),
+    nparts=st.integers(1, 5),
+)
+def test_hash_sample_partition_invariant(sess, ids, nparts):
+    """The hash-percentile sample selects an identical id set no matter
+    how the input is partitioned."""
+    from spark_stream_kudu_spark.operators.sampling import SAMPLE_PCT, _pct
+
+    spark = sess
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = {r.doc_id for r in df.filter(_pct(F.col("doc_id")) < SAMPLE_PCT).collect()}
+    b = {
+        r.doc_id
+        for r in df.repartition(nparts)
+        .filter(_pct(F.col("doc_id")) < SAMPLE_PCT)
+        .collect()
+    }
+    assert a == b
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=2, max_size=6
+    )
+)
+def test_rolling_hash_detects_reorder(sess, tokens):
+    """Same tokens -> same fingerprint; a genuinely different order (when
+    tokens aren't all identical) -> different fingerprint with high
+    probability (mod 2^31-1; no counterexample may exist for tiny
+    alphabets, so only equality is asserted unconditionally)."""
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+    from spark_stream_kudu_spark.operators.text import _RH_BASE, _RH_MOD
+
+    spark = sess
+
+    def fp_expr(col):
+        return F.aggregate(
+            F.transform(col, md5_int32),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * _RH_BASE + x) % _RH_MOD,
+        )
+
+    df = spark.createDataFrame([(tokens, list(reversed(tokens)))], "a array<string>, b array<string>")
+    row = df.select(
+        fp_expr(F.col("a")).alias("fa"),
+        fp_expr(F.col("b")).alias("fb"),
+        fp_expr(F.reverse(F.col("b"))).alias("fa2"),
+    ).first()
+    assert row.fa == row.fa2  # determinism: same order, same value
+    if tokens != list(reversed(tokens)):
+        assert row.fa != row.fb  # order sensitivity
