@@ -484,3 +484,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos > 0.3)
         .select("vec_a", "vec_b", fround(cos, 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Composed near-dup pipeline: LSH candidates -> exact-Jaccard verify
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+_VERIFIED_ORACLE = f"""
+WITH {_sql_minhash_cte()},
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
+    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ")) AS bkey FROM sig"
+    for j in range(BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh2 AS (
+  SELECT doc_id, list_distinct({sql_word_shingles(sql_tokens('text'), SHINGLE_N)}) AS s
+  FROM documents
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+                len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_verified_pairs",
+    "dedup",
+    "The composed near-dup pipeline: MinHash-LSH candidate generation -> exact "
+    f"{SHINGLE_N}-gram Jaccard verification -> threshold {JACCARD_THRESHOLD}. "
+    "The verify join touches only LSH candidates (near-output-size), never "
+    "all pairs — the full production flow (generate cheap, verify exact) as "
+    "one declared query.",
+    oracle=_VERIFIED_ORACLE,
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_distinct(F.concat(F.col("sa"), F.col("sb"))))
+    jac = fround(inter * F.lit(1.0) / union, 6)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
