@@ -177,3 +177,77 @@ def frame_offsets(d: DataFrame) -> DataFrame:
             "offsets"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling (video-style strided access over binary payloads)
+# --------------------------------------------------------------------------
+
+FRAME_STRIDE = 4  # sample every 4th frame
+MAX_FRAMES = 8  # cap per document (bounded output at any payload size)
+
+# ASCII corpus => payload bytes == text chars, so substr+md5 give the
+# oracle an exact twin of the byte-slice hashing.
+_FRAME_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text, n_frames, unnest(generate_series(0, {MAX_FRAMES - 1})) AS k
+  FROM n
+),
+sampled AS (
+  SELECT doc_id, k AS frame_idx, (k * {FRAME_STRIDE}) * {FRAME_BYTES} AS byte_offset,
+         substr(text, (k * {FRAME_STRIDE}) * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
+  FROM idx WHERE k * {FRAME_STRIDE} < n_frames
+)
+SELECT doc_id, frame_idx, byte_offset,
+       length(frame) AS frame_len,
+       md5(frame) AS frame_md5
+FROM sampled
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    "multimodal",
+    f"Frame sampling: every {FRAME_STRIDE}th {FRAME_BYTES}-byte frame (max "
+    f"{MAX_FRAMES}) sliced from the binary payload in an Arrow-batched "
+    "mapInPandas kernel — the strided-access shape a video frame-sampler "
+    "uses (seek offsets, bounded frames per item); per-frame checksums are "
+    "oracle-verified. A real decoder replaces the byte-slice with a codec "
+    "seek at the same offsets.",
+    oracle=_FRAME_ORACLE,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = with_binary_payload(_docs(spark, sf_dir))
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"doc_id": [], "frame_idx": [], "byte_offset": [], "frame_len": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = -(-len(payload) // FRAME_BYTES)  # ceil
+                for k in range(MAX_FRAMES):
+                    f = k * FRAME_STRIDE
+                    if f >= n_frames:
+                        break
+                    off = f * FRAME_BYTES
+                    frame = payload[off : off + FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["byte_offset"].append(off)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sample,
+        schema="doc_id long, frame_idx long, byte_offset long, frame_len long, frame_md5 string",
+    )

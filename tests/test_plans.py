@@ -53,7 +53,12 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
     """The hot path must stay JVM-side: no Python eval nodes in any
     relational/streaming-semantics/dedup/text plan. Only the explicitly
     vectorized extension kernels may cross the boundary."""
-    allowed_python = {"sim_topk_pandas", "multimodal_decode_stub", "stream_traffic_pipeline"}
+    allowed_python = {
+        "sim_topk_pandas",
+        "multimodal_decode_stub",
+        "multimodal_frame_sample",
+        "stream_traffic_pipeline",
+    }
     for name, spec in ALL.items():
         if name in allowed_python:
             continue
@@ -65,7 +70,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
 def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
     """When we do cross into Python it must be the Arrow path
     (MapInPandas), never row-at-a-time BatchEvalPython."""
-    for name in ["sim_topk_pandas", "multimodal_decode_stub"]:
+    for name in ["sim_topk_pandas", "multimodal_decode_stub", "multimodal_frame_sample"]:
         df = ALL[name].builder(spark, sf_smoke)
         nodes = checks.python_eval_nodes(df)
         assert nodes, f"{name} expected a Python eval node"
