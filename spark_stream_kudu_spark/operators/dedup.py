@@ -548,3 +548,90 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup clusters: connected components over verified pairs (iterative)
+# --------------------------------------------------------------------------
+
+_MAX_CC_ITERATIONS = 15
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_sql_minhash_cte()},
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
+    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ")) AS bkey FROM sig"
+    for j in range(BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh2 AS (
+  SELECT doc_id, list_distinct({sql_word_shingles(sql_tokens('text'), SHINGLE_N)}) AS s
+  FROM documents
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+  WHERE (len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+         len(list_distinct(list_concat(a.s, b.s)))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters",
+    "dedup",
+    "Connected components over the verified near-dup graph: iterative "
+    "min-label propagation (Spark DataFrame loop, converges in O(diameter) "
+    "rounds; at scale checkpoint every few rounds to cut lineage). The "
+    "oracle is a recursive CTE over the same edges — an iterative algorithm "
+    "still hash-checked end-to-end. Singleton docs are their own cluster.",
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pairs = dedup_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # The edge set is reused every iteration — materialize it once
+    # instead of recomputing the whole LSH+verify pipeline per round.
+    edges = edges.localCheckpoint(eager=True)
+    labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
+    for _ in range(_MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
