@@ -135,3 +135,18 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", F.unix_millis("ts").alias("first_ms"))
     )
+
+
+def dedup_within_watermark(events: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+    """Built-in streaming exact dedup: drop re-deliveries of the same
+    ``event_id`` arriving within the watermark horizon.
+
+    Complements ``first_seen_stateful``: this is Spark's native
+    ``dropDuplicatesWithinWatermark`` — state is bounded by the horizon
+    (old keys age out with the watermark), which is the right tool for
+    at-least-once sources (Kafka redelivery, reference O1) where dupes
+    arrive close together; the custom stateful operator is for
+    *unbounded* first-seen semantics."""
+    return events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

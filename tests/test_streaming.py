@@ -299,3 +299,50 @@ def test_watermark_drops_late_data(spark):
         assert rows[window_end(base_ms + 660_000)] == (30, 30)
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_drops_redelivery(spark):
+    """dropDuplicatesWithinWatermark: a record re-delivered in a later
+    batch (within the horizon) is emitted exactly once; fresh records
+    still pass."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from spark_stream_kudu_spark.streaming.stateful import dedup_within_watermark
+
+    d = _mkdirs()
+    src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def wb(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+
+    wb("b1", [(1, t0, 7), (2, t0 + dt.timedelta(seconds=5), 8)])
+    stream = spark.readStream.schema(schema).parquet(os.path.join(src, "*"))
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("ddw_t")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wb("b2", [(1, t0, 7), (3, t0 + dt.timedelta(seconds=10), 9)])  # 1 = redelivery
+        q.processAllAvailable()
+        ids = sorted(r.event_id for r in spark.sql("SELECT * FROM ddw_t").collect())
+        assert ids == [1, 2, 3], ids  # each exactly once
+    finally:
+        q.stop()
