@@ -274,3 +274,116 @@ def q43_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "joined"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Large-scale join shapes (TPC-H Q18 / Q21 style)
+# --------------------------------------------------------------------------
+
+_BIG_ORDER_QTY = 120
+
+_Q44_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {_BIG_ORDER_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_ms(o.o_orderdate) AS order_ms,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@register(
+    "q44_large_order_customers",
+    "join",
+    f"TPC-H Q18 shape: orders whose total quantity exceeds {_BIG_ORDER_QTY} "
+    "(aggregate-derived IN set -> left-semi join), re-joined to customer and "
+    "lineitem for the final per-order rollup. The semi-join side is an "
+    "aggregate of the fact table itself — the plan AQE loves to re-plan at "
+    "runtime when the filtered key set turns out broadcastable.",
+    oracle=_Q44_ORACLE,
+    bench=True,
+)
+def q44_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity").cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("tq"))
+        .filter(F.col("tq") > _BIG_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("order_ms"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            "total_qty",
+        )
+    )
+
+
+_Q45_ORACLE = """
+SELECT s.s_suppkey, s.s_name, count(*) AS n_late_lines
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register(
+    "q45_late_suppliers",
+    "join",
+    "TPC-H Q21 shape: suppliers with late line items (ship > order + 60d) on "
+    "finalized multi-supplier orders — an EXISTS on the same fact table "
+    "becomes a left-semi self-join on the order key; the date inequality is "
+    "a residual filter on the equi-join, never a join condition.",
+    oracle=_Q45_ORACLE,
+)
+def q45_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.unix_micros("l_shipdate")
+            > F.unix_micros("o_orderdate") + F.lit(60 * 86400 * 1_000_000)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = late.join(
+        l2,
+        (late["l_orderkey"] == l2["l2_orderkey"])
+        & (late["l_suppkey"] != l2["l2_suppkey"]),
+        "left_semi",
+    )
+    return (
+        multi.join(s, multi["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+    )
