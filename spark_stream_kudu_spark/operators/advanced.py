@@ -387,3 +387,43 @@ def q45_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_late_lines"))
     )
+
+
+_TOPK_PER_GROUP = 3
+
+_Q46_ORACLE = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY round(o_totalprice * 100) DESC, o_orderkey ASC
+         ) AS rk
+  FROM orders
+)
+WHERE rk <= {_TOPK_PER_GROUP}
+"""
+
+
+@register(
+    "q46_topk_per_group",
+    "sort",
+    f"Top-{_TOPK_PER_GROUP} orders per customer: rank-then-filter window — the "
+    "scalable top-k-per-group form (one shuffle on the group key, per-partition "
+    "sort; never a global sort or a self-join). Ranked on exact integer cents "
+    "with a unique key tiebreak so order is engine-independent.",
+    oracle=_Q46_ORACLE,
+    bench=False,
+)
+def q46_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        cents.desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK_PER_GROUP)
+        .select("o_custkey", "o_orderkey", cents.alias("totalprice_cents"), "rk")
+    )
