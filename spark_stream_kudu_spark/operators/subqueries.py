@@ -1,0 +1,266 @@
+"""Subquery-heavy TPC-H-style shapes (Q13/Q15/Q17/Q19/Q22 analogs).
+
+The reference has no joins at all (SURVEY.md §2.2 — single-table
+pipeline), so this family exists to prove the declared contract's
+subquery surface the way Catalyst wants it expressed: every correlated
+subquery is decorrelated to an aggregate-join, every scalar subquery
+becomes a broadcast of a 1-row aggregate, and disjunctive predicates
+stay inside the scan so parquet row-group pruning still applies.
+
+Scale notes (100 TB): each query here shuffles only on its aggregation
+key; the scalar-aggregate sides are single rows (broadcast, never a
+shuffle); Q13's left join is fact-to-fact but both sides are keyed on
+the join key, and its second aggregation operates on |customers| rows,
+then |distinct counts| rows — strictly shrinking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q47 — disjunctive multi-attribute join predicate (TPC-H Q19 shape)
+# --------------------------------------------------------------------------
+
+_Q47_PRED = """(
+      (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 45
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+)"""
+
+_Q47_ORACLE = f"""
+SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {_Q47_PRED}
+"""
+
+
+@register(
+    "q47_disjunctive_join",
+    "join",
+    "TPC-H Q19 shape: broadcast equi-join with an OR-of-conjunctions residual "
+    "predicate spanning both sides. The equi-key keeps the join hash-based "
+    "(never a cartesian); the disjunction stays a residual filter. Revenue "
+    "summed as exact e4-scaled integers so engines agree bit-for-bit.",
+    oracle=_Q47_ORACLE,
+)
+def q47_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30)
+           & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 45)
+           & (q >= 20) & (q <= 40))
+    )
+    cents4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(cents4).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — correlated AVG subquery, decorrelated (TPC-H Q17 shape)
+# --------------------------------------------------------------------------
+
+_Q48_ORACLE = """
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_qty_cents,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, sum(l_quantity) AS qty_sum, count(*) AS qty_n
+  FROM lineitem GROUP BY l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity * a.qty_n * 5 < a.qty_sum
+"""
+
+
+@register(
+    "q48_small_quantity_revenue",
+    "join",
+    "TPC-H Q17 shape: correlated AVG(l_quantity) subquery decorrelated to a "
+    "per-part aggregate joined back to lineitem. The threshold compare is kept "
+    "in integers (qty*n*5 < sum — quantities are integral doubles, summed "
+    "exactly) so no engine disagrees at the boundary. Two passes over "
+    "lineitem, one shuffle each, keyed identically — AQE reuses the exchange.",
+    oracle=_Q48_ORACLE,
+)
+def q48_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_n"),
+    )
+    joined = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity") * F.col("qty_n") * 5 < F.col("qty_sum")
+    )
+    return joined.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("small_qty_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — customer order-count distribution (TPC-H Q13 shape)
+# --------------------------------------------------------------------------
+
+_Q49_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register(
+    "q49_order_count_distribution",
+    "join",
+    "TPC-H Q13 shape: outer join with a non-key residual condition, COUNT(col) "
+    "null semantics, then a second aggregation over the first's output. "
+    "Cardinality shrinks at every step (|orders| -> |customers| -> |distinct "
+    "counts|), so the second shuffle is negligible at any scale.",
+    oracle=_Q49_ORACLE,
+    bench=True,
+)
+def q49_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q50 — top-revenue supplier via scalar MAX subquery (TPC-H Q15 shape)
+# --------------------------------------------------------------------------
+
+_Q50_REV = (
+    "SELECT l_suppkey, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
+    " AS total_rev_e4 "
+    "FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_suppkey"
+)
+
+_Q50_ORACLE = f"""
+WITH rev AS ({_Q50_REV})
+SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+FROM supplier s
+JOIN rev r ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+"""
+
+
+@register(
+    "q50_top_supplier",
+    "join",
+    "TPC-H Q15 shape: scalar MAX over an aggregated view selects the view's "
+    "own argmax rows (keeps ties, unlike LIMIT 1). The 1-row max side is a "
+    "broadcast cross-join — no shuffle; revenue in exact e4 integers so the "
+    "equality compare is engine-independent.",
+    oracle=_Q50_ORACLE,
+)
+def q50_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(F.col("l_returnflag") != "R")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("total_rev_e4")
+        )
+    )
+    top = rev.agg(F.max("total_rev_e4").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev_e4 == top.max_rev)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — idle rich customers (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+
+_Q51_AVG = sql_fround(
+    "(SELECT floor(sum(c_acctbal) * 100 + 0.5) / 100 / count(*) "
+    " FROM customer WHERE c_acctbal > 0.0)",
+    4,
+)
+
+_Q51_ORACLE = f"""
+SELECT c.c_nationkey,
+       count(*) AS n_idle_rich,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE c.c_acctbal > {_Q51_AVG}
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+"""
+
+
+@register(
+    "q51_idle_rich_customers",
+    "join",
+    "TPC-H Q22 shape: scalar AVG subquery (snap-summed via favg so the "
+    "threshold double is bit-identical across engines) + NOT EXISTS as a "
+    "left-anti join, then a small group-by. The scalar side broadcasts; the "
+    "anti join is the only fact-sized shuffle.",
+    oracle=_Q51_ORACLE,
+)
+def q51_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            fround(
+                fround(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_bal")
+        )
+    )
+    rich = (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
+    )
+    idle_rich = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle_rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_idle_rich"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     the full registry."""
     import spark_stream_kudu_spark.operators.relational  # noqa: F401
     import spark_stream_kudu_spark.operators.advanced  # noqa: F401
+    import spark_stream_kudu_spark.operators.subqueries  # noqa: F401
     import spark_stream_kudu_spark.operators.dedup  # noqa: F401
     import spark_stream_kudu_spark.operators.similarity  # noqa: F401
     import spark_stream_kudu_spark.operators.temporal  # noqa: F401
