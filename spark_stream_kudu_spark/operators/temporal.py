@@ -296,3 +296,174 @@ def q41_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("trailing_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (batch twin of streaming session_window)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap
+
+_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                OR lag(epoch_ms(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_ms) AS start_ms,
+       max(ts_ms) AS end_ms,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM (
+  SELECT user_id, ts_ms,
+         sum(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts_ms, event_id) AS session_idx
+  FROM flagged
+)
+GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "q52_sessionize",
+    "temporal",
+    "Gap-based sessionization in batch: lag() flags a session start after "
+    f"{SESSION_GAP_MS // 60000} min of inactivity, a running sum assigns "
+    "session ids, then one group-by per (user, session). The batch twin of "
+    "q32_session_window. ONE shuffle on user_id serves both window passes "
+    "and the aggregation (same partitioning); all timestamps are integer "
+    "epoch-millis so engines agree exactly.",
+    oracle=_SESSIONIZE_ORACLE,
+)
+def q52_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    is_new = F.when(
+        F.lag("ts_ms").over(w).isNull()
+        | (F.col("ts_ms") - F.lag("ts_ms").over(w) > SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_idx", F.sum(is_new).over(w)
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis (stage-ordered first-touch counts)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'   THEN epoch_ms(ts) END) AS t_signup,
+         min(CASE WHEN event_type = 'view'     THEN epoch_ms(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click'    THEN epoch_ms(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(count(CASE WHEN t_view  >= t_signup THEN 1 END) AS BIGINT) AS n_view,
+       CAST(count(CASE WHEN t_click >= t_view AND t_view >= t_signup THEN 1 END) AS BIGINT)
+         AS n_click,
+       CAST(count(CASE WHEN t_purchase >= t_click AND t_click >= t_view
+                        AND t_view >= t_signup THEN 1 END) AS BIGINT) AS n_purchase
+FROM firsts
+"""
+
+
+@register(
+    "q53_event_funnel",
+    "temporal",
+    "First-touch funnel signup->view->click->purchase: one conditional-min "
+    "pass per user (single shuffle, partial agg), then stage counts where "
+    "each first-touch time is ordered after the previous stage's. The "
+    "whole funnel is ONE aggregation over events, not one join per stage.",
+    oracle=_FUNNEL_ORACLE,
+)
+def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ms = F.unix_millis("ts")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, ms)).alias(f"t_{s}")
+            for s in _FUNNEL_STAGES
+        ]
+    )
+    t = {s: F.col(f"t_{s}") for s in _FUNNEL_STAGES}
+    reached = [t["signup"].isNotNull()]
+    for prev, cur in zip(_FUNNEL_STAGES, _FUNNEL_STAGES[1:]):
+        reached.append(reached[-1] & (t[cur] >= t[prev]))
+    # NULL comparisons are NULL -> count() skips them, same as the oracle
+    return firsts.agg(
+        *[
+            F.count(F.when(cond, 1)).alias(f"n_{s}")
+            for s, cond in zip(_FUNNEL_STAGES, reached)
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (distinct users active N days after their first day)
+# --------------------------------------------------------------------------
+
+_RETENTION_DAYS = 7
+
+_RETENTION_ORACLE = f"""
+WITH first_day AS (
+  SELECT user_id, min(epoch_ms(ts) // 86400000) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS active_day
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS cohort_size,
+       CAST(count(DISTINCT CASE WHEN a.active_day >= f.cohort_day + {_RETENTION_DAYS}
+                                THEN a.user_id END) AS BIGINT) AS retained
+FROM first_day f
+LEFT JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_day
+"""
+
+
+@register(
+    "q54_cohort_retention",
+    "temporal",
+    f"Cohort retention: users grouped by first-active day; retained = still "
+    f"active >= {_RETENTION_DAYS} days later. Both sides of the self-join are "
+    "pre-aggregated to (user, day) grain before joining (shrink-then-join), "
+    "and the join key is user_id — co-partitioned with both aggregations, so "
+    "the day arithmetic is integer epoch-day, never date math on doubles.",
+    oracle=_RETENTION_ORACLE,
+)
+def q54_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.unix_millis("ts") / 86400000).cast("long")
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    joined = first_day.join(activity, "user_id", "left")
+    return joined.groupBy("cohort_day").agg(
+        F.count_distinct("user_id").alias("cohort_size"),
+        F.count_distinct(
+            F.when(
+                F.col("active_day") >= F.col("cohort_day") + _RETENTION_DAYS,
+                F.col("user_id"),
+            )
+        ).alias("retained"),
+    )
