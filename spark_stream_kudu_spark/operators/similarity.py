@@ -462,3 +462,41 @@ def sim_topk_rplsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _rank_topk(cand)
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids (the aggregation kernel behind IVF training / k-means)
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       CAST(sum(CAST(floor(embedding[i] * {_SCALE}) AS BIGINT)) AS BIGINT) AS comp_sum_e20,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings, generate_series(1, {_DIM}) AS t(i)
+GROUP BY label, i
+"""
+
+
+@register(
+    "emb_label_centroids",
+    "similarity",
+    "Per-label centroid components: posexplode each vector to (label, dim) "
+    "grain and sum 2^20-scaled integer components (power-of-two scaling is "
+    "exact on floats, so partial-agg order cannot change the sum). This is "
+    "one Lloyd accumulation step of k-means / the IVF codebook trainer. At "
+    "100 TB the exploded stream is 64x rows but partial aggregation "
+    "collapses it to |labels|*64 per partition before the single shuffle; "
+    "centroid = comp_sum_e20 / n_vectors / 2^20, done driver-side on "
+    "|labels| rows.",
+    oracle=_CENTROID_ORACLE,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "comp"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("comp") * _SCALE).cast("long")).alias("comp_sum_e20"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

@@ -281,3 +281,116 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * _RH_BASE + x) % _RH_MOD,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top term per document
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term AS top_term, tf, df
+FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) DESC, t.term ASC
+         ) AS rk
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+)
+WHERE rk = 1
+"""
+
+
+@register(
+    "text_tfidf",
+    "text",
+    "TF-IDF top term per document: explode tokens once, count (doc, term) "
+    "pairs, derive document frequency from the SAME aggregate (a term appears "
+    "once per doc there — no second scan of the corpus), broadcast the "
+    "doc-count scalar and the df table back, rank per doc. Scores stay "
+    "smooth-idf doubles internally but the *output* is (term, tf, df) "
+    "integers, with a lexicographic tie-break, so engines agree exactly. At "
+    "100 TB: the only corpus-sized shuffle is the (doc, term) count; df is "
+    "|vocab| rows and broadcasts.",
+    oracle=_TFIDF_ORACLE,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(df), "term").join(F.broadcast(n_docs))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * idf).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tf", "df")
+    )
+
+
+# --------------------------------------------------------------------------
+# Regex pattern scan (PII-style detection mechanism)
+# --------------------------------------------------------------------------
+
+# RE2/Java-regex common subset only (no lookaround, no \d shorthand —
+# explicit classes port exactly between DuckDB and the JVM).
+REGEX_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "digits": r"[0-9]+",
+    "spark_word": r"\bspark\b",
+}
+
+_REGEX_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digits,
+       CAST(len(regexp_extract_all(lower(text), '\\bspark\\b')) AS BIGINT) AS n_spark_word,
+       len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0 AS has_pii
+FROM documents
+"""
+
+
+@register(
+    "text_regex_scan",
+    "text",
+    "Per-document regex match counts (email/PII, digit runs, word hits) via "
+    "regexp_extract_all — the PII-detection mechanism for training-data "
+    "filtering. Patterns are restricted to the RE2/Java common subset so "
+    "both engines compile identical automata. Row-local: runs inside the "
+    "scan stage, zero shuffles, prunes to (doc_id, text).",
+    oracle=_REGEX_ORACLE,
+)
+def text_regex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    counts = {
+        name: F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in REGEX_PATTERNS.items()
+    }
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["digits"].alias("n_digits"),
+        counts["spark_word"].alias("n_spark_word"),
+        (counts["email"] > 0).alias("has_pii"),
+    )
