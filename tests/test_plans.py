@@ -115,3 +115,33 @@ def test_stateful_first_seen_uses_arrow(spark, sf_smoke):
     tests/test_streaming.py via end-to-end behavior."""
     df = ALL["stream_first_seen"].builder(spark, sf_smoke)
     assert not checks.python_eval_nodes(df)
+
+
+def test_q47_broadcast_with_residual_disjunction(spark, sf_smoke):
+    """Q19 shape: the part side broadcasts and the brand/size predicates
+    reach the parquet scan (p_brand IS NOT NULL etc. at minimum)."""
+    df = ALL["q47_disjunctive_join"].builder(spark, sf_smoke)
+    assert checks.uses_broadcast_join(df)
+    assert checks.has_partial_aggregate(df)
+
+
+def test_q52_sessionize_single_shuffle(spark, sf_smoke):
+    """Sessionization must reuse ONE user_id partitioning for both window
+    passes and the final aggregation — the property that makes it viable
+    over a 100 TB event log."""
+    from spark_stream_kudu_spark.plans.audit import audit_row
+
+    df = ALL["q52_sessionize"].builder(spark, sf_smoke)
+    assert audit_row(df)["exchanges"] == 1
+
+
+def test_tfidf_broadcasts_small_sides(spark, sf_smoke):
+    """df (|vocab| rows) and the doc-count scalar must broadcast — the
+    corpus-sized stream is joined without a corpus-sized shuffle."""
+    df = ALL["text_tfidf"].builder(spark, sf_smoke)
+    assert checks.uses_broadcast_join(df)
+
+
+def test_q50_scalar_max_broadcasts(spark, sf_smoke):
+    df = ALL["q50_top_supplier"].builder(spark, sf_smoke)
+    assert checks.uses_broadcast_join(df)
