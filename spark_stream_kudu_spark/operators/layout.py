@@ -1,0 +1,89 @@
+"""Physical-layout operators: bucketed co-located joins.
+
+Generalizes the reference's hash-partitioned storage contract
+(ddl/create_impala_kudu_table.sql:14 — ``PARTITION BY HASH PARTITIONS
+4``) from a sink property into a join strategy: facts written bucketed
+by their join key join with ZERO exchanges (asserted in
+tests/test_plans.py::test_bucketed_join_is_shuffle_free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.bucketed import write_bucketed
+from spark_stream_kudu_spark.sources.tables import load_table
+
+NUM_BUCKETS = 8  # test scale; at 100 TB size so max bucket file ~<=1 GB
+
+
+def bucketed_pair(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """lineitem + orders from ``sf_dir``, both bucketed by order key.
+
+    Idempotent per (process, sf_dir): the bucketed copy is written once
+    into a session-temp warehouse and reused — mirroring the real
+    deployment where bucketing is a write-time layout decision amortized
+    over many queries.
+    """
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"ssk_bucketed_{tag}")
+    names = {}
+    for tbl, keys in (("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])):
+        name = f"ssk_{tbl}_{tag}"
+        path = os.path.join(base, tbl)
+        if not spark.catalog.tableExists(name):
+            write_bucketed(
+                load_table(spark, sf_dir, tbl), name, path, keys, NUM_BUCKETS
+            )
+        names[tbl] = name
+    return spark.table(names["lineitem"]), spark.table(names["orders"])
+
+
+_Q55_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "q55_bucketed_join",
+    "layout",
+    "Fact-to-fact join on pre-bucketed tables: lineitem and orders stored "
+    f"hash-bucketed+sorted by order key ({NUM_BUCKETS} buckets), so the join "
+    "needs NO exchange and NO sort — bucket i of each side streams through a "
+    "merge join. The write-once shuffle is amortized over every later join "
+    "on the key, the bucketed analog of the reference's PARTITION BY HASH "
+    "sink (ddl:14). Results identical to the unbucketed plan; only the "
+    "physical layout differs.",
+    oracle=_Q55_ORACLE,
+)
+def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = bucketed_pair(spark, sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

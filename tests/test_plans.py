@@ -145,3 +145,25 @@ def test_tfidf_broadcasts_small_sides(spark, sf_smoke):
 def test_q50_scalar_max_broadcasts(spark, sf_smoke):
     df = ALL["q50_top_supplier"].builder(spark, sf_smoke)
     assert checks.uses_broadcast_join(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
+    """Co-bucketed fact tables join with zero Exchange nodes: the
+    write-time hash layout replaces every join-time shuffle on the key.
+    Broadcast is disabled so the test proves bucket co-location, not a
+    small-scale broadcast shortcut."""
+    from spark_stream_kudu_spark.operators.layout import bucketed_pair
+    from spark_stream_kudu_spark.plans.audit import audit_row
+
+    li, o = bucketed_pair(spark, sf_smoke)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        row = audit_row(joined)
+        assert row["exchanges"] == 0, row
+        assert row["smj"] == 1, row
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
