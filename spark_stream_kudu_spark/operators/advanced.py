@@ -427,3 +427,143 @@ def q46_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK_PER_GROUP)
         .select("o_custkey", "o_orderkey", cents.alias("totalprice_cents"), "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join (scale technique, oracle-identical to the plain join)
+# --------------------------------------------------------------------------
+
+_JOIN_SALT = 8
+
+_SALTED_JOIN_ORACLE = """
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 10000) AS BIGINT)) AS BIGINT) AS value_e4,
+       CAST(sum(d.spend_cents) AS BIGINT) AS spend_cents
+FROM events e
+JOIN (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+) d ON d.o_custkey = e.user_id
+GROUP BY e.event_type
+"""
+
+
+@register(
+    "q56_salted_skew_join",
+    "join",
+    f"Skew-salted equi-join: the event log's user_id key space is tiny "
+    "(worst-case join skew — every row hits a handful of hash partitions), "
+    f"so the fact side salts {_JOIN_SALT} ways (pmod of the unique event id) "
+    f"and the per-user dim explodes x{_JOIN_SALT}, turning each hot key into "
+    f"{_JOIN_SALT} uniformly-sized partitions. Join on (key, salt) is "
+    "provably result-identical to the plain join (the oracle runs the "
+    "unsalted form). The manual escape hatch for when one key's rows exceed "
+    "even AQE's skew-split granularity; dim replication cost = |dim| x salt, "
+    "paid only for keys actually joined.",
+    oracle=_SALTED_JOIN_ORACLE,
+)
+def q56_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    dim = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents")
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1)))
+    )
+    fact_salted = ev.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(_JOIN_SALT)).cast("int")
+    )
+    joined = fact_salted.join(
+        dim_salted,
+        (fact_salted.user_id == dim_salted.o_custkey)
+        & (fact_salted.salt == dim_salted.salt),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        F.sum("spend_cents").alias("spend_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling (data-quality summary in one pass)
+# --------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+         count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+         CAST(min(o_custkey) AS VARCHAR) AS mn_cust, CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+         count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+         min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+         count(o_totalprice) AS nn_tp, count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS nd_tp,
+         CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mn_tp,
+         CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mx_tp
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_custkey' AS column_name, n_rows,
+         CAST(n_rows - nn_cust AS BIGINT) AS n_nulls,
+         CAST(nd_cust AS BIGINT) AS n_distinct, mn_cust AS min_repr, mx_cust AS max_repr
+  FROM a
+  UNION ALL
+  SELECT 'o_orderstatus', n_rows, CAST(n_rows - nn_st AS BIGINT),
+         CAST(nd_st AS BIGINT), mn_st, mx_st FROM a
+  UNION ALL
+  SELECT 'o_totalprice_cents', n_rows, CAST(n_rows - nn_tp AS BIGINT),
+         CAST(nd_tp AS BIGINT), mn_tp, mx_tp FROM a
+)
+"""
+
+
+@register(
+    "q57_column_profile",
+    "profile",
+    "One-pass column profiling of orders (row count, null count, distinct "
+    "count, min/max) for a key, a categorical, and a money column — the "
+    "data-quality summary every ingest pipeline runs first. ONE aggregation "
+    "job computes every statistic (multi-distinct compiles to a single "
+    "expand + aggregate), then the 1-row result is unpivoted driver-free "
+    "into (column, stat) rows. Money rendered as integer cents so min/max "
+    "strings are engine-independent.",
+    oracle=_PROFILE_ORACLE,
+)
+def q57_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    tp_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.count_distinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.count_distinct(tp_cents).alias("nd_tp"),
+        F.round(F.min("o_totalprice") * 100).cast("long").cast("string").alias("mn_tp"),
+        F.round(F.max("o_totalprice") * 100).cast("long").cast("string").alias("mx_tp"),
+    )
+    stacked = a.select(
+        F.col("n_rows"),
+        F.expr(
+            "stack(3, "
+            "'o_custkey', n_rows - nn_cust, nd_cust, mn_cust, mx_cust, "
+            "'o_orderstatus', n_rows - nn_st, nd_st, mn_st, mx_st, "
+            "'o_totalprice_cents', n_rows - nn_tp, nd_tp, mn_tp, mx_tp) "
+            "AS (column_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+    )

@@ -500,3 +500,67 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN majority-vote classification (top-k -> label vote)
+# --------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid, e.vec_id AS neighbor_id, e.label,
+         floor(({_SQL_COS.format(a='q.qv', b='e.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s
+),
+votes AS (
+  SELECT qid, label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM r WHERE rank <= {TOP_K}
+  GROUP BY qid, label
+)
+SELECT qid, label AS pred_label, n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY n_votes DESC, label ASC) AS vrk
+  FROM votes
+)
+WHERE vrk = 1
+"""
+
+
+@register(
+    "emb_knn_classify",
+    "similarity",
+    f"k-NN classification: top-{TOP_K} cosine neighbors per query vector "
+    "(same broadcast-queries + partition-local scoring as the top-k "
+    "operators), then a majority vote over neighbor labels with a "
+    "deterministic (count DESC, label ASC) tie-break. The label-propagation "
+    "primitive for weak labeling / embedding-space QA of training corpora. "
+    "Votes are per-query tiny; the corpus-sized stage is identical to "
+    "sim_topk_bruteforce and swaps to the IVF/LSH pruned scorers at scale.",
+    oracle=_KNN_ORACLE,
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+    votes = topk.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    vw = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("vrk", F.row_number().over(vw))
+        .filter(F.col("vrk") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "n_votes")
+    )
