@@ -346,3 +346,96 @@ def test_dedup_within_watermark_drops_redelivery(spark):
         assert ids == [1, 2, 3], ids  # each exactly once
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark):
+    """Two watermarked file streams interval-join to exactly the rows the
+    equivalent batch join produces; the out-of-interval and wrong-key
+    pairs never appear; state-bounding conditions (watermark + interval)
+    are present so this would not buffer forever on a real cluster."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from spark_stream_kudu_spark.streaming.joins import interval_join
+
+    d = _mkdirs()
+    vsrc, psrc, ckpt = (os.path.join(d, n) for n in ("views", "purch", "ckpt"))
+    for n in (vsrc, psrc):
+        os.makedirs(n, exist_ok=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    views = [
+        (101, ts(0), 1),      # joins purchase 201 (30 min later)
+        (102, ts(0), 2),      # wrong user for 202 -> no join
+        (103, ts(-7200), 1),  # 2h before purchase 201 -> outside horizon
+        (104, ts(1500), 1),   # also joins purchase 201 (within 1h)
+    ]
+    purchases = [
+        (201, ts(1800), 1),
+        (202, ts(1800), 3),   # user 3 has no view -> no join
+    ]
+    spark.createDataFrame(views, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(vsrc, "b1")
+    )
+    spark.createDataFrame(purchases, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(psrc, "b1"))
+
+    def views_df(streaming):
+        reader = spark.readStream if streaming else spark.read
+        df = reader.schema(schema).parquet(os.path.join(vsrc, "*"))
+        return df.select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            "user_id",
+        )
+
+    def purchases_df(streaming):
+        reader = spark.readStream if streaming else spark.read
+        df = reader.schema(schema).parquet(os.path.join(psrc, "*"))
+        return df.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "user_id",
+        )
+
+    def run(streaming):
+        joined = interval_join(
+            purchases_df(streaming),
+            views_df(streaming),
+            key="user_id",
+            left_ts="purchase_ts",
+            right_ts="view_ts",
+        ).select("user_id", "purchase_id", "view_id")
+        if not streaming:
+            return {tuple(r) for r in joined.collect()}
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_t")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return {
+                tuple(r) for r in spark.sql("SELECT * FROM ssj_t").collect()
+            }
+        finally:
+            q.stop()
+
+    expected = {(1, 201, 101), (1, 201, 104)}
+    assert run(streaming=False) == expected
+    assert run(streaming=True) == expected
