@@ -87,3 +87,68 @@ def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned layout -> partition-pruned scans
+# --------------------------------------------------------------------------
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events from ``sf_dir`` re-laid-out hive-partitioned by event date.
+
+    Written once per (process, sf_dir) and reused. At 100 TB this is the
+    standard time-series layout: a predicate on the partition column
+    prunes whole directories at planning time (PartitionFilters in the
+    scan), so a one-day query touches 1/Nth of the files no matter how
+    large the table grows.
+    """
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_part_events_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+_Q58_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+"""
+
+
+@register(
+    "q58_partitioned_scan",
+    "layout",
+    "One-week aggregate over a date-partitioned event log: the predicate "
+    "lands on the hive partition column, so planning prunes to 7 date "
+    "directories (PartitionFilters, asserted in test_plans) and the "
+    "executors never open the other files. Identical results to scanning "
+    "the unpartitioned table (the oracle's form) — only IO differs.",
+    oracle=_Q58_ORACLE,
+)
+def q58_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+            & (F.col("event_date") < F.lit("2024-01-15").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+    )

@@ -167,3 +167,13 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
         assert row["smj"] == 1, row
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_smoke):
+    """The date predicate must appear as PartitionFilters on the scan —
+    directory-level pruning, not a post-scan filter."""
+    df = ALL["q58_partitioned_scan"].builder(spark, sf_smoke)
+    plan = checks.formatted_plan(df)
+    assert "PartitionFilters: [" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("event_date" in l for l in pf_lines), pf_lines
