@@ -467,3 +467,82 @@ def q54_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("retained"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-resolution rollup (hypertable continuous-aggregate pattern)
+# --------------------------------------------------------------------------
+
+_MIN_MS = 60_000
+_HOUR_MS = 3_600_000
+_DAY_MS = 86_400_000
+
+_ROLLUP_SQL = """
+WITH m AS (
+  SELECT (epoch_ms(ts) // {m}) * {m} AS bucket_ms, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT (bucket_ms // {h}) * {h} AS bucket_ms, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(value_e4) AS BIGINT) AS value_e4
+  FROM m GROUP BY 1, 2
+),
+d AS (
+  SELECT (bucket_ms // {d}) * {d} AS bucket_ms, event_type,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(value_e4) AS BIGINT) AS value_e4
+  FROM h GROUP BY 1, 2
+)
+SELECT '1m' AS resolution, * FROM m
+UNION ALL SELECT '1h', * FROM h
+UNION ALL SELECT '1d', * FROM d
+""".format(m=_MIN_MS, h=_HOUR_MS, d=_DAY_MS)
+
+
+def _bucket(col, width_ms):
+    return (F.floor(col / width_ms) * width_ms).cast("long")
+
+
+@register(
+    "q59_multires_rollup",
+    "temporal",
+    "Hypertable-style continuous aggregate: minute rollup from raw events, "
+    "hour rollup re-aggregated FROM the minute level, day from hour — each "
+    "level reads its parent's (much smaller) output, never the raw table, "
+    "which is what makes multi-resolution dashboards viable at 100 TB. "
+    "The minute level is materialized once (localCheckpoint — the in-query "
+    "stand-in for persisting each level as its own incrementally-updated "
+    "table), so the raw table is scanned exactly once no matter how many "
+    "resolutions stack on top. All buckets are integer epoch-millis "
+    "arithmetic.",
+    oracle=_ROLLUP_SQL,
+)
+def q59_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ms = F.unix_millis("ts")
+    minute = (
+        ev.groupBy(
+            _bucket(ms, _MIN_MS).alias("bucket_ms"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+    ).localCheckpoint()
+    def up(parent, width):
+        return (
+            parent.groupBy(
+                _bucket(F.col("bucket_ms"), width).alias("bucket_ms"), "event_type"
+            ).agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_e4").alias("value_e4"),
+            )
+        )
+    hour = up(minute, _HOUR_MS)
+    day = up(hour, _DAY_MS)
+    tag = lambda df, r: df.select(
+        F.lit(r).alias("resolution"), "bucket_ms", "event_type", "n_events", "value_e4"
+    )
+    return tag(minute, "1m").unionAll(tag(hour, "1h")).unionAll(tag(day, "1d"))

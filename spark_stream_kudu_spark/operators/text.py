@@ -394,3 +394,55 @@ def text_regex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["spark_word"].alias("n_spark_word"),
         (counts["email"] > 0).alias("has_pii"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching: bounded-block edit distance
+# --------------------------------------------------------------------------
+
+_ED_BLOCK = 50  # pairwise only within doc_id < _ED_BLOCK (bounded candidate set)
+_ED_PREFIX = 40  # compare the first N chars (canonical prefix signature)
+_ED_MAX = 20  # emit pairs with distance <= threshold
+
+_EDIT_ORACLE = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(lower(trim(a.text)), 1, {_ED_PREFIX}),
+                        substr(lower(trim(b.text)), 1, {_ED_PREFIX})) AS BIGINT)
+         AS edit_distance
+FROM documents a
+JOIN documents b ON a.doc_id < b.doc_id AND a.lang = b.lang
+WHERE a.doc_id < {_ED_BLOCK} AND b.doc_id < {_ED_BLOCK}
+  AND levenshtein(substr(lower(trim(a.text)), 1, {_ED_PREFIX}),
+                  substr(lower(trim(b.text)), 1, {_ED_PREFIX})) <= {_ED_MAX}
+"""
+
+
+@register(
+    "text_edit_distance",
+    "text",
+    f"Fuzzy near-match by Levenshtein distance over canonical {_ED_PREFIX}-char "
+    "prefixes, within same-language blocks of a bounded candidate set — the "
+    "verify step of a blocked fuzzy-dedup pipeline. Pairwise edit distance is "
+    "O(n^2) by nature, so at scale the block key does the heavy lifting "
+    "(language here; LSH buckets in dedup_verified_pairs): candidates stay "
+    "per-block quadratic, never corpus-quadratic, and the small side "
+    "broadcasts. Both engines implement classic unweighted Levenshtein.",
+    oracle=_EDIT_ORACLE,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    block = docs.filter(F.col("doc_id") < _ED_BLOCK).select(
+        "doc_id", "lang", F.substring(F.lower(F.trim("text")), 1, _ED_PREFIX).alias("sig")
+    )
+    a = block.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("sig").alias("sig_a")
+    )
+    b = block.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("sig").alias("sig_b")
+    )
+    dist = F.levenshtein("sig_a", "sig_b")
+    return (
+        a.join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .filter(dist <= _ED_MAX)
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_distance"))
+    )
