@@ -567,3 +567,58 @@ def q57_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_repr",
         "max_repr",
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: union across schema versions
+# --------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+  UNION ALL
+  SELECT * FROM v2
+)
+SELECT coalesce(o_orderpriority, '<pre-schema-v2>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM unioned
+GROUP BY 1
+"""
+
+
+@register(
+    "q60_schema_evolution",
+    "set",
+    "Schema-drift ingestion: a v1 extract (no priority column) unions with "
+    "a v2 extract via unionByName(allowMissingColumns=True) — missing "
+    "columns null-fill by NAME, never by position (positional union is the "
+    "classic silent-corruption bug when upstream adds a column). Downstream "
+    "aggregation buckets the pre-evolution rows explicitly. At scale this "
+    "is how years of heterogeneous parquet land in one query without "
+    "rewriting old files.",
+    oracle=_EVOLUTION_ORACLE,
+)
+def q60_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        unioned.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-schema-v2>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
