@@ -543,6 +543,7 @@ WHERE vrk = 1
     "Votes are per-query tiny; the corpus-sized stage is identical to "
     "sim_topk_bruteforce and swaps to the IVF/LSH pruned scorers at scale.",
     oracle=_KNN_ORACLE,
+    bench=True,
 )
 def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)

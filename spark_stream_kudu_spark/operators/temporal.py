@@ -338,6 +338,7 @@ GROUP BY user_id, session_idx
     "and the aggregation (same partitioning); all timestamps are integer "
     "epoch-millis so engines agree exactly.",
     oracle=_SESSIONIZE_ORACLE,
+    bench=True,
 )
 def q52_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
@@ -519,6 +520,7 @@ def _bucket(col, width_ms):
     "resolutions stack on top. All buckets are integer epoch-millis "
     "arithmetic.",
     oracle=_ROLLUP_SQL,
+    bench=True,
 )
 def q59_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)

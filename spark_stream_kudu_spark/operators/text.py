@@ -324,6 +324,7 @@ WHERE rk = 1
     "100 TB: the only corpus-sized shuffle is the (doc, term) count; df is "
     "|vocab| rows and broadcasts.",
     oracle=_TFIDF_ORACLE,
+    bench=True,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
