@@ -622,3 +622,78 @@ def q60_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Argmax aggregation (max_by / arg_max)
+# --------------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+SELECT o_custkey,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+         AS best_orderkey,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS best_cents
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "q61_argmax_order",
+    "aggregation",
+    "Argmax without a window: max_by/arg_max picks each customer's "
+    "highest-value order in ONE aggregation pass (partial+final), where the "
+    "window formulation would shuffle-and-sort every row. Ties broken by "
+    "orderkey via a composite integer ordering key (cents * 1e8 + orderkey, "
+    "exact in int64 at fixture scale) in both engines, so the chosen row is "
+    "engine-independent.",
+    oracle=_ARGMAX_ORACLE,
+)
+def q61_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", cents * 100000000 + F.col("o_orderkey"))
+        .alias("best_orderkey"),
+        F.max(cents).alias("best_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Percent-of-total (global window share)
+# --------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH n AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS nation_cents
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, nation_cents,
+       floor(nation_cents * 1000000.0 / (sum(nation_cents) OVER ()) + 0.5) / 1000000
+         AS share
+FROM n
+"""
+
+
+@register(
+    "q62_percent_of_total",
+    "window",
+    "Percent-of-total: aggregate to group grain FIRST, then a global "
+    "unpartitioned window over the tiny aggregate — the share computation "
+    "touches |groups| rows, never the fact table (running OVER () on raw "
+    "rows is the classic single-partition bottleneck). The ratio divides "
+    "two exact integers, so the double is bit-identical across engines "
+    "before floor-rounding.",
+    oracle=_SHARE_ORACLE,
+)
+def q62_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf_dir, "customer")
+    n = c.groupBy("c_nationkey").agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("nation_cents")
+    )
+    total = F.sum("nation_cents").over(W.partitionBy())
+    share = F.floor(F.col("nation_cents") * 1000000.0 / total + 0.5) / 1000000
+    return n.select("c_nationkey", "nation_cents", share.alias("share"))
