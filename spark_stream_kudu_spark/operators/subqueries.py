@@ -264,3 +264,42 @@ def q51_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_idle_rich"),
         F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q63 — one SQL text, two engines (the strongest portability statement)
+# --------------------------------------------------------------------------
+
+_Q63_SQL = """
+SELECT n.n_name,
+       o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderstatus <> 'P'
+GROUP BY n.n_name, o.o_orderpriority
+"""
+
+
+@register(
+    "q63_sql_text",
+    "sql",
+    "The SQL-text entry point (reference's registerTempTable + spark.sql "
+    "path, kafka_to_kudu.py:30-38) run on a 4-table join: the EXACT same "
+    "ANSI string executes on Spark (over registered temp views) and on the "
+    "DuckDB oracle — one dialect-neutral text, two engines, identical "
+    "results. Catalyst still broadcasts the dimension chain and pushes the "
+    "region/status predicates; declaring via SQL text loses nothing vs the "
+    "DataFrame API.",
+    oracle=_Q63_SQL,
+)
+def q63_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.sources.tables import register_views
+
+    tune_session(spark)
+    register_views(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    return spark.sql(_Q63_SQL)
