@@ -1,0 +1,107 @@
+"""Semantic invariants that hold regardless of data: internal
+consistency between related queries and self-consistency within one
+result. These catch logic errors the oracle can't (an oracle with the
+same bug passes parity; an invariant violation is unambiguous).
+"""
+
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.registry import load_all
+
+ALL = load_all()
+
+
+def test_funnel_is_monotone(spark, sf_smoke):
+    """Each funnel stage can only lose users: n_signup >= n_view >=
+    n_click >= n_purchase."""
+    row = ALL["q53_event_funnel"].builder(spark, sf_smoke).collect()[0]
+    assert row.n_signup >= row.n_view >= row.n_click >= row.n_purchase
+    assert row.n_purchase >= 0
+
+
+def test_sessionize_conserves_events(spark, sf_smoke):
+    """Sessions partition the event log: per-session counts sum to the
+    table's row count, and every session has positive length and
+    non-negative duration."""
+    sess = ALL["q52_sessionize"].builder(spark, sf_smoke)
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    total = load_table(spark, sf_smoke, "events").count()
+    agg = sess.agg(
+        F.sum("n_events").alias("n"),
+        F.min("n_events").alias("mn"),
+        F.min(F.col("end_ms") - F.col("start_ms")).alias("mind"),
+    ).collect()[0]
+    assert agg.n == total
+    assert agg.mn >= 1
+    assert agg.mind >= 0
+
+
+def test_multires_rollup_levels_agree(spark, sf_smoke):
+    """Every resolution of the continuous aggregate must total
+    identically — re-aggregation loses nothing."""
+    df = ALL["q59_multires_rollup"].builder(spark, sf_smoke)
+    totals = {
+        r.resolution: (r.n, r.v)
+        for r in df.groupBy("resolution")
+        .agg(F.sum("n_events").alias("n"), F.sum("value_e4").alias("v"))
+        .collect()
+    }
+    assert totals["1m"] == totals["1h"] == totals["1d"]
+
+
+def test_retention_bounded_by_cohort(spark, sf_smoke):
+    df = ALL["q54_cohort_retention"].builder(spark, sf_smoke)
+    bad = df.filter(
+        (F.col("retained") > F.col("cohort_size")) | (F.col("cohort_size") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_percent_of_total_sums_to_one(spark, sf_smoke):
+    """Shares are floor-rounded at 1e-6, so the sum lands within
+    |groups| ulps of exactly 1."""
+    df = ALL["q62_percent_of_total"].builder(spark, sf_smoke)
+    rows = df.collect()
+    assert abs(sum(r.share for r in rows) - 1.0) <= len(rows) * 1e-6
+
+
+def test_knn_votes_bounded(spark, sf_smoke):
+    from spark_stream_kudu_spark.operators.similarity import TOP_K
+
+    df = ALL["emb_knn_classify"].builder(spark, sf_smoke)
+    bad = df.filter((F.col("n_votes") < 1) | (F.col("n_votes") > TOP_K)).count()
+    assert bad == 0
+
+
+def test_topk_per_group_at_most_k(spark, sf_smoke):
+    from spark_stream_kudu_spark.operators.advanced import _TOPK_PER_GROUP
+
+    df = ALL["q46_topk_per_group"].builder(spark, sf_smoke)
+    per_group = df.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    assert per_group.filter(F.col("n") > _TOPK_PER_GROUP).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark, sf_smoke):
+    """The salted plan must be bit-identical to the straightforward join
+    (already oracle-checked; this asserts it against Spark's own plain
+    plan too, independent of DuckDB)."""
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    o = load_table(spark, sf_smoke, "orders")
+    dim = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents")
+    )
+    plain = (
+        ev.join(dim, ev.user_id == dim.o_custkey)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
+            F.sum("spend_cents").alias("spend_cents"),
+        )
+    )
+    salted = ALL["q56_salted_skew_join"].builder(spark, sf_smoke)
+    key = lambda rows: {r.event_type: (r.n_events, r.value_e4, r.spend_cents) for r in rows}
+    assert key(salted.collect()) == key(plain.collect())
