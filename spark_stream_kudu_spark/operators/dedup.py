@@ -556,8 +556,9 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAX_CC_ITERATIONS = 15
 
-_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_sql_minhash_cte()},
+# Shared CTE body: minhash sigs -> LSH bands -> verified edges ->
+# recursive reachability. Reused by the composed corpus-clean pipeline.
+_CC_CTE_BODY = f"""{_sql_minhash_cte()},
 bands AS (
   {" UNION ALL ".join(
     f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
@@ -588,7 +589,10 @@ reach(node, lab) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-)
+)"""
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_CC_CTE_BODY}
 SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
 """
 
@@ -635,3 +639,99 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# Composed corpus-clean pipeline (the flagship end-to-end extension op)
+# --------------------------------------------------------------------------
+
+_MIN_QUALITY_E4 = 5000  # keep docs with quality_score >= 0.5
+_MIN_TOKENS = 10
+
+_CLEAN_ORACLE = f"""
+WITH RECURSIVE {{cc_body}},
+clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(quality_score * 10000 + 0.5) AS BIGINT) AS quality_e4
+  FROM ({{quality_sql}})
+),
+joined AS (
+  SELECT d.doc_id, d.source, c.cluster_id, q.quality_e4, q.n_tokens
+  FROM documents d
+  JOIN clusters c ON c.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+),
+rep AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY quality_e4 DESC, doc_id ASC
+  ) AS rk
+  FROM joined
+),
+kept AS (
+  SELECT * FROM rep
+  WHERE rk = 1 AND quality_e4 >= {_MIN_QUALITY_E4} AND n_tokens >= {_MIN_TOKENS}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(sum(quality_e4) AS BIGINT) AS quality_e4_sum
+FROM kept
+GROUP BY source
+"""
+
+
+@register(
+    "pipeline_corpus_clean",
+    "dedup",
+    "The composed training-corpus cleaning pipeline, end to end in one "
+    "declared query: MinHash-LSH near-dup clusters -> highest-quality "
+    "representative per cluster (window argmax, deterministic tie-break) -> "
+    "quality + length filters -> per-source corpus stats. Every stage is "
+    "an already-oracle-checked operator (dedup_clusters, text_quality); "
+    "this proves they COMPOSE, hash-checked against a single recursive-CTE "
+    "DuckDB oracle. At 100 TB the cluster step checkpoints per iteration "
+    "and everything downstream is one shuffle per keyed stage on shrinking "
+    "data.",
+    oracle=_CLEAN_ORACLE.format(
+        cc_body=_CC_CTE_BODY,
+        quality_sql=__import__(
+            "spark_stream_kudu_spark.operators.text", fromlist=["_QUALITY_ORACLE"]
+        )._QUALITY_ORACLE,
+    ),
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_stream_kudu_spark.operators.text import text_quality
+
+    d = _docs(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
+    q = text_quality(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("quality_score") * 10000 + 0.5).cast("long").alias("quality_e4"),
+    )
+    joined = (
+        d.select("doc_id", "source")
+        .join(clusters, "doc_id")
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_e4").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(
+            (F.col("rk") == 1)
+            & (F.col("quality_e4") >= _MIN_QUALITY_E4)
+            & (F.col("n_tokens") >= _MIN_TOKENS)
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.sum("quality_e4").alias("quality_e4_sum"),
+    )
