@@ -251,3 +251,88 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         schema="doc_id long, frame_idx long, byte_offset long, frame_len long, frame_md5 string",
     )
+
+
+# --------------------------------------------------------------------------
+# Resize / thumbnail kernel (stub codec, real Arrow plumbing)
+# --------------------------------------------------------------------------
+
+RESIZE_BUCKETS = 4  # fixed "thumbnail" resolution of the stub resizer
+
+
+def resize_stub(payload: bytes) -> list[float]:
+    """STUB resizer — block-average the payload into RESIZE_BUCKETS cells.
+
+    A real deployment replaces the body with e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload)).resize((w, h))
+        return np.asarray(img, dtype=float).ravel().tolist()
+
+    The fake downsamples the byte stream itself (cell i = mean of the
+    bytes whose index maps to bucket i), which a SQL oracle can compute
+    exactly — so schema, batching, and Arrow transfer are all verified.
+    """
+    n = len(payload)
+    sums = [0] * RESIZE_BUCKETS
+    counts = [0] * RESIZE_BUCKETS
+    for i, b in enumerate(payload):
+        k = (i * RESIZE_BUCKETS) // n
+        sums[k] += b
+        counts[k] += 1
+    return [s / c if c else 0.0 for s, c in zip(sums, counts)]
+
+
+_RESIZE_ORACLE = f"""
+WITH chars AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ((i - 1) * {RESIZE_BUCKETS}) // length(text) AS bucket,
+         ord(substr(text, i, 1)) AS byte
+  FROM chars
+),
+cells AS (
+  SELECT doc_id, bucket,
+         floor((sum(byte) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS cell
+  FROM b GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       {", ".join(f"max(CASE WHEN bucket = {k} THEN cell END) AS cell_{k}"
+                  for k in range(RESIZE_BUCKETS))}
+FROM cells GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_resize_stub",
+    "multimodal",
+    f"Resize/thumbnail kernel: mapInPandas block-averages each binary "
+    f"payload into a fixed {RESIZE_BUCKETS}-cell signature (stub for a real "
+    "image resize; ASCII corpus gives it an exact SQL twin). Same "
+    "scale shape as decode: row-local, Arrow-batched, output rows are "
+    "fixed-width regardless of payload size — the property that bounds "
+    "memory when payloads vary from KB thumbnails to GB video.",
+    oracle=_RESIZE_ORACLE,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    d = with_binary_payload(_docs(spark, sf_dir))
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = np.array([resize_stub(p) for p in pdf["payload"]])
+            out = {"doc_id": pdf["doc_id"]}
+            for k in range(RESIZE_BUCKETS):
+                out[f"cell_{k}"] = np.floor(cells[:, k] * 1e4 + 0.5) / 1e4
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(
+        f"cell_{k} double" for k in range(RESIZE_BUCKETS)
+    )
+    return d.mapInPandas(resize, schema)

@@ -57,6 +57,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "sim_topk_pandas",
         "multimodal_decode_stub",
         "multimodal_frame_sample",
+        "multimodal_resize_stub",
         "stream_traffic_pipeline",
     }
     for name, spec in ALL.items():
@@ -70,7 +71,12 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
 def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
     """When we do cross into Python it must be the Arrow path
     (MapInPandas), never row-at-a-time BatchEvalPython."""
-    for name in ["sim_topk_pandas", "multimodal_decode_stub", "multimodal_frame_sample"]:
+    for name in [
+        "sim_topk_pandas",
+        "multimodal_decode_stub",
+        "multimodal_frame_sample",
+        "multimodal_resize_stub",
+    ]:
         df = ALL[name].builder(spark, sf_smoke)
         nodes = checks.python_eval_nodes(df)
         assert nodes, f"{name} expected a Python eval node"
