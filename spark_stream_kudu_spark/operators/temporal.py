@@ -548,3 +548,42 @@ def q59_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(r).alias("resolution"), "bucket_ms", "event_type", "n_events", "value_e4"
     )
     return tag(minute, "1m").unionAll(tag(hour, "1h")).unionAll(tag(day, "1d"))
+
+
+# --------------------------------------------------------------------------
+# Running distinct count (a window op Spark lacks natively)
+# --------------------------------------------------------------------------
+
+_RUNNING_DISTINCT_ORACLE = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       CAST(count(DISTINCT event_type) OVER w AS BIGINT) AS n_types_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "q64_running_distinct",
+    "window",
+    "Running DISTINCT count per user — an operator Spark's window engine "
+    "refuses natively (DISTINCT aggregates are unsupported OVER a window), "
+    "expressed as the idiomatic composition size(collect_set() OVER ...). "
+    "State per row is the distinct set (bounded by the event-type domain, "
+    "5 here), not the row count, so the frame stays cheap even over long "
+    "user histories; one shuffle on user_id.",
+    oracle=_RUNNING_DISTINCT_ORACLE,
+)
+def q64_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )
