@@ -407,19 +407,22 @@ def q09_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q10_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 
 @register(
     "q10_anti_join",
     "join",
-    "NOT EXISTS == left-anti join (customers that never ordered).",
+    "NOT EXISTS == left-anti join (customers with no urgent orders — the "
+    "filtered subquery keeps the result non-empty at every fixture scale, "
+    "so the parity check is never vacuous).",
     oracle=_Q10_ORACLE,
 )
 def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -229,7 +229,8 @@ SELECT c.c_nationkey,
        CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer c
 WHERE c.c_acctbal > {_Q51_AVG}
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
 GROUP BY c.c_nationkey
 """
 
@@ -238,8 +239,9 @@ GROUP BY c.c_nationkey
     "q51_idle_rich_customers",
     "join",
     "TPC-H Q22 shape: scalar AVG subquery (snap-summed via favg so the "
-    "threshold double is bit-identical across engines) + NOT EXISTS as a "
-    "left-anti join, then a small group-by. The scalar side broadcasts; the "
+    "threshold double is bit-identical across engines) + NOT EXISTS (no "
+    "urgent orders — non-empty at every fixture scale) as a left-anti "
+    "join, then a small group-by. The scalar side broadcasts; the "
     "anti join is the only fact-sized shuffle.",
     oracle=_Q51_ORACLE,
 )
@@ -259,7 +261,8 @@ def q51_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .drop("avg_bal")
     )
-    idle_rich = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    idle_rich = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
     return idle_rich.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_idle_rich"),
         F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
@@ -303,3 +306,71 @@ def q63_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     register_views(spark, sf_dir, ["orders", "customer", "nation", "region"])
     return spark.sql(_Q63_SQL)
+
+
+# --------------------------------------------------------------------------
+# q65 — nation-pair volume (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+
+_Q65_ORACLE = """
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+         AS volume_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+WHERE ((cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+    OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3'))
+GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+"""
+
+
+@register(
+    "q65_nation_pair_volume",
+    "join",
+    "TPC-H Q7 shape: 6-table join with a symmetric nation-pair OR predicate "
+    "and a year extraction in the grouping key. The two nation aliases and "
+    "supplier/customer dims broadcast; lineitem->orders is the only "
+    "fact-fact edge, shuffled once on orderkey. The pair disjunction sits "
+    "above the dim joins where it prunes to two nation pairs before the "
+    "fact join output grows.",
+    oracle=_Q65_ORACLE,
+)
+def q65_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_7"))
+        | ((F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+        ).alias("volume_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

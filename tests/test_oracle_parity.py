@@ -28,3 +28,6 @@ def test_query_matches_oracle(spark, sf_smoke, oracle_con, name):
     assert res.ok, f"{name}: {res.mismatches}"
     if spec.oracle is not None:
         assert res.spark_rows == res.oracle_rows
+        # Parity on an empty result proves nothing — every query must
+        # select real rows at every fixture scale.
+        assert res.spark_rows > 0, f"{name}: vacuous parity (0 rows)"
