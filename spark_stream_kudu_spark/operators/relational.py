@@ -797,17 +797,26 @@ def q23_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q24_ORACLE = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
 """
 
 
-@register("q24_except", "setop", "EXCEPT (distinct).", oracle=_Q24_ORACLE)
+@register(
+    "q24_except",
+    "setop",
+    "EXCEPT (distinct): customers with finished orders but no pending ones "
+    "— both sides chosen so the difference is non-empty at every fixture "
+    "scale (nationkey-based EXCEPTs go vacuously empty once suppliers "
+    "cover all nations).",
+    oracle=_Q24_ORACLE,
+)
 def q24_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    o = t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(p)
 
 
 # --------------------------------------------------------------------------
