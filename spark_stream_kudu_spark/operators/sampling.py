@@ -99,3 +99,57 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling (per-stratum rates)
+# --------------------------------------------------------------------------
+
+# Per-language sampling rates: downsample the dominant stratum, keep
+# rare strata whole — the standard corpus-rebalancing move.
+STRATA_PCT: dict[str, int] = {"en": 10, "es": 25, "de": 50}
+DEFAULT_PCT = 100  # strata not listed are kept in full
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_PCT.items()
+    )
+    return f"CASE {whens} ELSE {DEFAULT_PCT} END"
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+FROM documents
+WHERE {_sql_pct("doc_id")} < ({_strata_case_sql()})
+GROUP BY lang
+"""
+
+
+@register(
+    "sample_stratified",
+    "sampling",
+    "Stratified deterministic sampling: each stratum (language) gets its "
+    "own keep-rate via one CASE over the same key-hash percentile — "
+    "downsample the dominant stratum, keep the tail whole. Still a pure "
+    "scan-local predicate (no shuffle, no per-stratum pass), still "
+    "reproducible under any partitioning; rates change per deployment "
+    "without touching the mechanism.",
+    oracle=_STRATIFIED_ORACLE,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_PCT)
+    for k, v in reversed(STRATA_PCT.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        d.filter(_pct(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )
