@@ -57,19 +57,29 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules (triggering registration) and return
-    the full registry."""
-    import spark_stream_kudu_spark.operators.relational  # noqa: F401
-    import spark_stream_kudu_spark.operators.advanced  # noqa: F401
-    import spark_stream_kudu_spark.operators.subqueries  # noqa: F401
+    the full registry.
+
+    Ordering is deliberate: the driver's correctness gate walks the
+    registry front-to-back with a bounded window (~50 queries/round), so
+    families whose driver-side evidence is thinnest register first.
+    Round 2 rotation: the LLM-pipeline extension families + temporal +
+    streaming (zero driver rows in round 1) lead; the relational core
+    (49/50 green in CORRECTNESS_r01) trails; overlapping parity helpers
+    register last (streaming.parity_extra).
+    """
     import spark_stream_kudu_spark.operators.dedup  # noqa: F401
     import spark_stream_kudu_spark.operators.similarity  # noqa: F401
-    import spark_stream_kudu_spark.operators.temporal  # noqa: F401
     import spark_stream_kudu_spark.operators.text  # noqa: F401
+    import spark_stream_kudu_spark.operators.temporal  # noqa: F401
     import spark_stream_kudu_spark.operators.multimodal  # noqa: F401
     import spark_stream_kudu_spark.operators.sampling  # noqa: F401
     import spark_stream_kudu_spark.operators.layout  # noqa: F401
     import spark_stream_kudu_spark.streaming.queries  # noqa: F401
     import spark_stream_kudu_spark.streaming.stateful  # noqa: F401
+    import spark_stream_kudu_spark.operators.advanced  # noqa: F401
+    import spark_stream_kudu_spark.operators.relational  # noqa: F401
+    import spark_stream_kudu_spark.operators.subqueries  # noqa: F401
+    import spark_stream_kudu_spark.streaming.parity_extra  # noqa: F401
 
     return dict(_REGISTRY)
 
