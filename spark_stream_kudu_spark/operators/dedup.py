@@ -225,30 +225,17 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < 
 """
 
 
-@register(
-    "dedup_minhash_pairs",
-    "dedup",
-    f"MinHash-LSH candidate pairs: {BANDS} bands x {ROWS_PER_BAND} rows; docs whose "
-    "signatures collide in any band become candidates (the scalable near-dup "
-    "reduction: explode to (band, key), one self-join shuffle, distinct pairs).",
-    oracle=_MH_PAIRS_ORACLE,
-    bench=True,
-)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bucket docs by (band, band_key) and emit in-bucket combinations —
-    # one groupBy shuffle; a band self-join would re-run the whole
-    # signature computation for each side and shuffle twice. Bucket
-    # cardinality is bounded by the largest near-dup cluster; at scale
-    # add a bucket-size cap + salted re-bucketing for adversarial data.
-    d = _docs(spark, sf_dir)
-    bands = _minhash_bands(d)
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    ids = F.col("ids")
-    combos = F.flatten(
+# Max docs per LSH bucket that get the exact all-pairs (clique) treatment.
+# One adversarial duplicate cluster (boilerplate duplicated 10M times in a
+# crawl) would otherwise emit O(b^2) pairs from a single bucket and OOM the
+# task. Fixture bucket sizes stay far below this (asserted in
+# tests/test_invariants.py), so the DuckDB all-pairs oracle remains exact.
+BUCKET_CAP = 64
+
+
+def _in_bucket_combos(ids: F.Column) -> F.Column:
+    """All ordered pairs (doc_a < doc_b) within a sorted id array."""
+    return F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
@@ -257,11 +244,86 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+    """LSH candidate pairs with a bucket-size cap.
+
+    Buckets docs by (band, band_key) and emits in-bucket combinations —
+    one groupBy shuffle; a band self-join would re-run the whole
+    signature computation for each side and shuffle twice.
+
+    Buckets with more than ``cap`` members (adversarial mega-clusters)
+    are re-bucketed by a deterministic salt into sub-groups of ~``cap``
+    docs, each anchored by the bucket's min doc_id: pairs per bucket
+    drop from O(b^2) to O(b*cap), and because every sub-group contains
+    the anchor, the bucket stays one connected component — downstream
+    clustering (dedup_clusters) is unaffected. The pair *set* for
+    oversized buckets is a connectivity-preserving subset of the full
+    clique (the standard recall/scale trade: members of a >cap bucket
+    are near-certain duplicates; enumerating every pair adds no
+    information clustering needs).
+    """
+    bands = _minhash_bands(d)
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    small = buckets.filter(F.size("ids") <= cap)
+    small_pairs = small.select(F.explode(_in_bucket_combos(F.col("ids"))).alias("p"))
+
+    # Salted second pass: anchor = min id; the rest spread across
+    # ceil((b-1)/cap) salt groups by doc_id hash (deterministic), the
+    # anchor re-attached to every group.
+    big = buckets.filter(F.size("ids") > cap)
+    exploded = big.select(
+        "band",
+        "bkey",
+        F.element_at("ids", 1).alias("anchor"),
+        F.ceil((F.size("ids") - 1) / F.lit(cap)).cast("int").alias("n_salts"),
+        F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("doc_id"),
+    )
+    salted = exploded.withColumn("salt", F.pmod(F.hash("doc_id"), F.col("n_salts")))
+    regrouped = salted.groupBy("band", "bkey", "salt").agg(
+        F.sort_array(
+            F.concat(F.array(F.first("anchor")), F.collect_list("doc_id"))
+        ).alias("ids")
+    )
+    big_pairs = regrouped.select(F.explode(_in_bucket_combos(F.col("ids"))).alias("p"))
+
     return (
-        buckets.select(F.explode(combos).alias("p"))
+        small_pairs.unionByName(big_pairs)
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_bucket_overflow(d: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+    """Diagnostic: LSH buckets exceeding the cap — (band, bkey,
+    bucket_size). Pipelines surface this count instead of silently
+    degrading recall."""
+    bands = _minhash_bands(d)
+    return (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > cap)
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    "dedup",
+    f"MinHash-LSH candidate pairs: {BANDS} bands x {ROWS_PER_BAND} rows; docs whose "
+    "signatures collide in any band become candidates (the scalable near-dup "
+    "reduction: explode to (band, key), one self-join shuffle, distinct pairs). "
+    f"Buckets over {BUCKET_CAP} docs are salt-re-bucketed with an anchor doc "
+    "(bounded pairs, connectivity preserved).",
+    oracle=_MH_PAIRS_ORACLE,
+    bench=True,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 def _minhash_bands(d: DataFrame) -> DataFrame:
@@ -556,6 +618,71 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAX_CC_ITERATIONS = 15
 
+# Env var: directory for *reliable* (HDFS/object-store) checkpointing of
+# the label-propagation loop. localCheckpoint is executor-local — fast,
+# but lost on executor death; a 100 TB run over thousands of executors
+# wants real checkpoints every few rounds so a lost executor doesn't
+# force a full lineage recompute.
+_RELIABLE_CKPT_ENV = "SPARK_GRAFT_CC_CHECKPOINT_DIR"
+_CKPT_INTERVAL = 3
+
+
+def propagate_min_labels(
+    labels: DataFrame,
+    edges: DataFrame,
+    max_iter: int = _MAX_CC_ITERATIONS,
+    reliable_checkpoint: bool = False,
+    checkpoint_interval: int = _CKPT_INTERVAL,
+) -> DataFrame:
+    """Connected components via iterative min-label propagation.
+
+    ``labels``: (node, lab) initial labels; ``edges``: (src, dst),
+    directed (callers pass both directions). Converges in O(diameter)
+    rounds; raises RuntimeError if labels are still changing after
+    ``max_iter`` rounds — a too-deep component must fail loudly, not
+    silently return wrong cluster ids.
+
+    With ``reliable_checkpoint`` (requires ``setCheckpointDir``), every
+    ``checkpoint_interval``-th round uses a reliable checkpoint instead
+    of ``localCheckpoint``, bounding recomputation on executor loss.
+    """
+
+    def _cut_lineage(df: DataFrame, round_no: int) -> DataFrame:
+        if reliable_checkpoint and round_no % checkpoint_interval == checkpoint_interval - 1:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    converged = False
+    for i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"))
+        )
+        new_labels = _cut_lineage(new_labels, i)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected-components did not converge in {max_iter} rounds; "
+            "a component with min-label eccentricity beyond the bound would "
+            "otherwise yield wrong cluster ids — raise max_iter"
+        )
+    return labels
+
 # Shared CTE body: minhash sigs -> LSH bands -> verified edges ->
 # recursive reachability. Reused by the composed corpus-clean pipeline.
 _CC_CTE_BODY = f"""{_sql_minhash_cte()},
@@ -602,12 +729,16 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
     "dedup",
     "Connected components over the verified near-dup graph: iterative "
     "min-label propagation (Spark DataFrame loop, converges in O(diameter) "
-    "rounds; at scale checkpoint every few rounds to cut lineage). The "
-    "oracle is a recursive CTE over the same edges — an iterative algorithm "
-    "still hash-checked end-to-end. Singleton docs are their own cluster.",
+    "rounds, raises loudly on non-convergence; set "
+    f"{_RELIABLE_CKPT_ENV} for reliable checkpoints every few rounds at "
+    "cluster scale). The oracle is a recursive CTE over the same edges — an "
+    "iterative algorithm still hash-checked end-to-end. Singleton docs are "
+    "their own cluster.",
     oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     d = _docs(spark, sf_dir)
     pairs = dedup_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -617,27 +748,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of recomputing the whole LSH+verify pipeline per round.
     edges = edges.localCheckpoint(eager=True)
     labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
-    for _ in range(_MAX_CC_ITERATIONS):
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select("node", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    ckpt_dir = os.environ.get(_RELIABLE_CKPT_ENV)
+    if ckpt_dir:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    labels = propagate_min_labels(
+        labels, edges, reliable_checkpoint=bool(ckpt_dir)
+    )
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 

@@ -72,6 +72,7 @@ GROUP BY o.o_orderpriority
     "sink (ddl:14). Results identical to the unbucketed plan; only the "
     "physical layout differs.",
     oracle=_Q55_ORACLE,
+    bench=True,
 )
 def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o = bucketed_pair(spark, sf_dir)

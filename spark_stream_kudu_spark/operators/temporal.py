@@ -395,6 +395,7 @@ FROM firsts
     "each first-touch time is ordered after the previous stage's. The "
     "whole funnel is ONE aggregation over events, not one join per stage.",
     oracle=_FUNNEL_ORACLE,
+    bench=True,
 )
 def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -452,6 +453,7 @@ GROUP BY f.cohort_day
     "and the join key is user_id — co-partitioned with both aggregations, so "
     "the day arithmetic is integer epoch-day, never date math on doubles.",
     oracle=_RETENTION_ORACLE,
+    bench=True,
 )
 def q54_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -569,9 +571,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
     "Running DISTINCT count per user — an operator Spark's window engine "
     "refuses natively (DISTINCT aggregates are unsupported OVER a window), "
     "expressed as the idiomatic composition size(collect_set() OVER ...). "
-    "State per row is the distinct set (bounded by the event-type domain, "
-    "5 here), not the row count, so the frame stays cheap even over long "
-    "user histories; one shuffle on user_id.",
+    "State per row is the distinct set — bounded by the DISTINCT-KEY "
+    "domain (event_type: 5 here), NOT the row count; on a high-cardinality "
+    "key the expanding frame degrades to O(n) state per row, so use the "
+    "RANGE-bounded variant (q64b_running_distinct_bounded) or an HLL "
+    "sketch there. One shuffle on user_id.",
     oracle=_RUNNING_DISTINCT_ORACLE,
 )
 def q64_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,6 +275,10 @@ def stream_traffic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows:
         files[r["k"]].append(r["line"])
     for k, lines in files.items():
+        if not lines:
+            # an empty residue class must not produce a file holding one
+            # empty record -> all-null parsed row -> null-keyed upsert
+            continue
         with open(os.path.join(src_dir, f"batch_{k}.csv"), "w") as f:
             f.write("\n".join(lines) + "\n")
 

@@ -55,7 +55,22 @@ def merge_by_key(
             .drop("__rn", _BATCH_COL)
         )
     else:
-        updates = updates.dropDuplicates(keys)
+        # No order column: resolve duplicate keys DETERMINISTICALLY by
+        # taking the lexicographically-largest non-key tuple (struct
+        # max), not dropDuplicates' arbitrary-row pick — a replayed
+        # batch then always converges to the same table. Requires
+        # orderable non-key columns (no maps), which holds for every
+        # sink schema here.
+        non_keys = [c for c in updates.columns if c not in keys]
+        if non_keys:
+            packed = updates.groupBy(*keys).agg(
+                F.max(F.struct(*[F.col(c) for c in non_keys])).alias("__r")
+            )
+            updates = packed.select(
+                *keys, *[F.col(f"__r.{c}").alias(c) for c in non_keys]
+            )
+        else:
+            updates = updates.dropDuplicates(keys)
     if current is None:
         return updates
     # anti-join keeps only survivor rows of the old table; union inserts
@@ -94,10 +109,12 @@ class UpsertParquetSink:
             return -1
 
     def read(self, spark) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self._data)
-        except Exception:
+        # Only a MISSING table reads as empty. Transient read failures
+        # must propagate: swallowing them would make the next merge
+        # treat the table as empty and silently drop all upserted state.
+        if not os.path.isdir(self._data):
             return None
+        return spark.read.parquet(self._data)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # Empty-batch guard (reference O7, kafka_to_kudu.py:23).
@@ -116,9 +133,17 @@ class UpsertParquetSink:
 
         tmp = self._data + ".tmp"
         merged.repartition(self.num_buckets, *self.key).write.mode("overwrite").parquet(tmp)
+        # Promote via rename-aside: the previous table is moved to .old
+        # (not deleted) before tmp takes its place, so a crash anywhere
+        # in the window leaves a recoverable copy instead of no table.
+        old = self._data + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(self._data):
-            shutil.rmtree(self._data)
+            os.rename(self._data, old)
         os.rename(tmp, self._data)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         os.makedirs(self.path, exist_ok=True)
         with open(self._marker, "w") as f:
             f.write(str(batch_id))

@@ -1,0 +1,100 @@
+"""Failure-mode behavior added in round 2: deterministic duplicate
+resolution in the upsert merge, read errors that propagate instead of
+wiping state, crash-safe table promotion, and loud non-convergence in
+label propagation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.operators.dedup import propagate_min_labels
+from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink, merge_by_key
+
+
+def test_merge_duplicate_keys_resolve_deterministically(spark):
+    """Without __batch_id, duplicate keys in updates resolve to the
+    lexicographically-largest non-key tuple — stable under shuffle
+    nondeterminism, so replays converge to the same table."""
+    updates = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 5), (2, "z", 1)], "k int, tag string, v int"
+    )
+    for _ in range(3):
+        out = {
+            r["k"]: (r["tag"], r["v"])
+            for r in merge_by_key(None, updates.repartition(7), key="k").collect()
+        }
+        assert out == {1: ("b", 5), 2: ("z", 1)}
+
+
+def test_merge_key_only_schema_still_dedupes(spark):
+    updates = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    rows = sorted(r["k"] for r in merge_by_key(None, updates, key="k").collect())
+    assert rows == [1, 2]
+
+
+def test_read_missing_table_is_none(spark, tmp_path):
+    sink = UpsertParquetSink(str(tmp_path / "t"), key="k")
+    assert sink.read(spark) is None
+
+
+def test_read_corrupt_table_raises(spark, tmp_path):
+    """A table that EXISTS but fails to read must raise — returning None
+    would make the next merge rewrite the store from empty, silently
+    dropping all upserted state."""
+    sink = UpsertParquetSink(str(tmp_path / "t"), key="k")
+    os.makedirs(sink._data)
+    with open(os.path.join(sink._data, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        df = sink.read(spark)
+        assert df is not None
+        df.collect()
+
+
+def test_upsert_promotion_leaves_no_stale_dirs(spark, tmp_path):
+    sink = UpsertParquetSink(str(tmp_path / "t"), key="k", num_buckets=2)
+    b1 = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    b2 = spark.createDataFrame([(2, "y2"), (3, "z")], "k int, v string")
+    sink(b1, batch_id=0)
+    sink(b2, batch_id=1)
+    table = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert table == {1: "x", 2: "y2", 3: "z"}
+    # neither the .tmp nor the .old staging dir survives a clean batch
+    assert not os.path.exists(sink._data + ".tmp")
+    assert not os.path.exists(sink._data + ".old")
+
+
+def _chain(spark, n):
+    """Path graph 0-1-...-(n-1): min-label needs ~n rounds of simple
+    propagation to reach the far end."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(i + 1, i) for i in range(n - 1)],
+        "src long, dst long",
+    )
+    labels = spark.range(n).select(F.col("id").alias("node"), F.col("id").alias("lab"))
+    return labels, edges
+
+
+def test_label_propagation_raises_on_nonconvergence(spark):
+    labels, edges = _chain(spark, 6)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(labels, edges, max_iter=2)
+
+
+def test_label_propagation_converges_on_chain(spark):
+    labels, edges = _chain(spark, 6)
+    out = propagate_min_labels(labels, edges, max_iter=10)
+    assert {r["lab"] for r in out.collect()} == {0}
+
+
+def test_label_propagation_reliable_checkpoint(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    labels, edges = _chain(spark, 5)
+    out = propagate_min_labels(
+        labels, edges, max_iter=10, reliable_checkpoint=True, checkpoint_interval=1
+    )
+    assert {r["lab"] for r in out.collect()} == {0}
+    # reliable checkpoints actually landed on the checkpoint dir
+    assert any(files for _, _, files in os.walk(ckpt))
