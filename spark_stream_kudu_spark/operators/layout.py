@@ -73,6 +73,7 @@ GROUP BY o.o_orderpriority
     "physical layout differs.",
     oracle=_Q55_ORACLE,
     bench=True,
+    prepare=lambda spark, sf_dir: bucketed_pair(spark, sf_dir) and None,
 )
 def q55_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o = bucketed_pair(spark, sf_dir)
@@ -139,6 +140,7 @@ GROUP BY event_type
     "executors never open the other files. Identical results to scanning "
     "the unpartitioned table (the oracle's form) — only IO differs.",
     oracle=_Q58_ORACLE,
+    prepare=lambda spark, sf_dir: partitioned_events(spark, sf_dir) and None,
 )
 def q58_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = partitioned_events(spark, sf_dir)

