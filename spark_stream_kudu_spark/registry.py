@@ -89,6 +89,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.operators.relational  # noqa: F401
     import spark_stream_kudu_spark.operators.subqueries  # noqa: F401
     import spark_stream_kudu_spark.operators.extensions  # noqa: F401
+    import spark_stream_kudu_spark.streaming.extensions  # noqa: F401
     import spark_stream_kudu_spark.streaming.parity_extra  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,153 @@
+"""Round-2 end-to-end streaming queries, registered late.
+
+These run REAL Structured Streaming queries (file-replayed sources,
+availableNow trigger, parquet append sinks) whose final tables are
+deterministic and therefore DuckDB-oracle-checkable:
+
+- ``stream_interval_join_e2e`` — the stream-stream interval join
+  (streaming/joins.py::interval_join) executed as a streaming query:
+  purchases joined to views within a 1-hour trailing interval per user,
+  watermark-bounded state on both sides.
+- ``stream_watermark_dedup_e2e`` — Spark's native
+  ``dropDuplicatesWithinWatermark`` (streaming/stateful.py::
+  dedup_within_watermark) executed on a replay carrying injected
+  re-deliveries; the final table recovers exactly the original rows.
+
+Both previously had only pytest evidence via their helpers; registering
+the end-to-end runs gives the streaming family driver-side value checks.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.streaming.joins import interval_join
+from spark_stream_kudu_spark.streaming.stateful import dedup_within_watermark
+
+_TMP_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"
+)
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _run_to_parquet(stream_df: DataFrame, base: str) -> str:
+    """Drive a streaming DataFrame to a parquet append sink until all
+    available input is consumed; returns the output path."""
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, event_id AS view_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id,
+       epoch_ms(p.p_ts) AS purchase_ms,
+       v.view_id,
+       epoch_ms(v.v_ts) AS view_ms
+FROM p JOIN v
+  ON v.user_id = p.user_id
+ AND v.v_ts >= p.p_ts - INTERVAL 3600 SECOND
+ AND v.v_ts <= p.p_ts
+"""
+
+
+@register(
+    "stream_interval_join_e2e",
+    "streaming",
+    "END-TO-END stream-stream interval join: purchases and views replayed as "
+    "two file-source streams, joined on user_id where the view falls in the "
+    "hour before the purchase — both sides watermarked so buffered state "
+    "evicts once the other side's watermark passes the interval end "
+    "(O(rate x horizon) state, independent of stream age). Append-mode "
+    "parquet sink; the final table equals the batch join, which the oracle "
+    "checks value-for-value.",
+    oracle=_INTERVAL_JOIN_ORACLE,
+)
+def stream_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    base = os.path.join(_TMP_ROOT, f"ivj_{uuid.uuid4().hex[:12]}")
+    p_dir = os.path.join(base, "purchases")
+    v_dir = os.path.join(base, "views")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    purchases.write.mode("overwrite").parquet(p_dir)
+    views.write.mode("overwrite").parquet(v_dir)
+
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    v_stream = spark.readStream.schema(views.schema).parquet(v_dir)
+    joined = interval_join(
+        p_stream, v_stream, key="user_id", left_ts="p_ts", right_ts="v_ts",
+        horizon_sec=3600,
+    )
+    out = _run_to_parquet(joined, base)
+    res = spark.read.parquet(out)
+    return res.select(
+        "purchase_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("purchase_ms"),
+        "view_id",
+        F.unix_millis("v_ts").alias("view_ms"),
+    )
+
+
+_WM_DEDUP_ORACLE = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+FROM events
+"""
+
+
+@register(
+    "stream_watermark_dedup_e2e",
+    "streaming",
+    "END-TO-END watermark-bounded streaming dedup: the events replay carries "
+    "injected re-deliveries (every 5th event duplicated, byte-identical — the "
+    "at-least-once Kafka delivery contract of reference O1), and "
+    "dropDuplicatesWithinWatermark on event_id suppresses them with state "
+    "bounded by the 10-minute horizon (old keys age out with the watermark). "
+    "The final table recovers exactly the original event set.",
+    oracle=_WM_DEDUP_ORACLE,
+)
+def stream_watermark_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    base = os.path.join(_TMP_ROOT, f"wmd_{uuid.uuid4().hex[:12]}")
+    src = os.path.join(base, "src")
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
+    redelivered.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    deduped = dedup_within_watermark(stream, horizon="10 minutes")
+    out = _run_to_parquet(deduped, base)
+    return spark.read.parquet(out).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+    )
