@@ -249,51 +249,57 @@ def _in_bucket_combos(ids: F.Column) -> F.Column:
 def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
     """LSH candidate pairs with a bucket-size cap.
 
-    Buckets docs by (band, band_key) and emits in-bucket combinations —
-    one groupBy shuffle; a band self-join would re-run the whole
-    signature computation for each side and shuffle twice.
+    Candidate generation never materializes a whole bucket as one array
+    row — that (a ``collect_list`` over an adversarial mega-bucket) is
+    itself the OOM at crawl scale, regardless of how the pairs are then
+    enumerated. Instead:
 
-    Buckets with more than ``cap`` members (adversarial mega-clusters)
-    are re-bucketed by a deterministic salt into sub-groups of ~``cap``
-    docs, each anchored by the bucket's min doc_id: pairs per bucket
-    drop from O(b^2) to O(b*cap), and because every sub-group contains
-    the anchor, the bucket stays one connected component — downstream
-    clustering (dedup_clusters) is unaffected. The pair *set* for
-    oversized buckets is a connectivity-preserving subset of the full
-    clique (the standard recall/scale trade: members of a >cap bucket
-    are near-certain duplicates; enumerating every pair adds no
-    information clustering needs).
+    1. bucket stats (size, min doc_id = anchor) via a plain count/min
+       aggregation — constant memory per bucket;
+    2. each doc takes a deterministic salt in [0, ceil((size-1)/cap));
+       the anchor replicates into EVERY salt group (``sequence`` +
+       explode);
+    3. one groupBy (band, bkey, salt) collects only bounded <=cap+1
+       sub-groups, and in-group combinations emit the pairs.
+
+    Buckets of <=cap docs have exactly one salt group, so their output
+    is the exact all-pairs clique (what the DuckDB oracle checks at
+    fixture scale). Oversized buckets emit O(b*cap) pairs instead of
+    O(b^2), and because every sub-group contains the anchor, the bucket
+    stays one connected component — downstream clustering
+    (dedup_clusters) sees the same components. That recall trade only
+    activates on >cap buckets, whose members are near-certain duplicates
+    anyway; enumerating every pair adds nothing clustering needs.
     """
     bands = _minhash_bands(d)
-    buckets = (
+    stats = (
         bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bsize"), F.min("doc_id").alias("anchor"))
+        .filter(F.col("bsize") >= 2)
+    )
+    joined = bands.join(stats, ["band", "bkey"])  # inner: singleton buckets drop
+    n_salts = F.ceil((F.col("bsize") - 1) / F.lit(cap)).cast("int")
+    # One branch, no union: the anchor explodes into every salt group,
+    # everyone else into exactly one — a conditional salt array keeps
+    # the whole pipeline a single plan (no duplicated join subtree).
+    salted = joined.select(
+        "band",
+        "bkey",
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("doc_id") == F.col("anchor"),
+                F.sequence(F.lit(0), n_salts - 1),
+            ).otherwise(F.array(F.pmod(F.hash("doc_id"), n_salts)))
+        ).alias("salt"),
+    )
+    groups = (
+        salted.groupBy("band", "bkey", "salt")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    small = buckets.filter(F.size("ids") <= cap)
-    small_pairs = small.select(F.explode(_in_bucket_combos(F.col("ids"))).alias("p"))
-
-    # Salted second pass: anchor = min id; the rest spread across
-    # ceil((b-1)/cap) salt groups by doc_id hash (deterministic), the
-    # anchor re-attached to every group.
-    big = buckets.filter(F.size("ids") > cap)
-    exploded = big.select(
-        "band",
-        "bkey",
-        F.element_at("ids", 1).alias("anchor"),
-        F.ceil((F.size("ids") - 1) / F.lit(cap)).cast("int").alias("n_salts"),
-        F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("doc_id"),
-    )
-    salted = exploded.withColumn("salt", F.pmod(F.hash("doc_id"), F.col("n_salts")))
-    regrouped = salted.groupBy("band", "bkey", "salt").agg(
-        F.sort_array(
-            F.concat(F.array(F.first("anchor")), F.collect_list("doc_id"))
-        ).alias("ids")
-    )
-    big_pairs = regrouped.select(F.explode(_in_bucket_combos(F.col("ids"))).alias("p"))
-
     return (
-        small_pairs.unionByName(big_pairs)
+        groups.select(F.explode(_in_bucket_combos(F.col("ids"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )

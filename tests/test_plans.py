@@ -183,3 +183,34 @@ def test_partitioned_scan_prunes_partitions(spark, sf_smoke):
     assert "PartitionFilters: [" in plan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("event_date" in l for l in pf_lines), pf_lines
+
+
+def test_embedding_rplsh_is_equi_join(spark, sf_smoke):
+    """The hyperplane-LSH blocked near-dup must plan as an equi-join on
+    the bucket key (residual vec_id filter attached), never a nested
+    loop — the whole point of the blocking is that only same-bucket
+    pairs are ever compared."""
+    df = ALL["dedup_embedding_rplsh"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bounded_running_distinct_single_shuffle(spark, sf_smoke):
+    """The RANGE-bounded running distinct is one exchange on user_id +
+    one sorted window pass — no extra shuffles, no joins."""
+    df = ALL["q64b_running_distinct_bounded"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert plan.count("Exchange") <= 2  # shuffle + (possible AQE read)
+    assert "Join" not in plan
+
+
+def test_capped_minhash_pairs_no_extra_shuffle(spark, sf_smoke):
+    """Adding the bucket cap must not change the shuffle story: the
+    small (<=cap) path is the same single groupBy(band,bkey) shuffle;
+    the salted path only adds a groupBy over already-shuffled rows."""
+    df = ALL["dedup_minhash_pairs"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(checks.python_eval_nodes(df)) == 0
