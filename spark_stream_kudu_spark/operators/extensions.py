@@ -15,6 +15,14 @@ Contents:
 - ``q66_hll_partial_merge`` — explicit sketch partial/merge: per-group
   HLL sketches union-merged to a global estimate, the re-aggregatable
   distinct-count path (rollup tables keep sketches, not counts).
+- ``text_chunking`` — context-length splitting of token streams into
+  fixed-size training chunks (row-local, shuffle-free).
+- ``pipeline_sequence_pack`` — running-token-sum bin packing of docs
+  into ~capacity-token training sequences over parallel hash-bucket
+  streams (the distributed first-fit approximation).
+- ``text_contamination`` — n-gram overlap scan of training docs against
+  a held-out benchmark set (eval-leakage filter); benchmark shingles
+  broadcast.
 """
 
 from __future__ import annotations
@@ -30,6 +38,13 @@ from spark_stream_kudu_spark.operators.similarity import (
     _plane_hash_sql,
     _plane_ints,
     N_PLANES,
+)
+from spark_stream_kudu_spark.functions.hashing import md5_int32, sql_md5_int32
+from spark_stream_kudu_spark.functions.textutil import (
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
 )
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
@@ -199,3 +214,183 @@ def q66_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nations",
         F.hll_sketch_estimate("rsk").alias("approx_customers"),
     ).orderBy("n_regionkey")
+
+
+# --------------------------------------------------------------------------
+# Document chunking (context-length splitting)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # tokens per training chunk
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(len(t) * 1.0 / {CHUNK_TOKENS}) AS INT) - 1)) AS chunk_id,
+         t
+  FROM tok
+)
+SELECT doc_id, chunk_id,
+       len(t[chunk_id * {CHUNK_TOKENS} + 1 : (chunk_id + 1) * {CHUNK_TOKENS}]) AS n_chunk_tokens,
+       md5(array_to_string(t[chunk_id * {CHUNK_TOKENS} + 1 : (chunk_id + 1) * {CHUNK_TOKENS}], ' ')) AS chunk_md5
+FROM c
+"""
+
+
+@register(
+    "text_chunking",
+    "text",
+    f"Context-length chunking: each document's token stream split into "
+    f"consecutive {CHUNK_TOKENS}-token chunks (last chunk ragged) — the "
+    "standard pre-training splitter. Row-local array expressions (sequence + "
+    "slice + posexplode): no shuffle at all; output scales with corpus size, "
+    "state with document length. Chunk content is value-checked via md5.",
+    oracle=_CHUNK_ORACLE,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size("t") * F.lit(1.0) / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("t"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+    )
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (bin packing short docs into training sequences)
+# --------------------------------------------------------------------------
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+PACK_BUCKETS = 32  # parallel packing streams (one running sum each)
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         {sql_md5_int32('CAST(doc_id AS VARCHAR)')} % {PACK_BUCKETS} AS bucket,
+         len({sql_tokens('text')}) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_tokens
+  FROM tok
+),
+binned AS (
+  SELECT bucket,
+         CAST(floor(coalesce(prior_tokens, 0) / {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+         doc_id, n_tokens
+  FROM runs
+)
+SELECT bucket, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+       min(doc_id) AS first_doc
+FROM binned
+GROUP BY bucket, bin_id
+"""
+
+
+@register(
+    "pipeline_sequence_pack",
+    "text",
+    f"Sequence packing: documents assigned to ~{PACK_CAPACITY}-token training "
+    "sequences by a running token sum (the streaming first-fit "
+    "approximation), parallelized over "
+    f"{PACK_BUCKETS} deterministic hash buckets so no single ordered stream "
+    "bottlenecks — each bucket is one window partition, so the whole packer "
+    "is one shuffle + one window pass + one aggregation, scale-free in "
+    "corpus size. Bucket assignment uses the engine-portable md5-derived "
+    "hash (functions.hashing) so the oracle reproduces it exactly.",
+    oracle=_PACK_ORACLE,
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(PACK_BUCKETS)).alias(
+            "bucket"
+        ),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = base.select(
+        "bucket",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_CAPACITY)
+        .cast("long")
+        .alias("bin_id"),
+        "doc_id",
+        "n_tokens",
+    )
+    return binned.groupBy("bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_packed"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination detection
+# --------------------------------------------------------------------------
+
+CONTAM_SHINGLE_N = 4
+_BENCH_MOD = 10  # doc_id % 10 == 0 stands in for the benchmark/eval set
+
+_CONTAM_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({sql_word_shingles('t', CONTAM_SHINGLE_N)})) AS s
+  FROM tok
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+SELECT train.doc_id, CAST(count(DISTINCT train.s) AS BIGINT) AS n_shared_ngrams
+FROM train JOIN bench ON train.s = bench.s
+GROUP BY train.doc_id
+"""
+
+
+@register(
+    "text_contamination",
+    "text",
+    f"Benchmark-contamination scan: training docs sharing any "
+    f"{CONTAM_SHINGLE_N}-gram with the held-out benchmark set (stand-in: "
+    f"doc_id % {_BENCH_MOD} == 0) — the eval-leakage filter every training "
+    "corpus needs. Shingle sets are row-local; the benchmark shingle side is "
+    "tiny and BROADCAST, so the scan is one pass over training shingles with "
+    "a map-side join + one groupBy(doc) shuffle.",
+    oracle=_CONTAM_ORACLE,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), CONTAM_SHINGLE_N))
+        ).alias("s"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("s").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared_ngrams"))
+    )
