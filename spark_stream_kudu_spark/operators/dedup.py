@@ -147,13 +147,15 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     with combine-side minima keeping shuffle volume at
     O(docs x NUM_HASHES) regardless of document length.
     """
-    # The documents table is few-but-wide rows (one small parquet file
-    # -> one input split), while the work below is CPU-heavy per row
-    # (shingle explosion + md5). Spread rows across cores first: the
-    # repartition shuffles only the thin (doc_id, text) projection and
-    # buys full parallelism for the expensive stage.
-    cores = d.sparkSession.sparkContext.defaultParallelism
-    sh = d.select("doc_id", "text").repartition(cores).select(
+    # The fixture documents table is one small parquet file -> one input
+    # split, while the work below is CPU-heavy per row (shingle
+    # explosion + md5). spread_small_scan shuffles only the thin
+    # (doc_id, text) projection to full parallelism — and is a NO-OP at
+    # real scale where the table already arrives in many splits, so no
+    # full-corpus shuffle is baked into the plan.
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    sh = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
     )
@@ -419,7 +421,9 @@ def _simhash_df(d: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: explode distinct tokens, per-bit votes,
     majority sign -> bit. One groupBy(doc_id) shuffle with map-side
     combine; skew-free (keys are doc ids)."""
-    toks = d.select(
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    toks = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tk")
     )
     h = toks.select("doc_id", md5_int32(F.col("tk")).alias("hv"))

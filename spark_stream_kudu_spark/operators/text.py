@@ -330,6 +330,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    # No spread_small_scan here: tokenization is cheap relative to the
+    # (doc, term) groupBy shuffle that immediately follows, so an extra
+    # exchange to parallelize the map stage costs more than it buys
+    # (measured +0.35s at sf0.1) — unlike the md5-heavy minhash scan.
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")

@@ -80,3 +80,20 @@ def get_spark(
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return tune_session(builder.getOrCreate())
+
+
+def spread_small_scan(df):
+    """Repartition a scan to the session's parallelism ONLY when it
+    arrives in fewer partitions.
+
+    A small table stored as one parquet file becomes one input split,
+    which serializes every CPU-heavy row-local expression downstream
+    (shingle explosion, md5 signatures, tokenization). At real scale the
+    same table arrives in thousands of splits and this is a no-op — no
+    full-corpus shuffle is ever introduced; only the thin projection the
+    caller passes in is spread.
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
