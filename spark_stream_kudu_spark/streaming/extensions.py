@@ -13,7 +13,12 @@ deterministic and therefore DuckDB-oracle-checkable:
   dedup_within_watermark) executed on a replay carrying injected
   re-deliveries; the final table recovers exactly the original rows.
 
-Both previously had only pytest evidence via their helpers; registering
+- ``stream_rollup_incremental_e2e`` — an incrementally-maintained
+  minute rollup: per-batch partial aggregates SUM-merged into a keyed
+  store (AdditiveRollupSink), the streaming continuous-aggregate
+  pattern; the final table equals the one-shot batch rollup.
+
+The join/dedup helpers previously had only pytest evidence; registering
 the end-to-end runs gives the streaming family driver-side value checks.
 """
 
@@ -151,3 +156,90 @@ def stream_watermark_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# Incrementally-maintained rollup (streaming continuous aggregate)
+# --------------------------------------------------------------------------
+
+_MIN_MS = 60_000
+
+_ROLLUP_ORACLE = f"""
+SELECT (epoch_ms(ts) // {_MIN_MS}) * {_MIN_MS} AS bucket_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_rollup_incremental_e2e",
+    "streaming",
+    "END-TO-END incrementally-maintained minute rollup (the streaming form "
+    "of the q59 continuous-aggregate pattern): events replayed as 4 parquet "
+    "micro-batches; each batch aggregates to (minute-bucket, event_type) "
+    "partials that an AdditiveRollupSink SUM-merges into the keyed store — "
+    "additive merge is commutative/associative, so the final table is "
+    "batch-boundary-independent and equals the one-shot batch rollup the "
+    "oracle computes. Idempotent-replay marker prevents double-counting; "
+    "at 100 TB the store is the minute-level rollup table that hour/day "
+    "levels re-aggregate (never rescanning raw events).",
+    oracle=_ROLLUP_ORACLE,
+)
+def stream_rollup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    base = os.path.join(_TMP_ROOT, f"roll_{uuid.uuid4().hex[:12]}")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    # 4 replay files = 4 micro-batches (maxFilesPerTrigger=1), written
+    # executor-side (single part file each), then staged into the source
+    # dir under stable names — no driver-side collect of the fixture.
+    for k in range(4):
+        stage = os.path.join(base, f"stage_{k}")
+        (
+            ev.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "rollup"),
+        key=["bucket_ms", "event_type"],
+        sum_cols=["n_events", "value_e4"],
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(
+                (F.floor(F.unix_millis("ts") / _MIN_MS) * _MIN_MS).alias("bucket_ms"),
+                "event_type",
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
+            )
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark).select("bucket_ms", "event_type", "n_events", "value_e4")

@@ -116,6 +116,11 @@ class UpsertParquetSink:
             return None
         return spark.read.parquet(self._data)
 
+    def _merge(self, current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        """Merge policy — last-writer-wins here; subclasses override
+        (AdditiveRollupSink sum-merges partial aggregates)."""
+        return merge_by_key(current, batch_df, self.key)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # Empty-batch guard (reference O7, kafka_to_kudu.py:23).
         if batch_df.isEmpty():
@@ -124,7 +129,7 @@ class UpsertParquetSink:
             return  # replayed batch: idempotent no-op
         spark = batch_df.sparkSession
         current = self.read(spark)
-        merged = merge_by_key(current, batch_df, self.key)
+        merged = self._merge(current, batch_df)
         # Hash layout on the key (reference ddl:14, HASH PARTITIONS 4):
         # co-locates future merges and bounds file counts. Write to a
         # side directory then swap — the merge plan reads the current
@@ -147,3 +152,43 @@ class UpsertParquetSink:
         os.makedirs(self.path, exist_ok=True)
         with open(self._marker, "w") as f:
             f.write(str(batch_id))
+
+
+def merge_additive(
+    current: DataFrame | None,
+    updates: DataFrame,
+    key: str | list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Additive (aggregate-merge) upsert: ``updates`` carries PARTIAL
+    aggregates per key; merging SUMS them into the current table instead
+    of replacing rows — the maintenance step of an incrementally-updated
+    rollup (continuous aggregate). Commutative and associative, so the
+    result is independent of micro-batch boundaries; one shuffle on the
+    key, same as the last-writer-wins merge."""
+    keys = [key] if isinstance(key, str) else list(key)
+    both = updates if current is None else current.unionByName(updates)
+    return both.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+class AdditiveRollupSink(UpsertParquetSink):
+    """``foreachBatch`` sink maintaining an incrementally-updated rollup
+    table: each micro-batch's partial aggregates are SUM-merged into the
+    keyed store (vs. the base class's last-writer-wins replacement).
+    Inherits the idempotent-replay marker and the crash-safe rename-aside
+    promotion — replaying a committed batch must NOT double-count."""
+
+    def __init__(
+        self,
+        path: str,
+        key: str | list[str],
+        sum_cols: list[str],
+        num_buckets: int = 4,
+    ):
+        super().__init__(path, key, num_buckets)
+        self.sum_cols = list(sum_cols)
+
+    def _merge(self, current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        return merge_additive(current, batch_df, self.key, self.sum_cols)

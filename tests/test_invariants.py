@@ -105,3 +105,49 @@ def test_salted_join_equals_plain_join(spark, sf_smoke):
     salted = ALL["q56_salted_skew_join"].builder(spark, sf_smoke)
     key = lambda rows: {r.event_type: (r.n_events, r.value_e4, r.spend_cents) for r in rows}
     assert key(salted.collect()) == key(plain.collect())
+
+
+def test_chunking_conserves_tokens(spark, sf_smoke):
+    """Chunks partition each doc's token stream: per-doc chunk tokens sum
+    to the doc's token count, and every non-final chunk is full."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.operators.extensions import CHUNK_TOKENS
+    from spark_stream_kudu_spark.registry import load_all
+
+    specs = load_all()
+    chunks = specs["text_chunking"].builder(spark, sf_smoke)
+    toks = specs["text_tokens"].builder(spark, sf_smoke)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("chunk_total"),
+        F.max("chunk_id").alias("last_chunk"),
+    )
+    joined = per_doc.join(toks.select("doc_id", F.col("ws_tokens").alias("n_tokens")), "doc_id").collect()
+    assert joined, "no docs"
+    for r in joined:
+        assert r["chunk_total"] == r["n_tokens"]
+    partial = chunks.filter(
+        (F.col("n_chunk_tokens") < CHUNK_TOKENS)
+    ).groupBy("doc_id").count().collect()
+    # at most one ragged chunk per document
+    assert all(r["count"] == 1 for r in partial)
+
+
+def test_sequence_pack_conserves_docs_and_bounds_bins(spark, sf_smoke):
+    """Packing conserves documents, and no bin overflows by more than
+    one straddling document (the first-fit running-sum guarantee)."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.operators.extensions import PACK_CAPACITY
+    from spark_stream_kudu_spark.registry import load_all
+
+    specs = load_all()
+    packed = specs["pipeline_sequence_pack"].builder(spark, sf_smoke)
+    toks = specs["text_tokens"].builder(spark, sf_smoke)
+    n_docs = toks.count()
+    agg = packed.agg(
+        F.sum("n_docs").alias("docs"), F.max("tokens_packed").alias("max_bin")
+    ).collect()[0]
+    assert agg["docs"] == n_docs
+    max_doc = toks.agg(F.max("ws_tokens")).collect()[0][0]
+    assert agg["max_bin"] < PACK_CAPACITY + max_doc

@@ -98,3 +98,19 @@ def test_label_propagation_reliable_checkpoint(spark, tmp_path):
     assert {r["lab"] for r in out.collect()} == {0}
     # reliable checkpoints actually landed on the checkpoint dir
     assert any(files for _, _, files in os.walk(ckpt))
+
+
+def test_additive_rollup_replay_does_not_double_count(spark, tmp_path):
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    sink = AdditiveRollupSink(
+        str(tmp_path / "roll"), key="k", sum_cols=["n"], num_buckets=2
+    )
+    b0 = spark.createDataFrame([(1, 10), (2, 5)], "k int, n long")
+    b1 = spark.createDataFrame([(1, 3), (3, 7)], "k int, n long")
+    sink(b0, batch_id=0)
+    sink(b1, batch_id=1)
+    sink(b1, batch_id=1)  # replay: must be a no-op
+    sink(b0, batch_id=0)  # stale replay: must be a no-op
+    table = {r["k"]: r["n"] for r in sink.read(spark).collect()}
+    assert table == {1: 13, 2: 5, 3: 7}
