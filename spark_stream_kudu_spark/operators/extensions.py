@@ -394,3 +394,45 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("s").alias("n_shared_ngrams"))
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg surface)
+# --------------------------------------------------------------------------
+
+_STRAGG_ORACLE = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       string_agg(c.c_name, '|' ORDER BY c.c_name) AS cust_names
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > 9900
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "q67_string_agg",
+    "aggregation",
+    "Ordered string aggregation (ANSI LISTAGG / string_agg): top-balance "
+    "customer names concatenated in deterministic order per nation. Spark "
+    "has no ordered string_agg, so it composes sort_array(collect_list()) + "
+    "array_join — exact parity with DuckDB's ORDER BY variant. collect_list "
+    "is bounded here by the selective filter; at scale cap the group size "
+    "or switch to a top-k window first.",
+    oracle=_STRAGG_ORACLE,
+)
+def q67_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.filter(F.col("c_acctbal") > 9900)
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias(
+                "cust_names"
+            ),
+        )
+    )

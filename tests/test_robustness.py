@@ -114,3 +114,14 @@ def test_additive_rollup_replay_does_not_double_count(spark, tmp_path):
     sink(b0, batch_id=0)  # stale replay: must be a no-op
     table = {r["k"]: r["n"] for r in sink.read(spark).collect()}
     assert table == {1: 13, 2: 5, 3: 7}
+
+
+def test_spread_small_scan_is_conditional(spark):
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    cores = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(i,) for i in range(10)], "x int").coalesce(1)
+    assert spread_small_scan(small).rdd.getNumPartitions() == cores
+    wide = spark.range(1000).repartition(cores * 2)
+    # already-parallel input passes through untouched (no extra shuffle)
+    assert spread_small_scan(wide) is wide
