@@ -25,7 +25,6 @@ the end-to-end runs gives the streaming family driver-side value checks.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,10 +34,8 @@ from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
 from spark_stream_kudu_spark.streaming.joins import interval_join
 from spark_stream_kudu_spark.streaming.stateful import dedup_within_watermark
+from spark_stream_kudu_spark.streaming.workdir import new_run_dir
 
-_TMP_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"
-)
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,7 +94,7 @@ FROM p JOIN v
 )
 def stream_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    base = os.path.join(_TMP_ROOT, f"ivj_{uuid.uuid4().hex[:12]}")
+    base = new_run_dir("ivj")
     p_dir = os.path.join(base, "purchases")
     v_dir = os.path.join(base, "views")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -145,7 +142,7 @@ FROM events
 )
 def stream_watermark_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
-    base = os.path.join(_TMP_ROOT, f"wmd_{uuid.uuid4().hex[:12]}")
+    base = new_run_dir("wmd")
     src = os.path.join(base, "src")
     redelivered = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
     redelivered.write.mode("overwrite").parquet(src)
@@ -195,7 +192,7 @@ def stream_rollup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
 
     ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
-    base = os.path.join(_TMP_ROOT, f"roll_{uuid.uuid4().hex[:12]}")
+    base = new_run_dir("roll")
     src = os.path.join(base, "src")
     os.makedirs(src, exist_ok=True)
     # 4 replay files = 4 micro-batches (maxFilesPerTrigger=1), written

@@ -17,7 +17,6 @@ Two kinds:
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,13 +26,13 @@ from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.sources.tables import load_table
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.streaming.sinks import merge_by_key
+from spark_stream_kudu_spark.streaming.workdir import new_run_dir
 from spark_stream_kudu_spark.streaming.traffic import (
     TRAFFIC_RAW_SCHEMA,
     parse_traffic,
     run_traffic_pipeline,
 )
 
-_TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,8 +247,7 @@ GROUP BY k
 )
 def stream_traffic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    run_id = uuid.uuid4().hex[:12]
-    base = os.path.join(_TMP_ROOT, f"traffic_{run_id}")
+    base = new_run_dir("traffic")
     src_dir = os.path.join(base, "csv")
     sink_path = os.path.join(base, "sink")
     checkpoint = os.path.join(base, "ckpt")
