@@ -309,11 +309,13 @@ GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
 @register(
     "q44_large_order_customers",
     "join",
-    f"TPC-H Q18 shape: orders whose total quantity exceeds {_BIG_ORDER_QTY} "
-    "(aggregate-derived IN set -> left-semi join), re-joined to customer and "
-    "lineitem for the final per-order rollup. The semi-join side is an "
-    "aggregate of the fact table itself — the plan AQE loves to re-plan at "
-    "runtime when the filtered key set turns out broadcastable.",
+    f"TPC-H Q18 shape: orders whose total quantity exceeds {_BIG_ORDER_QTY}. "
+    "The per-order quantity aggregate serves double duty — it IS the filter "
+    "AND the output measure — so lineitem is scanned and aggregated exactly "
+    "ONCE (the classic Q18 rewrite; the naive form semi-joins on the "
+    "aggregate, then re-scans and re-aggregates lineitem for the rollup). "
+    "The surviving key set is tiny, so AQE turns the orders join into a "
+    "broadcast at runtime.",
     oracle=_Q44_ORACLE,
     bench=True,
 )
@@ -324,16 +326,12 @@ def q44_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.round("l_quantity").cast("long")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("tq"))
-        .filter(F.col("tq") > _BIG_ORDER_QTY)
-        .select("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > _BIG_ORDER_QTY)
     )
     return (
-        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        big.join(o, o["o_orderkey"] == big["l_orderkey"])
         .join(c, F.col("o_custkey") == c["c_custkey"])
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(qty).alias("total_qty"))
         .select(
             "c_custkey",
             "c_name",
