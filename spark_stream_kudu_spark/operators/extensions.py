@@ -436,3 +436,47 @@ def q67_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup cluster-size histogram (pipeline observability)
+# --------------------------------------------------------------------------
+
+
+def _cluster_stats_oracle() -> str:
+    from spark_stream_kudu_spark.operators.dedup import _CC_CTE_BODY
+
+    return f"""
+WITH RECURSIVE {_CC_CTE_BODY},
+clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY cluster_id)
+SELECT CAST(csize AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(csize) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY csize
+"""
+
+
+@register(
+    "dedup_cluster_stats",
+    "dedup",
+    "Near-dup cluster-size histogram: how many clusters of each size the "
+    "verified-pair graph produces, and how many docs they hold — the "
+    "observability readout a dedup pipeline publishes per run (a sudden "
+    "mega-cluster = boilerplate contamination; all-singletons = broken "
+    "candidate generation). Two tiny aggregations over the cluster "
+    "assignment; cost is dominated by (and shared with) dedup_clusters.",
+    oracle=_cluster_stats_oracle(),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
