@@ -118,3 +118,33 @@ def test_rolling_hash_detects_reorder(sess, tokens):
     assert row.fa == row.fa2  # determinism: same order, same value
     if tokens != list(reversed(tokens)):
         assert row.fa != row.fb  # order sensitivity
+
+
+@SETTINGS
+@given(
+    rows=st.lists(st.tuples(KEYS, st.integers(-100, 100)), min_size=1, max_size=16),
+    cuts=st.lists(st.integers(0, 15), min_size=0, max_size=3),
+)
+def test_merge_additive_is_batch_split_independent(sess, rows, cuts):
+    """Folding ANY partitioning of the rows into batches through
+    merge_additive yields the same per-key sums as one global groupBy —
+    the property that makes the incremental rollup equal the one-shot
+    batch rollup regardless of micro-batch boundaries."""
+    from spark_stream_kudu_spark.streaming.sinks import merge_additive
+
+    spark = sess
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    batches, prev = [], 0
+    for b in bounds + [len(rows)]:
+        if b > prev:
+            batches.append(rows[prev:b])
+            prev = b
+    state = None
+    for batch in batches:
+        df = spark.createDataFrame(batch, "k long, n long")
+        state = merge_additive(state, df, key="k", sum_cols=["n"])
+    got = {r["k"]: r["n"] for r in state.collect()}
+    expected: dict[int, int] = {}
+    for k, v in rows:
+        expected[k] = expected.get(k, 0) + v
+    assert got == expected
