@@ -1,0 +1,557 @@
+"""Round-3 training-data pipeline operators.
+
+Additions to the LLM-data-pipeline surface (north star), each with a
+DuckDB oracle twin:
+
+- ``text_repetition`` — Gopher-style repetition quality filters
+  (distinct-token ratio, top-token ratio, duplicate-bigram ratio) as
+  row-local array expressions; the standard "drop boilerplate/spam"
+  pre-training filter.
+- ``text_collocations`` — corpus-level bigram collocations scored by
+  PMI (pointwise mutual information); one bigram-count shuffle, vocab
+  sides broadcast.
+- ``text_url_normalize`` — URL canonicalization (scheme/www/query
+  stripping, host extraction) + per-domain corpus stats; the
+  common-crawl-style provenance rollup. The fixture corpus carries no
+  URL column, so a deterministic URL is synthesized from
+  (source, lang, doc_id) identically in both engines — the mechanism
+  (normalize → group by registered domain) is the contract.
+- ``sim_topk_quantized`` — int8 embedding quantization + top-k cosine
+  over the quantized vectors using EXACT integer dot products; the
+  4x-memory / integer-SIMD scale path for ANN, with quantization error
+  observable against the float oracle twins (sim_topk_bruteforce).
+- ``q68_scd2_history`` — change-log → SCD2 (type-2 slowly-changing
+  dimension) interval table: collapse consecutive identical states,
+  derive valid_from/valid_to/is_current with lag/lead windows. The
+  batch generalization of the reference's keyed-upsert time series
+  (kafka_to_kudu.py:40-53 — each upsert is a new "current" version).
+- ``q69_merge_upsert`` — batch MERGE INTO: keyed base snapshot merged
+  with an update set (matched -> update, unmatched -> insert), the
+  batch twin of streaming/sinks.py::merge_by_key (reference upsert
+  semantics, java KafkaToKuduJava.java:113-127).
+
+All operators scale scan-local or with exactly one keyed shuffle; no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
+from spark_stream_kudu_spark.functions.vectors import sql_dot
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filters
+# --------------------------------------------------------------------------
+
+# Keep thresholds (Gopher-flavored, tuned to the synthetic corpus so the
+# flag is non-vacuous at every fixture scale).
+_REP_MAX_TOP_TOKEN = 0.20  # most frequent token > 20% of doc -> drop
+_REP_MIN_DISTINCT = 0.30  # < 30% distinct tokens -> drop
+
+_REPETITION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         list_transform(list_slice(t, 1, len(t)-1), (x, i) -> x || ' ' || t[i+1]) AS big
+  FROM tok
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         len(list_distinct(t)) * 1.0 / len(t) AS distinct_token_ratio,
+         list_max(list_transform(list_distinct(t),
+                                 d -> len(list_filter(t, x -> x = d))))
+           * 1.0 / len(t) AS top_token_ratio,
+         CASE WHEN len(big) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(big)) * 1.0 / len(big) END
+           AS dup_bigram_ratio
+  FROM g
+)
+SELECT doc_id, n_tokens,
+       floor(distinct_token_ratio * 10000 + 0.5) / 10000 AS distinct_token_ratio,
+       floor(top_token_ratio * 10000 + 0.5) / 10000      AS top_token_ratio,
+       floor(dup_bigram_ratio * 10000 + 0.5) / 10000     AS dup_bigram_ratio,
+       (top_token_ratio <= {_REP_MAX_TOP_TOKEN}
+        AND distinct_token_ratio >= {_REP_MIN_DISTINCT})  AS keep
+FROM m
+"""
+
+
+def _bigrams(t: Column) -> Column:
+    """Adjacent-token bigrams as space-joined strings (row-local)."""
+    # slice element i (0-based) is t[i+1] (1-based); its successor is
+    # t[i+2] — same construction as the oracle's 1-based list lambda.
+    return F.transform(
+        F.slice(t, 1, F.size(t) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + 2)),
+    )
+
+
+@register(
+    "text_repetition",
+    "text",
+    "Gopher-style repetition quality filters: distinct-token ratio, "
+    "top-token frequency ratio, duplicate-bigram ratio, and the keep/drop "
+    "flag they imply — the standard boilerplate/spam pre-training filter. "
+    "All metrics are row-local array expressions (the per-doc mode count is "
+    "O(distinct x tokens) on a document, never corpus-sized), so at 100 TB "
+    "this runs inside the parquet scan with zero shuffles and prunes to "
+    "(doc_id, text).",
+    oracle=_REPETITION_ORACLE,
+    bench=True,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t")).withColumn("big", _bigrams(F.col("t")))
+    distinct_ratio = F.size(F.array_distinct("t")) * F.lit(1.0) / F.size("t")
+    top_ratio = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("t"),
+                lambda d_: F.size(F.filter(F.col("t"), lambda x: x == d_)),
+            )
+        )
+        * F.lit(1.0)
+        / F.size("t")
+    )
+    dup_bigram = F.when(F.size("big") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("big")) * F.lit(1.0) / F.size("big")
+    )
+    m = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        top_ratio.alias("top_token_ratio"),
+        dup_bigram.alias("dup_bigram_ratio"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        fround(F.col("distinct_token_ratio"), 4).alias("distinct_token_ratio"),
+        fround(F.col("top_token_ratio"), 4).alias("top_token_ratio"),
+        fround(F.col("dup_bigram_ratio"), 4).alias("dup_bigram_ratio"),
+        (
+            (F.col("top_token_ratio") <= _REP_MAX_TOP_TOKEN)
+            & (F.col("distinct_token_ratio") >= _REP_MIN_DISTINCT)
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram collocations by PMI
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+_COLLOCATIONS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(list_slice(t, 1, len(t)-1),
+                               (x, i) -> x || ' ' || t[i+1])) AS bigram
+  FROM tok
+),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_xy FROM big GROUP BY bigram),
+uni AS (SELECT unnest(t) AS term FROM tok),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY term),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uc),
+tot2 AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_big FROM bc),
+sc AS (
+  SELECT bc.bigram, bc.n_xy, ux.n AS n_x, uy.n AS n_y,
+         floor(ln((bc.n_xy * 1.0 / tot2.n_big) /
+                  ((ux.n * 1.0 / tot.n_uni) * (uy.n * 1.0 / tot.n_uni)))
+               * 10000 + 0.5) / 10000 AS pmi
+  FROM bc
+  JOIN uc ux ON ux.term = split_part(bc.bigram, ' ', 1)
+  JOIN uc uy ON uy.term = split_part(bc.bigram, ' ', 2)
+  CROSS JOIN tot CROSS JOIN tot2
+  WHERE bc.n_xy >= {_PMI_MIN_COUNT}
+)
+SELECT bigram, n_xy, n_x, n_y, pmi, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank FROM sc
+) WHERE rank <= {_PMI_TOP}
+"""
+
+
+@register(
+    "text_collocations",
+    "text",
+    f"Corpus bigram collocations scored by PMI, top {_PMI_TOP} with a "
+    f"min-count floor of {_PMI_MIN_COUNT} — the n-gram language-model "
+    "statistic behind tokenizer-vocabulary and phrase-mining passes. One "
+    "corpus-sized shuffle (the bigram groupBy); unigram counts are "
+    "vocab-sized and broadcast back; the totals are 1-row broadcasts. The "
+    "final global top-k ranks only the filtered collocation table.",
+    oracle=_COLLOCATIONS_ORACLE,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    tok = d.select("doc_id", t.alias("t"))
+    bc = (
+        tok.select(F.explode(_bigrams(F.col("t"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    uc = (
+        tok.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uc.agg(F.sum("n").alias("n_uni"))
+    tot2 = bc.agg(F.sum("n_xy").alias("n_big"))
+    ux = uc.select(F.col("term").alias("term_x"), F.col("n").alias("n_x"))
+    uy = uc.select(F.col("term").alias("term_y"), F.col("n").alias("n_y"))
+    sc = (
+        bc.filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+        .withColumn("term_x", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("term_y", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ux), "term_x")
+        .join(F.broadcast(uy), "term_y")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(tot2))
+    )
+    pmi = fround(
+        F.log(
+            (F.col("n_xy") * F.lit(1.0) / F.col("n_big"))
+            / (
+                (F.col("n_x") * F.lit(1.0) / F.col("n_uni"))
+                * (F.col("n_y") * F.lit(1.0) / F.col("n_uni"))
+            )
+        ),
+        4,
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    return (
+        sc.select("bigram", "n_xy", "n_x", "n_y", pmi.alias("pmi"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# URL normalization + per-domain stats
+# --------------------------------------------------------------------------
+
+# Deterministic URL synthesis — the corpus has no URL column; both
+# engines derive the identical value so the normalization mechanism is
+# what gets checked.
+_URL_SQL = (
+    "'HTTPS://WWW.' || source || (CASE doc_id % 3 WHEN 0 THEN '.com' "
+    "WHEN 1 THEN '.org' ELSE '.net' END) || '/' || lang || '/doc-' || "
+    "doc_id || '?session=' || (doc_id % 7) || '#frag'"
+)
+
+_URL_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, n_chars, lang, {_URL_SQL} AS url FROM documents
+),
+n AS (
+  SELECT doc_id, n_chars, lang,
+         regexp_replace(regexp_replace(lower(url), '^[a-z]+://', ''),
+                        '[?#].*$', '') AS no_scheme
+  FROM u
+),
+c AS (
+  SELECT doc_id, n_chars, lang,
+         regexp_replace(split_part(no_scheme, '/', 1), '^www\\.', '') AS host,
+         no_scheme AS canonical_path
+  FROM n
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(canonical_path) AS sample_path
+FROM c
+GROUP BY host
+"""
+
+
+@register(
+    "text_url_normalize",
+    "text",
+    "URL canonicalization + per-domain corpus rollup: lowercase, strip "
+    "scheme / 'www.' / query-string / fragment, extract the host, then "
+    "group the corpus by domain (doc count, char volume, language spread) "
+    "— the common-crawl provenance profile that drives per-domain "
+    "sampling weights. Normalization is scan-local regex; the rollup is "
+    "one domain-keyed shuffle whose cardinality is |domains|, not |docs|.",
+    oracle=_URL_ORACLE,
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, ".com")
+        .when(F.col("doc_id") % 3 == 1, ".org")
+        .otherwise(".net"),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.lit("?session="),
+        F.col("doc_id") % 7,
+        F.lit("#frag"),
+    )
+    no_scheme = F.regexp_replace(
+        F.regexp_replace(F.lower(url), r"^[a-z]+://", ""), r"[?#].*$", ""
+    )
+    host = F.regexp_replace(F.split_part(no_scheme, F.lit("/"), F.lit(1)), r"^www\.", "")
+    c = d.select(
+        host.alias("host"),
+        no_scheme.alias("canonical_path"),
+        "n_chars",
+        "lang",
+    )
+    return c.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("canonical_path").alias("sample_path"),
+    )
+
+
+# --------------------------------------------------------------------------
+# int8-quantized cosine top-k
+# --------------------------------------------------------------------------
+
+_QN_QUERIES = 8  # same query set as sim_topk_bruteforce
+_QN_TOP_K = 5
+
+# Per-vector symmetric int8 quantization: scale = 127 / max|v|,
+# q_i = clamp(floor(v_i * scale + 0.5), -127, 127). Quantized cosine
+# uses INTEGER dot products (exact in both engines — no float
+# accumulation), scales cancel in the ratio.
+_QUANT_SQL = (
+    "list_transform(CAST({v} AS DOUBLE[]), x -> CAST(greatest(-127, least(127, "
+    "floor(x * (127.0 / greatest(list_max(list_transform(CAST({v} AS DOUBLE[]), "
+    "y -> abs(y))), 1e-12)) + 0.5))) AS BIGINT))"
+)
+
+_QUANTIZED_ORACLE = f"""
+WITH q8 AS (
+  SELECT vec_id, {_QUANT_SQL.format(v="embedding")} AS qv FROM embeddings
+),
+q AS (SELECT vec_id AS qid, qv AS qqv FROM q8 WHERE vec_id < {_QN_QUERIES}),
+s AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         floor({sql_dot("q.qqv", "e.qv")} /
+               (sqrt({sql_dot("q.qqv", "q.qqv")}) * sqrt({sql_dot("e.qv", "e.qv")}))
+               * 1000000 + 0.5) / 1000000 AS cosine_q
+  FROM q JOIN q8 e ON e.vec_id <> q.qid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT qid, neighbor_id, cosine_q, rank FROM r WHERE rank <= {_QN_TOP_K}
+"""
+
+
+def _quantize(v: Column) -> Column:
+    dv = F.transform(v, lambda x: x.cast("double"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(dv, lambda y: F.abs(y))), F.lit(1e-12)
+    )
+    scale = F.lit(127.0) / max_abs
+    return F.transform(
+        dv,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x * scale + F.lit(0.5)))
+        ).cast("long"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+@register(
+    "sim_topk_quantized",
+    "similarity",
+    f"Top-{_QN_TOP_K} cosine neighbors over int8-QUANTIZED embeddings "
+    "(per-vector symmetric scale, clamp to ±127): the 4x-memory / "
+    "integer-SIMD ANN scale path. Scores are integer dot products — exact "
+    "in both engines, zero float-accumulation noise — with scales "
+    "cancelling in the cosine ratio; only the final divide is floating "
+    "point. Same broadcast-queries x partition-local-corpus plan as the "
+    "float baseline; quantization error is observable by diffing against "
+    "sim_topk_bruteforce on the same query set.",
+    oracle=_QUANTIZED_ORACLE,
+)
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    )
+    q = e.filter(F.col("vec_id") < _QN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    idot = _int_dot(F.col("qqv"), F.col("qv")).cast("double")
+    cos_q = idot / (
+        F.sqrt(_int_dot(F.col("qqv"), F.col("qqv")).cast("double"))
+        * F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        fround(cos_q, 6).alias("cosine_q"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_q").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _QN_TOP_K)
+        .select("qid", "neighbor_id", "cosine_q", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2: change log -> versioned interval table
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ch AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+kept AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       epoch_ms(ts) AS valid_from_ms,
+       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM kept
+"""
+
+
+@register(
+    "q68_scd2_history",
+    "relational",
+    "Change-log -> SCD2 (type-2 slowly-changing dimension): per key, drop "
+    "rows whose state equals the previous state (lag), then derive "
+    "[valid_from, valid_to) intervals and the is_current flag (lead). The "
+    "batch generalization of the reference's keyed upsert time series "
+    "(each Kudu upsert supersedes the previous 'current' row, "
+    "kafka_to_kudu.py:40-53). Two window passes over the SAME "
+    "partitioning (user_id), so Catalyst plans ONE shuffle; state is "
+    "row-local within the partition — scales to any key cardinality.",
+    oracle=_SCD2_ORACLE,
+)
+def q68_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    kept = ch.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_id", "ts", "event_type")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return kept.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(nxt).alias("valid_to_ms"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch MERGE INTO (keyed snapshot + update set)
+# --------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH upd AS (
+  SELECT o_custkey AS custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spent_cents
+  FROM orders
+  GROUP BY o_custkey
+),
+base AS (
+  SELECT c_custkey AS custkey, c_name AS name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+SELECT COALESCE(b.custkey, u.custkey) AS custkey,
+       COALESCE(b.name, 'unknown-' || u.custkey) AS name,
+       COALESCE(b.acctbal_cents, 0) + COALESCE(u.spent_cents, 0) AS balance_cents,
+       COALESCE(u.n_orders, 0) AS n_orders,
+       CASE WHEN b.custkey IS NULL THEN 'insert'
+            WHEN u.custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS merge_action
+FROM base b FULL OUTER JOIN upd u ON u.custkey = b.custkey
+"""
+
+
+@register(
+    "q69_merge_upsert",
+    "relational",
+    "Batch MERGE INTO: a keyed base snapshot (customer) merged with a "
+    "derived update set (per-customer order totals) — matched keys update "
+    "the balance, unmatched updates insert, untouched rows pass through, "
+    "with the action tagged per row. The batch twin of the streaming "
+    "upsert sink (streaming/sinks.py::merge_by_key) and of Kudu's "
+    "INSERT/UPSERT surface (KafkaToKuduJava.java:113-127). Money is "
+    "integer cents so both engines agree exactly. One shuffle for the "
+    "update aggregation + one full-outer merge join on the key; at 100 TB "
+    "both sides hash-partition on custkey (no broadcast — both sides are "
+    "table-sized), the exact shape Delta/Iceberg MERGE plans.",
+    oracle=_MERGE_ORACLE,
+)
+def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    upd = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spent_cents"),
+    )
+    base = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    b = base.alias("b")
+    u = upd.alias("u")
+    merged = b.join(u, F.col("b.custkey") == F.col("u.custkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("b.custkey"), F.col("u.custkey")).alias("custkey"),
+        F.coalesce(
+            F.col("b.name"), F.concat(F.lit("unknown-"), F.col("u.custkey"))
+        ).alias("name"),
+        (
+            F.coalesce(F.col("b.acctbal_cents"), F.lit(0))
+            + F.coalesce(F.col("u.spent_cents"), F.lit(0))
+        ).alias("balance_cents"),
+        F.coalesce(F.col("u.n_orders"), F.lit(0)).alias("n_orders"),
+        F.when(F.col("b.custkey").isNull(), "insert")
+        .when(F.col("u.custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
