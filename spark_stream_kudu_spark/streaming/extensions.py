@@ -156,6 +156,105 @@ def stream_watermark_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Session windows as a real streaming query
+# --------------------------------------------------------------------------
+
+# Same contract as the batch twin q32_session_window / its oracle.
+_SESSION_E2E_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       min(epoch_ms(ts))                     AS session_start_ms,
+       count(*)                              AS n_events,
+       floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+FROM s
+GROUP BY user_id, sess_id
+"""
+
+
+@register(
+    "stream_session_window_e2e",
+    "streaming",
+    "END-TO-END streaming session windows: events replayed as file "
+    "micro-batches through withWatermark + session_window(30 min) in "
+    "APPEND mode — a session row only emits once the watermark passes its "
+    "close, so a far-future sentinel batch (filtered from the result) "
+    "advances the watermark past every real session and the trailing "
+    "no-data batch flushes them. State is O(open sessions) and evicted on "
+    "emission — the bounded-state form of gap sessionization a 100 TB "
+    "event stream needs. Final table equals the batch twin "
+    "(q32_session_window), value-checked by the same gaps-and-islands "
+    "oracle.",
+    oracle=_SESSION_E2E_ORACLE,
+)
+def stream_session_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from spark_stream_kudu_spark.functions.rounding import fround
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    base = new_run_dir("sess")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def stage(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    sentinel = ev.sparkSession.createDataFrame(
+        [(-1, -1)], "user_id long, event_id long"
+    ).select(
+        "user_id",
+        "event_id",
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    # File-source order is modification time (oldest first): real events
+    # form batch 0, the sentinel batch 1 so its watermark advance happens
+    # after every real row is in state.
+    stage(ev, "batch_0", 1_000_000.0)
+    stage(sentinel, "batch_1", 1_000_100.0)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = _run_to_parquet(sessions, base)
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+# --------------------------------------------------------------------------
 # Incrementally-maintained rollup (streaming continuous aggregate)
 # --------------------------------------------------------------------------
 
