@@ -523,6 +523,7 @@ FROM base b FULL OUTER JOIN upd u ON u.custkey = b.custkey
     "both sides hash-partition on custkey (no broadcast — both sides are "
     "table-sized), the exact shape Delta/Iceberg MERGE plans.",
     oracle=_MERGE_ORACLE,
+    bench=True,
 )
 def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
