@@ -1,0 +1,329 @@
+"""Round-3 session-2 analytics operators.
+
+Time-series and corpus analytics that a training-data / telemetry
+pipeline runs on top of the relational core, each with a DuckDB oracle
+twin:
+
+- ``q70_gapfill_locf`` — gap-fill a per-key daily series onto a dense
+  date grid (``sequence`` + explode, no driver loop) and fill missing
+  days by last-observation-carried-forward; the TimescaleDB
+  ``time_bucket_gapfill``/``locf`` analog.
+- ``q71_event_transitions`` — first-order Markov transition counts
+  between consecutive event types per user (one window shuffle, one
+  partial-aggregated count shuffle); behavioral-analytics kernel.
+- ``q72_zscore_anomaly`` — rolling z-score outlier detection over a
+  trailing ROWS window per event type (the streaming-friendly frame:
+  bounded state, no future peeking).
+- ``text_lm_score`` — unigram language-model surprisal per document
+  (avg -ln p(token) under the corpus unigram distribution); the classic
+  cheap "perplexity-ish" quality signal for pre-training corpora. The
+  only corpus-sized shuffle is the token count; the vocab table and the
+  total-count scalar broadcast back.
+- ``sample_weighted`` — deterministic probability-proportional-to-size
+  (PPS) Bernoulli sampling: inclusion iff
+  ``md5_uint32(key) % M < weight * c`` — exact integer arithmetic, so
+  membership is reproducible across engines, partitionings, and
+  re-runs, with Horvitz-Thompson weights emitted for unbiased
+  downstream estimates.
+
+Scale notes (100 TB): gap-fill grids are |keys| x |days| — generated
+rows never shuffle (explode is map-side; the join keys on (user, day)
+already carry the grid's partitioning). Transition counting and
+z-scores shuffle once by their partition key. LM scoring broadcasts
+|vocab| rows, never the corpus. PPS sampling is scan-local and pushes
+its predicate into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.hashing import md5_int32, sql_md5_int32
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Gap-fill + last-observation-carried-forward
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_fround("sum(value)", 2)} AS day_rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT g.user_id, g.day,
+       CAST(daily.day_rev IS NULL AS INT) AS filled,
+       coalesce(last_value(daily.day_rev IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS rev_locf
+FROM grid g
+LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day
+"""
+
+
+@register(
+    "q70_gapfill_locf",
+    "timeseries",
+    "Dense daily revenue series per user: aggregate purchases to days, "
+    "generate each user's [min_day, max_day] grid with sequence+explode "
+    "(map-side — no driver loop, no extra shuffle), left-join observations, "
+    "fill gaps by last-observation-carried-forward (ignorenulls last() over "
+    "an unbounded-preceding ROWS frame). The time_bucket_gapfill/locf "
+    "analog; grid rows inherit the (user, day) partitioning so the only "
+    "shuffles are the daily aggregate and the final window sort.",
+    oracle=_GAPFILL_ORACLE,
+)
+def q70_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(fround(F.sum("value"), 2).alias("day_rev"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_rev").isNull().cast("int").alias("filled"),
+            F.coalesce(
+                F.last("day_rev", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("rev_locf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition counts
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q71_event_transitions",
+    "timeseries",
+    "First-order Markov transition matrix of user event sequences: lag() "
+    "per user over (ts, event_id) — the unique-ordering tie-break that keeps "
+    "both engines deterministic — then count (prev, next) pairs. One window "
+    "shuffle by user_id, one partially-aggregated count shuffle over at most "
+    "|event_types|^2 groups.",
+    oracle=_TRANSITIONS_ORACLE,
+)
+def q71_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_Z_WINDOW = 50  # trailing observations per event type
+_Z_MIN_PREV = 20  # warm-up: need this many priors before scoring
+_Z_THRESHOLD = 2.5
+
+_ZSCORE_ORACLE = f"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING) AS mu,
+         stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING) AS sd,
+         count(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM events
+)
+SELECT event_id, event_type, value,
+       {sql_fround("(value - mu) / sd", 4)} AS z
+FROM w
+WHERE n_prev >= {_Z_MIN_PREV} AND sd > 1e-9
+  AND abs((value - mu) / sd) > {_Z_THRESHOLD}
+"""
+
+
+@register(
+    "q72_zscore_anomaly",
+    "timeseries",
+    f"Rolling z-score outliers: per event type, each value scored against "
+    f"the trailing {_Z_WINDOW}-observation mean/stddev (ROWS frame ending at "
+    f"1 PRECEDING — no self-inclusion, no future peeking, so the same logic "
+    f"lifts to a stateful streaming operator with bounded state), flag "
+    f"|z| > {_Z_THRESHOLD} after a {_Z_MIN_PREV}-row warm-up. One window "
+    f"shuffle by event_type; skewed types would salt by coarse time bucket.",
+    oracle=_ZSCORE_ORACLE,
+)
+def q72_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_WINDOW, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(frame)) / F.stddev_samp(
+        "value"
+    ).over(frame)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.count("value").over(frame).alias("n_prev"),
+            F.stddev_samp("value").over(frame).alias("sd"),
+            z.alias("z_raw"),
+        )
+        .filter(
+            (F.col("n_prev") >= _Z_MIN_PREV)
+            & (F.col("sd") > 1e-9)
+            & (F.abs("z_raw") > _Z_THRESHOLD)
+        )
+        .select("event_id", "event_type", "value", fround("z_raw", 4).alias("z"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM surprisal (quality scoring)
+# --------------------------------------------------------------------------
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents
+), tc AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM toks
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       {sql_fround("avg(-ln(tc.c / tot.n))", 6)} AS lm_score
+FROM toks t JOIN tc ON t.tok = tc.tok CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+@register(
+    "text_lm_score",
+    "text",
+    "Unigram LM surprisal per document: corpus token counts (the one "
+    "corpus-sized shuffle), then avg -ln p(token) per doc with the vocab "
+    "table and total-count scalar broadcast back onto the exploded tokens — "
+    "the cheap perplexity proxy used to quality-filter pre-training data "
+    "(low = stereotyped/boilerplate, high = rare-token noise). Surprisal "
+    "values are irrational, so ulp-level accumulation differences sit far "
+    "from fround tie points at 6 decimals.",
+    oracle=_LM_ORACLE,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(tc), "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            fround(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("lm_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted (PPS) deterministic sampling
+# --------------------------------------------------------------------------
+
+_PPS_MOD = 100_000
+_PPS_SCALE = 100  # inclusion prob = n_chars * 100 / 100_000 = n_chars / 1000
+
+_PPS_ORACLE = f"""
+SELECT doc_id, n_chars,
+       n_chars / 1000.0 AS p_include,
+       1000.0 / n_chars AS ht_weight
+FROM documents
+WHERE {sql_md5_int32("CAST(doc_id AS VARCHAR)")} % {_PPS_MOD}
+      < n_chars * {_PPS_SCALE}
+"""
+
+
+@register(
+    "sample_weighted",
+    "sampling",
+    "Probability-proportional-to-size Bernoulli sample: include a document "
+    f"iff md5_uint32(key) % {_PPS_MOD} < n_chars * {_PPS_SCALE} — inclusion "
+    "probability scales with document length using EXACT integer "
+    "arithmetic, so membership is bit-reproducible across engines and "
+    "partitionings (no RNG, no float threshold). Emits the inclusion "
+    "probability and Horvitz-Thompson weight (1/p) so downstream "
+    "aggregates stay unbiased. Scan-local; the predicate pushes down.",
+    oracle=_PPS_ORACLE,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h = md5_int32(F.col("doc_id").cast("string")) % _PPS_MOD
+    return docs.filter(h < F.col("n_chars") * _PPS_SCALE).select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") / F.lit(1000.0)).alias("p_include"),
+        (F.lit(1000.0) / F.col("n_chars")).alias("ht_weight"),
+    )
