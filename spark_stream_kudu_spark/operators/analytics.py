@@ -89,13 +89,14 @@ LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day
 @register(
     "q70_gapfill_locf",
     "timeseries",
-    "Dense daily revenue series per user: aggregate purchases to days, "
-    "generate each user's [min_day, max_day] grid with sequence+explode "
-    "(map-side — no driver loop, no extra shuffle), left-join observations, "
-    "fill gaps by last-observation-carried-forward (ignorenulls last() over "
-    "an unbounded-preceding ROWS frame). The time_bucket_gapfill/locf "
-    "analog; grid rows inherit the (user, day) partitioning so the only "
-    "shuffles are the daily aggregate and the final window sort.",
+    "Dense daily revenue series per user, single-pass: aggregate purchases "
+    "to days, lead() to each observation's successor day, then explode "
+    "sequence(day, next_day - 1) — every generated gap day CARRIES its "
+    "observation's value, so gap-filling and last-observation-carried-"
+    "forward fuse into one map-side Generate. The time_bucket_gapfill/locf "
+    "analog with exactly one scan, one aggregate shuffle, and one window "
+    "shuffle (both keyed by user) — no dense-grid self-join, no second "
+    "pass over the fact table.",
     oracle=_GAPFILL_ORACLE,
 )
 def q70_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,31 +106,27 @@ def q70_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(fround(F.sum("value"), 2).alias("day_rev"))
     )
-    grid = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
-            ).alias("day"),
-        )
+    w = Window.partitionBy("user_id").orderBy("day")
+    # Each observed day owns the half-open run [day, next_day); the last
+    # observation owns only itself (the grid ends at max(day)).
+    runs = daily.withColumn(
+        "run_end",
+        F.coalesce(
+            F.date_sub(F.lead("day").over(w), 1), F.col("day")
+        ),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        grid.join(daily, ["user_id", "day"], "left")
-        .select(
-            "user_id",
-            "day",
-            F.col("day_rev").isNull().cast("int").alias("filled"),
-            F.coalesce(
-                F.last("day_rev", ignorenulls=True).over(w), F.lit(0.0)
-            ).alias("rev_locf"),
-        )
+    return runs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("run_end"), F.expr("interval 1 day"))
+        ).alias("grid_day"),
+        "day",
+        "day_rev",
+    ).select(
+        "user_id",
+        F.col("grid_day").alias("day"),
+        (F.col("grid_day") != F.col("day")).cast("int").alias("filled"),
+        F.col("day_rev").alias("rev_locf"),
     )
 
 
@@ -277,7 +274,9 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
     tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    # Total token count derives from the vocab aggregate (sum of counts),
+    # not a third corpus pass — the shared tc subtree's shuffle is reused.
+    tot = tc.agg(F.sum("c").alias("n"))
     return (
         toks.join(F.broadcast(tc), "tok")
         .join(F.broadcast(tot))
