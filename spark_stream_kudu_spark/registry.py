@@ -89,6 +89,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.operators.sampling  # noqa: F401
     import spark_stream_kudu_spark.operators.layout  # noqa: F401
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
+    import spark_stream_kudu_spark.streaming.anomaly  # noqa: F401
     import spark_stream_kudu_spark.operators.temporal  # noqa: F401
     import spark_stream_kudu_spark.streaming.queries  # noqa: F401
     import spark_stream_kudu_spark.streaming.stateful  # noqa: F401
