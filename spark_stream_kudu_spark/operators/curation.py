@@ -1,0 +1,142 @@
+"""Corpus-curation operators: target-mixture resampling (round-3 s3).
+
+``sample_domain_mix`` is the data-mixing kernel of a pre-training
+pipeline: given a target share per source domain, compute per-domain
+sampling rates that reshape the corpus's token mass toward the target
+under a global token budget, then select documents with the same
+deterministic hash-Bernoulli primitive the sampling family uses
+(operators/sampling.py) so membership is reproducible across engines,
+partitionings, and re-runs.
+
+Rates are derived from corpus statistics, not hand-tuned: with
+``chars_d`` the observed token mass of domain ``d``, a global budget
+``B = 60%`` of total mass, and target share ``w_d``, the keep rate is
+``min(1, B*w_d / chars_d)`` — domains over-represented relative to
+their target get down-sampled, under-represented ones keep everything
+(up-sampling/repetition is a separate epoch-level concern). The rate is
+quantized to an integer per-myriad threshold so the membership test
+(``md5_uint32(doc_id) % 10000 < thr``) is exact integer arithmetic.
+
+The demo target mix is deliberately skewed (share of ``srcK``
+proportional to ``K+1``) so the operator visibly reshapes the uniform
+fixture; a production run would broadcast-join a tiny target-weights
+table instead — same plan shape.
+
+Scale notes (100 TB): one aggregate shuffle over |domains| groups to
+get the stats, the |domains|-row rate table broadcasts back, and the
+membership predicate is scan-local — the corpus itself never shuffles.
+The output is the per-domain audit table (realized vs target mass),
+which is what the pipeline logs; the sampled corpus itself is the same
+scan with the audit aggregation dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.hashing import md5_int32, sql_md5_int32
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+# Global token budget = BUDGET_NUM/BUDGET_DEN of total corpus mass,
+# computed in exact integer arithmetic.
+_BUDGET_NUM, _BUDGET_DEN = 3, 5
+# Target share of srcK is (K+1)/_SHARE_DEN (sum over the 20 fixture
+# sources = 210/210 = 1).
+_SHARE_DEN = 210
+
+_MIX_ORACLE = f"""
+WITH stats AS (
+  SELECT source,
+         CAST(substr(source, 4) AS INT) + 1 AS kk,
+         count(*) AS n_docs,
+         sum(n_chars) AS chars_d
+  FROM documents GROUP BY 1, 2
+), rates AS (
+  SELECT source, kk, n_docs, chars_d,
+         CAST(floor(least(
+             1.0,
+             (CAST((sum(chars_d) OVER ()) * {_BUDGET_NUM} // {_BUDGET_DEN}
+                   AS DOUBLE) * (CAST(kk AS DOUBLE) / {_SHARE_DEN}.0))
+             / CAST(chars_d AS DOUBLE)
+         ) * 10000 + 0.5) AS BIGINT) AS thr
+  FROM stats
+)
+SELECT r.source,
+       {sql_fround(f"CAST(kk AS DOUBLE) / {_SHARE_DEN}.0", 4)} AS target_share,
+       r.thr AS sample_permyriad,
+       r.n_docs,
+       count(*) FILTER (
+           {sql_md5_int32("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.thr
+       ) AS n_sampled,
+       coalesce(sum(d.n_chars) FILTER (
+           {sql_md5_int32("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.thr
+       ), 0) AS chars_sampled
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register(
+    "sample_domain_mix",
+    "sampling",
+    "Target-mixture corpus resampling (pre-training data mixing): "
+    f"per-domain keep rate min(1, budget*share/mass) under a "
+    f"{_BUDGET_NUM * 100 // _BUDGET_DEN}% global token budget, quantized to "
+    "an integer per-myriad threshold so the hash-Bernoulli membership test "
+    "is exact integer arithmetic — reproducible across engines and "
+    "partitionings. One |domains|-group aggregate shuffle; the rate table "
+    "broadcasts back and the membership predicate is scan-local, so the "
+    "corpus never shuffles. Output is the per-domain audit table "
+    "(target vs realized mass).",
+    oracle=_MIX_ORACLE,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+
+    stats = docs.groupBy(
+        "source",
+        (F.substring("source", 4, 10).cast("int") + 1).alias("kk"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_d"),
+    )
+    # Global window over the already-aggregated |domains|-row table —
+    # the single-partition exchange moves ~20 rows, not the corpus.
+    wall = F.sum("chars_d").over(Window.partitionBy())
+    budget = F.expr(f"div(total_chars * {_BUDGET_NUM}, {_BUDGET_DEN})")
+    rate = F.least(
+        F.lit(1.0),
+        (budget.cast("double") * (F.col("kk").cast("double") / _SHARE_DEN))
+        / F.col("chars_d").cast("double"),
+    )
+    rates = (
+        stats.withColumn("total_chars", wall)
+        .withColumn(
+            "thr", F.floor(rate * 10000 + F.lit(0.5)).cast("long")
+        )
+        .select("source", "kk", "n_docs", "thr")
+    )
+
+    member = md5_int32(F.col("doc_id").cast("string")) % 10000 < F.col("thr")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy(
+            "source",
+            fround(F.col("kk").cast("double") / _SHARE_DEN, 4).alias(
+                "target_share"
+            ),
+            F.col("thr").alias("sample_permyriad"),
+            "n_docs",
+        )
+        .agg(
+            F.count(F.when(member, 1)).alias("n_sampled"),
+            F.coalesce(
+                F.sum(F.when(member, F.col("n_chars"))), F.lit(0)
+            ).alias("chars_sampled"),
+        )
+    )

@@ -1,0 +1,178 @@
+"""Signal-smoothing time-series operators (round-3 session 3).
+
+Complements the q70-q72 family (operators/analytics.py) with the two
+standard per-key series transforms a telemetry / feature pipeline runs
+after gap analysis:
+
+- ``q73_ewma`` — exponentially weighted moving average over a trailing
+  ROWS frame. EWMA is recursive (``s_i = a*v_i + (1-a)*s_{i-1}``), which
+  SQL windows can't express directly; the engine folds the trailing
+  window's values with a native higher-order function
+  (``collect_list`` over the frame + ``F.aggregate``), and the DuckDB
+  oracle mirrors it with ``list()`` + ``list_reduce`` — the same
+  left-fold with first-element seed, so results are bit-identical.
+  Truncating to the last ``_EWMA_WINDOW`` observations bounds state
+  (``(1-a)^20`` < 0.1% weight) and is exactly what makes the operator
+  stream-liftable with a keyed ring buffer.
+- ``q74_linear_interp`` — gap-fill onto the dense daily grid with
+  *linear interpolation* between the surrounding observations (the
+  TimescaleDB ``interpolate()`` analog; ``q70_gapfill_locf`` is the
+  step-function sibling). Single pass: ``lead()`` pairs each
+  observation with its successor, then the half-open run
+  ``[day, next_day)`` explodes map-side with each generated day
+  carrying BOTH endpoints — no dense-grid self-join, no second scan.
+
+Scale notes (100 TB): both operators shuffle once, keyed by their
+series key (event_type / user_id), and the per-row fold state is
+O(window). A skewed key salts by coarse time bucket exactly as the
+q72 docstring prescribes. The interpolation explode is map-side after
+the window; generated rows never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+_EWMA_WINDOW = 20  # trailing observations; (1-alpha)^20 ~ 0.08% residual weight
+_EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT event_id, event_type, value,
+       {sql_fround(
+           f"list_reduce(vals, (acc, x) -> {_EWMA_ALPHA}*x + {1 - _EWMA_ALPHA}*acc)", 4
+       )} AS ewma
+FROM w
+"""
+
+
+@register(
+    "q73_ewma",
+    "timeseries",
+    f"Exponentially weighted moving average per event type: recursive "
+    f"smoothing (s = {_EWMA_ALPHA}*v + {1 - _EWMA_ALPHA}*s) is inexpressible "
+    f"as a plain window aggregate, so the trailing {_EWMA_WINDOW}-row frame "
+    "is collected in frame order and left-folded with a native higher-order "
+    "aggregate() — JVM-side, no Python, O(window) per row. The truncated "
+    "frame bounds state and is the exact shape that lifts to a streaming "
+    "ring buffer (cf. stream_zscore_anomaly_e2e). One window shuffle by "
+    "event_type.",
+    oracle=_EWMA_ORACLE,
+)
+def q73_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WINDOW - 1), 0)
+    )
+    vals = F.collect_list("value").over(frame)
+    ev = ev.select("event_id", "event_type", "value", vals.alias("vals"))
+    a = F.lit(_EWMA_ALPHA)
+    # Left fold seeded with the oldest value in the frame — the same
+    # fold (accumulator-first, first-element seed) as DuckDB's
+    # list_reduce, so the doubles are bit-identical across engines.
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), F.lit(2), F.size("vals") - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return ev.select(
+        "event_id", "event_type", "value", fround(ewma, 4).alias("ewma")
+    )
+
+
+_INTERP_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_fround("sum(value)", 2)} AS day_rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), runs AS (
+  SELECT user_id, day, day_rev,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nday,
+         lead(day_rev) OVER (PARTITION BY user_id ORDER BY day) AS nrev
+  FROM daily
+), grid AS (
+  SELECT user_id, day, day_rev, nday, nrev,
+         CAST(unnest(generate_series(
+             CAST(day AS TIMESTAMP),
+             CAST(coalesce(nday - 1, day) AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS DATE) AS gday
+  FROM runs
+)
+SELECT user_id, gday AS day,
+       CAST(gday <> day AS INT) AS filled,
+       {sql_fround(
+           "day_rev + coalesce((nrev - day_rev)"
+           " * (CAST(date_diff('day', day, gday) AS DOUBLE)"
+           " / date_diff('day', day, nday)), 0.0)", 4
+       )} AS rev_interp
+FROM grid
+"""
+
+
+@register(
+    "q74_linear_interp",
+    "timeseries",
+    "Dense daily revenue series per user with LINEAR interpolation across "
+    "gaps (the step-function sibling is q70_gapfill_locf): lead() pairs "
+    "each observed day with its successor, the half-open run [day, "
+    "next_day) explodes map-side with both endpoint values in-row, and "
+    "each gap day computes day_rev + (next_rev - day_rev) * elapsed/span. "
+    "One aggregate shuffle + one window shuffle, both keyed by user; "
+    "generated rows never shuffle and there is no dense-grid self-join.",
+    oracle=_INTERP_ORACLE,
+)
+def q74_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(fround(F.sum("value"), 2).alias("day_rev"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = daily.select(
+        "user_id",
+        "day",
+        "day_rev",
+        F.lead("day").over(w).alias("nday"),
+        F.lead("day_rev").over(w).alias("nrev"),
+    )
+    grid = runs.select(
+        "user_id",
+        "day",
+        "day_rev",
+        "nday",
+        "nrev",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.coalesce(F.date_sub("nday", 1), F.col("day")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("gday"),
+    )
+    frac = F.datediff("gday", "day").cast("double") / F.datediff("nday", "day")
+    interp = F.col("day_rev") + F.coalesce(
+        (F.col("nrev") - F.col("day_rev")) * frac, F.lit(0.0)
+    )
+    return grid.select(
+        "user_id",
+        F.col("gday").alias("day"),
+        (F.col("gday") != F.col("day")).cast("int").alias("filled"),
+        fround(interp, 4).alias("rev_interp"),
+    )

@@ -71,29 +71,33 @@ def load_all() -> dict[str, QuerySpec]:
     Ordering is deliberate: the driver's correctness gate walks the
     registry front-to-back with a bounded window (~50 queries/round), so
     families whose driver-side evidence is thinnest register first.
-    Round 3 rotation: the round-2/round-3 additions (operators.extensions,
-    streaming.extensions, parity_extra, operators.pipeline — zero driver
-    rows so far) lead, followed by the LLM-pipeline north-star families
-    for re-confirmation; the relational core (49/50 green in
-    CORRECTNESS_r01) and temporal/streaming families (green in round 2)
-    trail.
+    Round 3 rotation: every query with ZERO driver rows so far leads —
+    the round-3 additions (analytics, anomaly, series, curation,
+    transitions), then parity_extra / pipeline / advanced (q36's fix
+    needs a green row) / streaming+operators extensions — followed by
+    the LLM-pipeline north-star families for re-confirmation; the
+    relational core (49/50 green in CORRECTNESS_r01) and temporal/
+    streaming families (green in round 2) trail.
     """
-    import spark_stream_kudu_spark.operators.extensions  # noqa: F401
-    import spark_stream_kudu_spark.streaming.extensions  # noqa: F401
+    import spark_stream_kudu_spark.operators.analytics  # noqa: F401
+    import spark_stream_kudu_spark.streaming.anomaly  # noqa: F401
+    import spark_stream_kudu_spark.operators.series  # noqa: F401
+    import spark_stream_kudu_spark.operators.curation  # noqa: F401
+    import spark_stream_kudu_spark.streaming.transitions  # noqa: F401
     import spark_stream_kudu_spark.streaming.parity_extra  # noqa: F401
     import spark_stream_kudu_spark.operators.pipeline  # noqa: F401
+    import spark_stream_kudu_spark.streaming.extensions  # noqa: F401
+    import spark_stream_kudu_spark.operators.advanced  # noqa: F401
+    import spark_stream_kudu_spark.operators.extensions  # noqa: F401
     import spark_stream_kudu_spark.operators.dedup  # noqa: F401
     import spark_stream_kudu_spark.operators.similarity  # noqa: F401
     import spark_stream_kudu_spark.operators.text  # noqa: F401
     import spark_stream_kudu_spark.operators.multimodal  # noqa: F401
     import spark_stream_kudu_spark.operators.sampling  # noqa: F401
     import spark_stream_kudu_spark.operators.layout  # noqa: F401
-    import spark_stream_kudu_spark.operators.analytics  # noqa: F401
-    import spark_stream_kudu_spark.streaming.anomaly  # noqa: F401
     import spark_stream_kudu_spark.operators.temporal  # noqa: F401
     import spark_stream_kudu_spark.streaming.queries  # noqa: F401
     import spark_stream_kudu_spark.streaming.stateful  # noqa: F401
-    import spark_stream_kudu_spark.operators.advanced  # noqa: F401
     import spark_stream_kudu_spark.operators.relational  # noqa: F401
     import spark_stream_kudu_spark.operators.subqueries  # noqa: F401
 

@@ -30,7 +30,6 @@ from collections.abc import Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spark_stream_kudu_spark.operators.analytics import (
@@ -42,7 +41,10 @@ from spark_stream_kudu_spark.operators.analytics import (
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
-from spark_stream_kudu_spark.streaming.workdir import new_run_dir
+from spark_stream_kudu_spark.streaming.workdir import (
+    new_run_dir,
+    stage_time_split_batches,
+)
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -140,34 +142,16 @@ def zscore_stateful(events: DataFrame) -> DataFrame:
     oracle=_ZSCORE_ORACLE,
 )
 def stream_zscore_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "event_id", "event_type", "value"
     )
     base = new_run_dir("zsc")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
-
     # Weekly replay files, staged oldest-first (file-source batch order is
     # modification time) so per-key arrival order matches event time.
-    bounds = ["2024-01-08", "2024-01-15", "2024-01-22"]
-    lo = None
-    for k, hi in enumerate([*bounds, None]):
-        part_df = ev
-        if lo is not None:
-            part_df = part_df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            part_df = part_df.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
-        stage = os.path.join(base, f"stage_{k}")
-        part_df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dest = os.path.join(src, f"batch_{k}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (1_000_000.0 + 100 * k,) * 2)
-        lo = hi
+    src = stage_time_split_batches(
+        ev, base, ["2024-01-08", "2024-01-15", "2024-01-22"]
+    )
 
     stream = (
         spark.readStream.schema(ev.schema)

@@ -44,3 +44,40 @@ def new_run_dir(prefix: str) -> str:
     path = os.path.join(TMP_ROOT, f"{prefix}_{uuid.uuid4().hex[:12]}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def stage_time_split_batches(df, base: str, bounds: list[str], ts_col: str = "ts") -> str:
+    """Stage ``df`` as time-ordered replay files for a file-source stream.
+
+    Splits on the timestamp ``bounds`` (half-open ranges), writes each
+    slice as ONE parquet file under ``base/src``, and stamps ascending
+    mtimes so the file source (which orders batches by modification
+    time) replays them oldest-first with ``maxFilesPerTrigger=1``.
+    Per-key arrival order then matches event-time order across batches —
+    the property the stateful e2e queries (anomaly, transitions) rely on
+    for oracle parity with their batch window twins.
+
+    Returns the source directory to pass to ``spark.readStream``.
+    """
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    lo = None
+    for k, hi in enumerate([*bounds, None]):
+        part_df = df
+        if lo is not None:
+            part_df = part_df.filter(F.col(ts_col) >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            part_df = part_df.filter(F.col(ts_col) < F.lit(hi).cast("timestamp"))
+        stage = os.path.join(base, f"stage_{k}")
+        part_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"batch_{k}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000.0 + 100 * k,) * 2)
+        lo = hi
+    return src
