@@ -69,6 +69,7 @@ FROM w
     "ring buffer (cf. stream_zscore_anomaly_e2e). One window shuffle by "
     "event_type.",
     oracle=_EWMA_ORACLE,
+    bench=True,
 )
 def q73_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -135,6 +136,7 @@ FROM grid
     "One aggregate shuffle + one window shuffle, both keyed by user; "
     "generated rows never shuffle and there is no dense-grid self-join.",
     oracle=_INTERP_ORACLE,
+    bench=True,
 )
 def q74_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
