@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.functions.hashing import md5_int32, sql_md5_int32
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -139,4 +140,71 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(member, F.col("n_chars"))), F.lit(0)
             ).alias("chars_sampled"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary construction (tokenizer-training kernel)
+# --------------------------------------------------------------------------
+
+_VOCAB_TOP = 200
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({sql_tokens("text")}) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY 1
+), ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank,
+         sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM counts
+)
+SELECT rank, token, n,
+       {sql_fround("CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)", 6)}
+         AS cum_share
+FROM ranked
+WHERE rank <= {_VOCAB_TOP}
+"""
+
+
+@register(
+    "text_vocab",
+    "text",
+    f"Vocabulary construction (tokenizer-training kernel): corpus token "
+    f"counts (the one corpus-sized shuffle, map-side combined), ranked by "
+    f"(count DESC, token) with cumulative corpus coverage, truncated to the "
+    f"top {_VOCAB_TOP}. The ranking windows run over the |vocab|-row "
+    "aggregate, never the corpus — at 100 TB the vocab table is millions "
+    "of rows where the corpus is trillions of tokens, so the single-"
+    "partition ranking window is bounded by construction. cum_share tells "
+    "you the coverage a V-token vocabulary buys (the BPE/unigram-LM "
+    "truncation decision).",
+    oracle=_VOCAB_ORACLE,
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("token").asc()]
+    w_rank = Window.orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        counts.select(
+            F.row_number().over(w_rank).alias("rank"),
+            "token",
+            "n",
+            fround(
+                F.sum("n").over(w_cum).cast("double")
+                / F.sum("n").over(w_all).cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rank") <= _VOCAB_TOP)
     )

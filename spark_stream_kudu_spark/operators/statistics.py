@@ -1,0 +1,187 @@
+"""Distributed statistical aggregates with exact-integer partials
+(round-3 session 3).
+
+Floating-point aggregation order differs between a 1000-executor Spark
+job and any single-node engine, so naive ``corr()``/``regr_slope()``
+outputs can never be hash-compared across engines — and worse, are not
+even reproducible across two runs of the *same* cluster job (partial
+sums merge in scheduling order). The engine therefore computes second-
+moment statistics the way its centroid kernel does (similarity.py:481):
+quantize the decimal-exact inputs to scaled integers, accumulate the
+five sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) as DECIMAL(38,0)
+— associative, commutative, EXACT under any merge order — and run
+floating-point math only once, at finalize, on identical operands in
+both engines. This is also the right 100 TB design: the partials are
+tiny, map-side-combinable, and re-aggregatable (a per-day stats table
+rolls up to per-month by summing the same six columns).
+
+- ``q75_stats_agg`` — per-group correlation + least-squares regression
+  of extended price on quantity over lineitem (corr, slope, intercept),
+  finalized from exact integer moments.
+- ``q76_histogram`` — fixed-width 20-bin histogram of the events value
+  stream: global [min, max] from one aggregate (a broadcastable
+  single row), bucket index by identical float arithmetic in both
+  engines, count per bucket. The profiling/data-quality kernel
+  (equi-width; the equi-depth sibling is ntile/approx_percentile,
+  cf. q35/q36).
+
+Scale notes (100 TB): q75 is one partially-aggregated shuffle over
+|groups| rows of six integer columns. q76 is two scans (stats + bucket
+counts) with the single stats row broadcast; bucket count output is
+|bins| rows. Neither moves the fact table more than once per scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# q75: exact-moment correlation / regression
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+WITH moments AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+         sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS sy,
+         sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+             AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS syy,
+         sum(CAST(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS sxy
+  FROM lineitem
+  GROUP BY 1
+), fin AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM moments
+)
+SELECT l_returnflag, n,
+       {sql_fround("cov_n / sqrt(varx_n * vary_n)", 6)} AS corr_qty_price,
+       {sql_fround("(cov_n / varx_n) / 100.0", 4)} AS slope_dollars_per_qty,
+       {sql_fround("((syd - (cov_n / varx_n) * sxd) / CAST(n AS DOUBLE)) / 100.0", 4)}
+         AS intercept_dollars
+FROM fin
+"""
+
+
+@register(
+    "q75_stats_agg",
+    "statistics",
+    "Per-group correlation + least-squares regression (price on quantity) "
+    "from EXACT integer sufficient statistics: inputs quantize to scaled "
+    "integers (quantity integral, price in cents), the five moments "
+    "accumulate as DECIMAL(38,0) — associative and exact under any "
+    "distributed merge order, unlike naive float corr() which is not even "
+    "run-to-run reproducible on a cluster — and float math happens once at "
+    "finalize on identical operands in both engines. One partially-"
+    "aggregated shuffle over |groups| rows of six integer columns; the "
+    "moments table is re-aggregatable (day -> month rollup by summing).",
+    oracle=_STATS_ORACLE,
+)
+def q75_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - sxd * syd
+    varx_n = nd * F.col("sxx").cast("double") - sxd * sxd
+    vary_n = nd * F.col("syy").cast("double") - syd * syd
+    slope = cov_n / varx_n
+    return m.select(
+        "l_returnflag",
+        "n",
+        fround(cov_n / F.sqrt(varx_n * vary_n), 6).alias("corr_qty_price"),
+        fround(slope / 100.0, 4).alias("slope_dollars_per_qty"),
+        fround(((syd - slope * sxd) / nd) / 100.0, 4).alias(
+            "intercept_dollars"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q76: fixed-width histogram
+# --------------------------------------------------------------------------
+
+_N_BINS = 20
+
+_HIST_ORACLE = f"""
+WITH stats AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+), bucketed AS (
+  SELECT least({_N_BINS - 1},
+               CAST(floor((value - lo) / ((hi - lo) / {_N_BINS})) AS BIGINT))
+           AS bucket,
+         lo, hi
+  FROM events CROSS JOIN stats
+)
+SELECT bucket,
+       {sql_fround(f"lo + bucket * ((hi - lo) / {_N_BINS})", 6)} AS edge_lo,
+       {sql_fround(f"lo + (bucket + 1) * ((hi - lo) / {_N_BINS})", 6)} AS edge_hi,
+       count(*) AS n
+FROM bucketed
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q76_histogram",
+    "statistics",
+    f"Fixed-width {_N_BINS}-bin histogram of the event value stream: global "
+    "[min, max] from one aggregate (a single broadcast row), bucket index "
+    "by identical float arithmetic in both engines (top edge clamped into "
+    "the last bin), count per bucket with map-side partial aggregation "
+    f"over at most {_N_BINS} groups. The equi-width profiling kernel; "
+    "equi-depth is the ntile/approx_percentile sibling (q35/q36).",
+    oracle=_HIST_ORACLE,
+)
+def q76_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _N_BINS
+    bucket = F.least(
+        F.lit(_N_BINS - 1),
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+    )
+    edge = lambda b: F.col("lo") + b * ((F.col("hi") - F.col("lo")) / _N_BINS)
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"), "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            fround(edge(F.col("bucket")), 6).alias("edge_lo"),
+            fround(edge(F.col("bucket") + 1), 6).alias("edge_hi"),
+            "n",
+        )
+    )

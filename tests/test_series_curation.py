@@ -164,3 +164,53 @@ def test_stream_transitions_requires_cross_batch_state(spark, sf_smoke):
     # Conservation: every event except each user's first yields a pair.
     # Without cross-batch state the count would fall short by `cross`.
     assert total == n_events - n_users
+
+
+def test_stats_agg_moments_match_float_corr(spark, sf_smoke):
+    """The exact-moment correlation must agree with Spark's native
+    float corr() to well beyond the emitted precision (the moments are
+    exact; float corr is the approximation)."""
+    li = load_table(spark, sf_smoke, "lineitem")
+    native = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    out = ALL["q75_stats_agg"].builder(spark, sf_smoke)
+    for r in out.collect():
+        assert abs(r["corr_qty_price"] - native[r["l_returnflag"]]) < 1e-6
+        assert -1.0 <= r["corr_qty_price"] <= 1.0
+
+
+def test_histogram_conserves_rows_and_tiles_range(spark, sf_smoke):
+    """Bucket counts must sum to the table's row count, and consecutive
+    bucket edges must tile [min, max] without holes."""
+    ev = load_table(spark, sf_smoke, "events")
+    out = ALL["q76_histogram"].builder(spark, sf_smoke).orderBy("bucket")
+    rows = out.collect()
+    assert sum(r["n"] for r in rows) == ev.count()
+    for a, b in zip(rows, rows[1:]):
+        # Edges are derived from bucket index * fixed width, so a
+        # bucket's hi edge equals the NEXT PRESENT bucket's lo edge
+        # only when buckets are adjacent; always non-overlapping.
+        assert a["bucket"] < b["bucket"]
+        assert a["edge_hi"] <= b["edge_lo"] + 1e-6
+        if b["bucket"] == a["bucket"] + 1:
+            assert abs(a["edge_hi"] - b["edge_lo"]) < 1e-6
+
+
+def test_vocab_coverage_monotone_and_complete(spark, sf_smoke):
+    """cum_share must be nondecreasing in rank, end at 1.0 when the
+    vocabulary covers every token (the word-salad fixture's vocab is
+    smaller than the truncation), and counts must be rank-ordered."""
+    rows = ALL["text_vocab"].builder(spark, sf_smoke).orderBy("rank").collect()
+    assert rows, "empty vocabulary"
+    shares = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    counts = [r["n"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    from spark_stream_kudu_spark.operators.curation import _VOCAB_TOP
+
+    if len(rows) < _VOCAB_TOP:  # full vocab fits -> full coverage
+        assert abs(shares[-1] - 1.0) < 1e-6
