@@ -20,35 +20,6 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Sketch aggregates (approximate — rows-only check by design).
-# Registered FIRST in this module so the driver's correctness window
-# (first ~50 registry entries) reaches it right after the extension
-# families — it was the one hard gate failure in round 1.
-# --------------------------------------------------------------------------
-
-
-@register(
-    "q36_approx_sketches",
-    "aggregation",
-    "Sketch aggregates: approx_count_distinct (HyperLogLog++) and approximate "
-    "percentiles — the constant-memory cardinality/quantile path for 100 TB "
-    "aggregations. Approximate by contract, so no value oracle (rows-only); the "
-    "exact twins are covered by q13/q37. Percentiles are projected to scalar "
-    "columns (p50/p95) so the output schema is flat.",
-    oracle=None,
-)
-def q36_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        pcts.getItem(0).alias("price_p50"),
-        pcts.getItem(1).alias("price_p95"),
-    )
-
-
-# --------------------------------------------------------------------------
 # Pivot (conditional aggregation)
 # --------------------------------------------------------------------------
 

@@ -88,7 +88,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.streaming.parity_extra  # noqa: F401
     import spark_stream_kudu_spark.operators.pipeline  # noqa: F401
     import spark_stream_kudu_spark.streaming.extensions  # noqa: F401
-    import spark_stream_kudu_spark.operators.advanced  # noqa: F401
+    import spark_stream_kudu_spark.operators.sketches  # noqa: F401
     import spark_stream_kudu_spark.operators.extensions  # noqa: F401
     import spark_stream_kudu_spark.operators.dedup  # noqa: F401
     import spark_stream_kudu_spark.operators.similarity  # noqa: F401
@@ -99,6 +99,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.operators.temporal  # noqa: F401
     import spark_stream_kudu_spark.streaming.queries  # noqa: F401
     import spark_stream_kudu_spark.streaming.stateful  # noqa: F401
+    import spark_stream_kudu_spark.operators.advanced  # noqa: F401
     import spark_stream_kudu_spark.operators.relational  # noqa: F401
     import spark_stream_kudu_spark.operators.subqueries  # noqa: F401
 
