@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.functions.hashing import md5_int32, sql_md5_int32
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
-from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
+from spark_stream_kudu_spark.functions.textutil import (
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -207,4 +212,58 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
         .filter(F.col("rank") <= _VOCAB_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate passage detection (cross-document repeated n-grams)
+# --------------------------------------------------------------------------
+
+_BP_N = 8  # shingle width (tokens)
+_BP_MIN_DOCS = 3  # boilerplate = shingle appearing in >= this many docs
+
+_BOILERPLATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest({sql_word_shingles(sql_tokens("text"), _BP_N)}) AS shingle
+  FROM documents
+)
+SELECT {sql_md5_int32("shingle")} AS fp,
+       min(shingle) AS sample_shingle,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_total
+FROM sh
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+"""
+
+
+@register(
+    "text_boilerplate",
+    "text",
+    f"Boilerplate passage detection: {_BP_N}-token shingles exploded per "
+    f"document, grouped by their 8-byte md5 fingerprint (the 100 TB shuffle "
+    "key — fixed-width instead of the full passage string), emitting "
+    f"passages that recur across >= {_BP_MIN_DOCS} distinct documents with "
+    "doc-frequency and total-occurrence counts. One partially-aggregated "
+    "shuffle; shingling is row-local (no shuffle before the hash). The "
+    "removal pass is the same scan anti-joined on fp. Headers/footers/"
+    "navigation chrome are the classic crawl-corpus contaminant this finds.",
+    oracle=_BOILERPLATE_ORACLE,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), _BP_N)).alias("shingle"),
+    )
+    return (
+        sh.groupBy(md5_int32(F.col("shingle")).alias("fp"))
+        .agg(
+            F.min("shingle").alias("sample_shingle"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
     )

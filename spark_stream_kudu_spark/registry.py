@@ -85,6 +85,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.operators.curation  # noqa: F401
     import spark_stream_kudu_spark.operators.statistics  # noqa: F401
     import spark_stream_kudu_spark.streaming.transitions  # noqa: F401
+    import spark_stream_kudu_spark.streaming.scd2  # noqa: F401
     import spark_stream_kudu_spark.streaming.parity_extra  # noqa: F401
     import spark_stream_kudu_spark.operators.pipeline  # noqa: F401
     import spark_stream_kudu_spark.streaming.extensions  # noqa: F401

@@ -214,3 +214,30 @@ def test_vocab_coverage_monotone_and_complete(spark, sf_smoke):
 
     if len(rows) < _VOCAB_TOP:  # full vocab fits -> full coverage
         assert abs(shares[-1] - 1.0) < 1e-6
+
+
+def test_boilerplate_counts_are_consistent(spark, sf_smoke):
+    """Every boilerplate passage must occur at least once per counted
+    document (n_total >= n_docs >= threshold)."""
+    from spark_stream_kudu_spark.operators.curation import _BP_MIN_DOCS
+
+    rows = ALL["text_boilerplate"].builder(spark, sf_smoke).collect()
+    assert rows, "fixture must contain cross-document repeated passages"
+    for r in rows:
+        assert r["n_docs"] >= _BP_MIN_DOCS
+        assert r["n_total"] >= r["n_docs"]
+
+
+def test_stream_scd2_has_cross_week_intervals(spark, sf_smoke):
+    """Some closed intervals must OPEN in one replay week and CLOSE in a
+    later one — those rows prove the open interval survived the
+    micro-batch boundary in the state store."""
+    out = ALL["stream_scd2_e2e"].builder(spark, sf_smoke).cache()
+    # Interval crosses a week boundary iff from/to land in different
+    # ISO weeks of the January 2024 fixture window.
+    wk = lambda c: F.weekofyear(F.timestamp_millis(F.col(c)))
+    crossing = out.filter(wk("valid_from_ms") != wk("valid_to_ms")).count()
+    assert crossing > 0
+    # Intervals are half-open and strictly ordered per user.
+    assert out.filter(F.col("valid_to_ms") <= F.col("valid_from_ms")).count() == 0
+    out.unpersist()
