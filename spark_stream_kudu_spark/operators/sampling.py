@@ -153,3 +153,69 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_sampled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-aware (leakage-free) train/test split
+# --------------------------------------------------------------------------
+
+
+def _cluster_split_oracle() -> str:
+    # Deferred import keeps module load order irrelevant; the CTE body is
+    # the same verified near-dup graph the dedup family is checked on.
+    from spark_stream_kudu_spark.operators.dedup import _CC_CTE_BODY
+
+    pct = _sql_pct("cluster_id")
+    return f"""
+WITH RECURSIVE {_CC_CTE_BODY},
+clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT CASE WHEN {pct} < {TRAIN_PCT} THEN 'train'
+            WHEN {pct} < {TRAIN_PCT + VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM clusters c JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+@register(
+    "sample_cluster_split",
+    "sampling",
+    "Leakage-free train/valid/test split: membership hashes the near-dup "
+    "CLUSTER id (min-label connected component over verified MinHash-LSH "
+    "pairs), not the document id — so two near-duplicate documents can "
+    "never land on opposite sides of the split, the classic train/test "
+    "contamination vector a per-doc hash split cannot prevent. Composes "
+    "two already-oracle-checked operators (dedup_clusters -> hash split); "
+    "checked against one recursive-CTE oracle. At 100 TB the cluster map "
+    "is the dedup pipeline's existing output joined back by doc_id; the "
+    "split itself adds one scan-local hash predicate and a one-shuffle "
+    "rollup.",
+    oracle=_cluster_split_oracle(),
+)
+def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.dedup import dedup_clusters
+
+    tune_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    pct = _pct(F.col("cluster_id"))
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return (
+        clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(split.alias("split"), "cluster_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count_distinct(F.col("cluster_id")).alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

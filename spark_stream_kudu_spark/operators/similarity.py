@@ -565,3 +565,81 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vrk") == 1)
         .select("qid", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN index-quality evaluation: recall@k vs exact ground truth
+# --------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH exact AS ({_BRUTE_ORACLE}),
+ivf AS ({_IVF_ORACLE}),
+rp AS ({_RPLSH_ORACLE}),
+ev AS (
+  SELECT 'ivf' AS method, e.qid,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN ivf a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.qid
+  UNION ALL
+  SELECT 'rplsh' AS method, e.qid,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN rp a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.qid
+)
+SELECT method, qid, n_exact, n_hits,
+       floor((n_hits * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall
+FROM ev
+"""
+
+
+def _recall_against_exact(method: str, exact: DataFrame, approx: DataFrame) -> DataFrame:
+    a = approx.select(
+        F.col("qid").alias("aqid"), F.col("neighbor_id").alias("aneighbor")
+    )
+    return (
+        exact.join(
+            a,
+            (F.col("qid") == F.col("aqid"))
+            & (F.col("neighbor_id") == F.col("aneighbor")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("aneighbor").alias("n_hits"),
+        )
+        .select(
+            F.lit(method).alias("method"),
+            "qid",
+            "n_exact",
+            "n_hits",
+            fround(F.col("n_hits") * 1.0 / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+@register(
+    "sim_recall_eval",
+    "similarity",
+    f"ANN index-quality report: per-query recall@{TOP_K} of the IVF and "
+    "random-hyperplane-LSH indexes against the exact brute-force top-k — "
+    "the measurement loop every production ANN deployment runs before "
+    "trading scan cost for recall. Composes three already-oracle-checked "
+    "operators; ground truth joined to each approximate result per "
+    "(query, neighbor) with a left join so missed neighbors count as "
+    "misses, not dropped rows. At 100 TB the evaluation runs on a "
+    "hash-sampled query subset (the exact arm is the expensive one) and "
+    "the per-method outputs are |queries|-sized — evaluation cost is "
+    "ONE brute-force pass over the sample, amortized across every index "
+    "variant being compared.",
+    oracle=_RECALL_ORACLE,
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    ivf = sim_topk_ivf(spark, sf_dir)
+    rp = sim_topk_rplsh(spark, sf_dir)
+    return _recall_against_exact("ivf", exact, ivf).unionByName(
+        _recall_against_exact("rplsh", exact, rp)
+    )

@@ -185,3 +185,72 @@ def q76_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# emb_dim_stats: per-dimension embedding mean/std (standard-scaler kernel)
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64  # embeddings fixture dimension (FIXTURES.md §B)
+_EMB_SCALE = 1 << 20  # power-of-two scaling: exact on floats
+
+_DIM_STATS_ORACLE = f"""
+WITH comps AS (
+  SELECT CAST(i - 1 AS INTEGER) AS pos,
+         CAST(floor(embedding[i] * {_EMB_SCALE}) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, {_EMB_DIM}) AS t(i)
+), moments AS (
+  SELECT pos,
+         count(*) AS n_vectors,
+         sum(CAST(c AS DECIMAL(38,0))) AS sx,
+         sum(CAST(c * c AS DECIMAL(38,0))) AS sxx
+  FROM comps GROUP BY pos
+)
+SELECT pos, n_vectors,
+       {sql_fround(f"CAST(sx AS DOUBLE) / n_vectors / {_EMB_SCALE}", 6)} AS mean,
+       {sql_fround(
+           f"sqrt((n_vectors * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           f" / (CAST(n_vectors AS DOUBLE) * n_vectors)) / {_EMB_SCALE}", 6)} AS std
+FROM moments
+"""
+
+
+@register(
+    "emb_dim_stats",
+    "statistics",
+    "Per-dimension embedding mean/std — the standard-scaler fit over an "
+    "array<float> feature column (whitening / normalization before ANN "
+    "indexing or model training). Components quantize to 2^20-scaled "
+    "integers (exact power-of-two float scaling, floor to BIGINT identical "
+    "in both engines) and the first/second moments accumulate as "
+    "DECIMAL(38,0) — associative and exact under any distributed merge "
+    "order, so a 1000-executor fit is bit-reproducible. At 100 TB the "
+    "posexplode stream is 64x rows but map-side partial aggregation "
+    "collapses it to 64 rows per partition before the single shuffle; the "
+    "64-row (mean, std) result broadcasts back for the transform step. "
+    "Re-aggregatable: per-shard moment tables roll up by summing.",
+    oracle=_DIM_STATS_ORACLE,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = F.floor(F.col("comp") * _EMB_SCALE).cast("long")
+    dec = "decimal(38,0)"
+    m = (
+        emb.select(F.posexplode("embedding").alias("pos", "comp"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(c.cast(dec)).alias("sx"),
+            F.sum((c * c).cast(dec)).alias("sxx"),
+        )
+    )
+    nd = F.col("n_vectors").cast("double")
+    sxd = F.col("sx").cast("double")
+    var_nn = (nd * F.col("sxx").cast("double") - sxd * sxd) / (nd * nd)
+    return m.select(
+        "pos",
+        "n_vectors",
+        fround(sxd / nd / _EMB_SCALE, 6).alias("mean"),
+        fround(F.sqrt(var_nn) / _EMB_SCALE, 6).alias("std"),
+    )

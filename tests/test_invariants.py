@@ -151,3 +151,48 @@ def test_sequence_pack_conserves_docs_and_bounds_bins(spark, sf_smoke):
     assert agg["docs"] == n_docs
     max_doc = toks.agg(F.max("ws_tokens")).collect()[0][0]
     assert agg["max_bin"] < PACK_CAPACITY + max_doc
+
+
+def test_cluster_split_has_no_leakage(spark, sf_smoke):
+    """No near-dup cluster straddles train/valid/test: split is a pure
+    function of cluster_id, so each cluster maps to exactly one split —
+    the contamination guarantee a per-doc hash split cannot give. Also:
+    the three splits together conserve the document count."""
+    from spark_stream_kudu_spark.operators.dedup import dedup_clusters
+    from spark_stream_kudu_spark.operators.sampling import (
+        TRAIN_PCT,
+        VALID_PCT,
+        _pct,
+    )
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    clusters = dedup_clusters(spark, sf_smoke)
+    pct = _pct(F.col("cluster_id"))
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    per_cluster = (
+        clusters.select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+
+    summary = ALL["sample_cluster_split"].builder(spark, sf_smoke)
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert summary.agg(F.sum("n_docs")).collect()[0][0] == n_docs
+
+
+def test_recall_eval_bounded_and_exact_grain(spark, sf_smoke):
+    """Recall is in [0, 1], every (method, query) pair is present, and
+    the exact arm always contributes exactly TOP_K ground-truth rows."""
+    from spark_stream_kudu_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rows = ALL["sim_recall_eval"].builder(spark, sf_smoke).collect()
+    assert len(rows) == 2 * N_QUERIES
+    for r in rows:
+        assert r.n_exact == TOP_K
+        assert 0 <= r.n_hits <= r.n_exact
+        assert 0.0 <= r.recall <= 1.0
