@@ -1,0 +1,181 @@
+"""Data-quality profiling and referential-integrity auditing.
+
+Before a 100 TB corpus feeds training, the pipeline profiles it: per-
+column null/distinct/min/max (drift detection, schema sanity) and
+cross-table foreign-key orphan counts (broken joins surface here, not
+three stages downstream as silent row loss). Both are declared queries
+with DuckDB oracles, same as every other operator.
+
+- ``q77_profile`` — one-scan column profiler over ``orders``: every
+  column's null count, exact distinct count, and min/max rendered to a
+  deterministic string representation, unpivoted to one row per column.
+  The Spark plan computes ALL per-column aggregates in a single
+  aggregate over a single scan (the oracle's UNION ALL form re-scans per
+  column; Catalyst does not have to). Distinct counts are exact here
+  (oracle-comparable); at 100 TB swap ``approx_count_distinct`` into the
+  same shape — the HLL sketch family (q36/q66) is the proven scale path.
+- ``q78_fk_orphans`` — referential audit: child rows whose FK matches no
+  parent row, per relation (lineitem->orders, lineitem->part,
+  lineitem->supplier, orders->customer). Anti-join per relation; small
+  parents broadcast, so the child table is scanned WITHOUT a shuffle for
+  three of the four relations. A healthy corpus reports zeros — the
+  query's value is that a non-zero ever becomes visible the day ingest
+  breaks.
+
+Reference parity: the reference's demo DDL declares PK/FK-style keyed
+tables (reference kudu DDL; SURVEY.md §1.3) but never audits them — this
+is the audit an engine at scale actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# q77: one-scan column profiler
+# --------------------------------------------------------------------------
+
+# Per-column deterministic string rendering: BIGINT/VARCHAR cast
+# directly; DOUBLE via integer cents (float->string formatting differs
+# across engines, integer strings do not); TIMESTAMP via an explicit
+# format string.
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _profile_cols() -> list[tuple[str, str, str]]:
+    """(column, spark_kind, duck_repr_sql) triples for orders."""
+    return [
+        ("o_orderkey", "int", "CAST({c} AS VARCHAR)"),
+        ("o_custkey", "int", "CAST({c} AS VARCHAR)"),
+        ("o_orderstatus", "str", "{c}"),
+        (
+            "o_totalprice",
+            "cents",
+            "CAST(CAST(floor({c} * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        ),
+        ("o_orderdate", "ts", f"strftime({{c}}, '{_TS_FMT_DUCK}')"),
+        ("o_orderpriority", "str", "{c}"),
+    ]
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({repr_sql.format(c=c)}) AS min_repr,
+       max({repr_sql.format(c=c)}) AS max_repr
+FROM orders"""
+    for c, _, repr_sql in _profile_cols()
+)
+
+
+def _spark_repr(col: str, kind: str):
+    c = F.col(col)
+    if kind == "int":
+        return c.cast("string")
+    if kind == "cents":
+        return F.floor(c * 100 + F.lit(0.5)).cast("long").cast("string")
+    if kind == "ts":
+        return F.date_format(c, _TS_FMT_SPARK)
+    return c
+
+
+@register(
+    "q77_profile",
+    "profiling",
+    "One-scan column profiler over orders: per-column null count, exact "
+    "distinct count, and min/max rendered to engine-stable strings "
+    "(integers and cents as integer strings, timestamps via explicit "
+    "format — never raw float/timestamp casts, whose formatting is "
+    "engine-specific), unpivoted to one row per column. Spark computes "
+    "every column's aggregates in ONE aggregate over ONE scan; the "
+    "multi-DISTINCT expand is bounded by |columns|. At 100 TB the same "
+    "shape runs with approx_count_distinct (HLL, q36/q66 family) to drop "
+    "the expand — profile output is |columns| rows either way. The "
+    "drift-detection / schema-sanity kernel of a corpus intake pipeline.",
+    oracle=_PROFILE_ORACLE,
+)
+def q77_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind, _ in _profile_cols():
+        r = _spark_repr(c, kind)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(r).alias(f"{c}__min"),
+            F.max(r).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _, _ in _profile_cols()
+    )
+    n = len(_profile_cols())
+    return wide.selectExpr(
+        f"stack({n}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"
+    )
+
+
+# --------------------------------------------------------------------------
+# q78: foreign-key orphan audit
+# --------------------------------------------------------------------------
+
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk_col}
+       )) AS BIGINT) AS n_orphans
+FROM {child} c"""
+    for name, child, fk_col, parent, pk in _FK_RELATIONS
+)
+
+
+@register(
+    "q78_fk_orphans",
+    "profiling",
+    "Referential-integrity audit: per FK relation, how many child rows "
+    "reference a missing parent (lineitem->orders/part/supplier, "
+    "orders->customer). Each relation is one broadcast-anti-join count "
+    "over the child scan — parents are dimension-sized, so the child "
+    "table never shuffles; a same-fact-table relation at 100 TB falls "
+    "back to a shuffled anti-join on the key. Healthy ingest reports "
+    "zeros; the query exists so a broken feed surfaces HERE, not as "
+    "silent row loss in a downstream inner join.",
+    oracle=_FK_ORACLE,
+)
+def q78_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    out: DataFrame | None = None
+    for name, child, fk_col, parent, pk in _FK_RELATIONS:
+        ch = load_table(spark, sf_dir, child)
+        pa = load_table(spark, sf_dir, parent).select(pk)
+        orphans = (
+            ch.join(F.broadcast(pa), ch[fk_col] == pa[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+        totals = ch.agg(F.count(F.lit(1)).alias("n_child")).select(
+            F.lit(name).alias("fk"), "n_child"
+        )
+        rel = totals.join(orphans, "fk").select("fk", "n_child", "n_orphans")
+        out = rel if out is None else out.unionByName(rel)
+    return out
