@@ -556,3 +556,209 @@ def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (time-travel) join against the SCD2 dimension history
+# --------------------------------------------------------------------------
+
+_PIT_LAG_MS = 1_800_000  # probe: state as of 30 minutes before each event
+
+_PIT_ORACLE = f"""
+WITH ch AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+kept AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type
+),
+scd2 AS (
+  SELECT user_id, event_type AS state,
+         epoch_ms(ts) AS valid_from_ms,
+         epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms
+  FROM kept
+),
+probes AS (
+  SELECT event_id, user_id, epoch_ms(ts) - {_PIT_LAG_MS} AS probe_ms
+  FROM events
+)
+SELECT p.event_id, p.user_id, p.probe_ms, s.state AS state_at_probe
+FROM probes p
+LEFT JOIN scd2 s
+  ON s.user_id = p.user_id
+ AND s.valid_from_ms <= p.probe_ms
+ AND (s.valid_to_ms IS NULL OR p.probe_ms < s.valid_to_ms)
+"""
+
+
+@register(
+    "q79_pit_join",
+    "temporal",
+    "Point-in-time (time-travel) join: each probe row resolves the SCD2 "
+    "dimension state that was valid at its timestamp (here: each event "
+    "asks what the user's state was 30 minutes earlier; probes before "
+    "the first interval resolve to NULL, preserved by a left join in the "
+    "oracle). NOT executed as the oracle's interval theta-join — SCD2 "
+    "intervals are contiguous per key, so the engine runs it as an AS-OF "
+    "join: union interval-starts with probes, ONE window sort per key, "
+    "carry the latest state forward. One shuffle on user_id, no "
+    "nested-loop, state row-local — the warehouse 'reproduce features as "
+    "of training time' kernel that prevents feature leakage from future "
+    "dimension updates.",
+    oracle=_PIT_ORACLE,
+)
+def q79_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("t_ms"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    probes = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_millis("ts") - F.lit(_PIT_LAG_MS)).alias("t_ms"),
+    )
+    # As-of union: interval starts sort before probes at the same
+    # timestamp (tag 0 < 1), last(state) ignoring nulls carries the
+    # currently-valid state into each probe row.
+    combined = kept.select(
+        "user_id", "t_ms", F.lit(0).alias("tag"), F.lit(None).cast("long").alias("event_id"), "state"
+    ).unionByName(
+        probes.select(
+            "user_id", "t_ms", F.lit(1).alias("tag"), "event_id", F.lit(None).cast("string").alias("state")
+        )
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = combined.withColumn(
+        "state_at_probe", F.last("state", ignorenulls=True).over(wc)
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", F.col("t_ms").alias("probe_ms"), "state_at_probe"
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (table reconciliation between two versions)
+# --------------------------------------------------------------------------
+
+# v2 is derived deterministically from v1 (orders) by key-hash
+# percentile: <5 removed, 5-14 price-bumped 10%, >=97 re-keyed as inserts.
+_DIFF_REMOVE_PCT = 5
+_DIFF_CHANGE_PCT = 15
+_DIFF_INSERT_PCT = 97
+_DIFF_KEY_OFFSET = 100_000_000
+
+
+def _diff_pct_sql(expr: str) -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    return f"({sql_md5_int32(f'CAST({expr} AS VARCHAR)')} % 100)"
+
+
+_SNAPDIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+),
+v2 AS (
+  SELECT okey,
+         status,
+         CASE WHEN {_diff_pct_sql("okey")} BETWEEN {_DIFF_REMOVE_PCT} AND {_DIFF_CHANGE_PCT - 1}
+              THEN CAST(floor(price_cents * 1.1 + 0.5) AS BIGINT)
+              ELSE price_cents END AS price_cents
+  FROM v1
+  WHERE {_diff_pct_sql("okey")} >= {_DIFF_REMOVE_PCT}
+  UNION ALL
+  SELECT okey + {_DIFF_KEY_OFFSET}, status, price_cents
+  FROM v1 WHERE {_diff_pct_sql("okey")} >= {_DIFF_INSERT_PCT}
+),
+d AS (
+  SELECT coalesce(v1.okey, v2.okey) AS okey,
+         coalesce(v2.status, v1.status) AS status,
+         CASE WHEN v1.okey IS NULL THEN 'added'
+              WHEN v2.okey IS NULL THEN 'removed'
+              WHEN v1.price_cents <> v2.price_cents THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(v2.price_cents, 0) - coalesce(v1.price_cents, 0) AS delta_cents
+  FROM v1 FULL OUTER JOIN v2 ON v1.okey = v2.okey
+)
+SELECT change_type, status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(delta_cents) AS BIGINT) AS delta_cents
+FROM d
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q80_snapshot_diff",
+    "pipeline",
+    "Snapshot reconciliation: diff two versions of a keyed table into "
+    "added / removed / changed / unchanged classes with per-class row "
+    "counts and value deltas (v2 here is derived deterministically from "
+    "v1 by key-hash so the diff is oracle-checkable: 5% removed, 10% "
+    "price-bumped, 3% re-keyed inserts). One full-outer join on the key "
+    "+ one rollup — the audit primitive behind incremental-load "
+    "validation and CDC backfill checks. At 100 TB both sides shuffle "
+    "once on the key; with both snapshots bucket-layouted on the key "
+    "(sources/bucketed.py) the join is zero-shuffle, and comparing row "
+    "FINGERPRINTS (md5 of the value columns, dedup_fingerprint) instead "
+    "of each column cuts the compare to one string per row.",
+    oracle=_SNAPDIFF_ORACLE,
+)
+def q80_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
+    )
+    pct = md5_int32(F.col("okey").cast("string")) % 100
+    surv = v1.filter(pct >= _DIFF_REMOVE_PCT).select(
+        "okey",
+        "status",
+        F.when(
+            pct.between(_DIFF_REMOVE_PCT, _DIFF_CHANGE_PCT - 1),
+            F.floor(F.col("price_cents") * 1.1 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+    )
+    inserts = v1.filter(pct >= _DIFF_INSERT_PCT).select(
+        (F.col("okey") + _DIFF_KEY_OFFSET).alias("okey"), "status", "price_cents"
+    )
+    v2 = surv.unionByName(inserts)
+    a = v1.alias("a")
+    b = v2.alias("b")
+    d = a.join(b, F.col("a.okey") == F.col("b.okey"), "full_outer").select(
+        F.coalesce(F.col("b.status"), F.col("a.status")).alias("status"),
+        F.when(F.col("a.okey").isNull(), "added")
+        .when(F.col("b.okey").isNull(), "removed")
+        .when(F.col("a.price_cents") != F.col("b.price_cents"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce(F.col("b.price_cents"), F.lit(0))
+            - F.coalesce(F.col("a.price_cents"), F.lit(0))
+        ).alias("delta_cents"),
+    )
+    return d.groupBy("change_type", "status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("delta_cents").alias("delta_cents"),
+    )
