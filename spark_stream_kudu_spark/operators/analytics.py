@@ -326,3 +326,232 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(1000.0)).alias("p_include"),
         (F.lit(1000.0) / F.col("n_chars")).alias("ht_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# q81: bloom-filter pre-filtered join
+# --------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+"""
+
+
+_BLOOM_BUCKETS = 1 << 16  # compressed key space for the membership pre-filter
+
+
+@register(
+    "q81_bloom_join",
+    "analytics",
+    "Membership-pre-filtered join (manual runtime filter): the selective "
+    "side (urgent orders) compresses its join keys into distinct hash "
+    f"buckets (md5 % {_BLOOM_BUCKETS} — a one-hash bloom filter whose "
+    "'bits' are a broadcastable distinct-bucket set), and the fact scan "
+    "is semi-join-pruned against that broadcast BEFORE the join shuffle. "
+    "False positives (bucket collisions) pass the pre-filter but are "
+    "dropped by the exact join, so the result is EXACTLY the plain join "
+    "— which is what the oracle checks. The declared form of Spark's "
+    "runtime-filter optimization: at 100 TB shuffle volume drops from "
+    "|fact| to ~|matching fact| rows for one tiny broadcast; the win "
+    "grows with fact:build selectivity skew.",
+    oracle=_BLOOM_ORACLE,
+)
+def q81_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    buckets = (
+        o.select(
+            (md5_int32(F.col("o_orderkey").cast("string")) % _BLOOM_BUCKETS).alias("b")
+        ).distinct()
+    )
+    pruned = li.join(
+        F.broadcast(buckets),
+        (md5_int32(F.col("l_orderkey").cast("string")) % _BLOOM_BUCKETS) == F.col("b"),
+        "left_semi",
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        pruned.join(o.select("o_orderkey"), pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q82: market share (TPC-H Q8 shape)
+# --------------------------------------------------------------------------
+
+_SHARE_NATION = "CHINA"
+
+_SHARE_ORACLE = f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       {sql_fround(
+           "sum(CASE WHEN n.n_name = '" + _SHARE_NATION + "' THEN "
+           "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) "
+           "ELSE 0 END) * 1.0 / "
+           "sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))", 6)}
+         AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
+@register(
+    "q82_market_share",
+    "analytics",
+    f"Market share (TPC-H Q8 shape): {_SHARE_NATION}'s fraction of total "
+    "revenue per order year — conditional numerator and unconditional "
+    "denominator in ONE aggregation pass (no second scan, no self-join), "
+    "revenue in exact integer cents so the ratio is engine-stable. Joins "
+    "flow fact -> orders (shuffle on orderkey) with customer and nation "
+    "broadcast; one final one-shuffle rollup on year.",
+    oracle=_SHARE_ORACLE,
+)
+def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev_cents"),
+            F.col("n_name"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("n_name") == _SHARE_NATION, F.col("rev_cents")).otherwise(F.lit(0))
+    )
+    den = F.sum("rev_cents")
+    return j.groupBy("o_year").agg(
+        fround(num * 1.0 / den, 6).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# q83: rolling median over a trailing bounded frame
+# --------------------------------------------------------------------------
+
+_MEDIAN_FRAME = 50  # trailing window: current row + 49 preceding
+
+_ROLLMED_ORACLE = f"""
+SELECT event_id, event_type,
+       {sql_fround(
+           "median(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER "
+           "(PARTITION BY event_type ORDER BY ts ASC, event_id ASC "
+           f"ROWS BETWEEN {_MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW) / 100.0", 2)}
+         AS rolling_median
+FROM events
+"""
+
+
+@register(
+    "q83_rolling_median",
+    "analytics",
+    f"Rolling median of event value over a trailing {_MEDIAN_FRAME}-row "
+    "frame per event type — the robust (outlier-immune) sibling of the "
+    "rolling mean/z-score (q72). Spark has no native windowed median, so "
+    "the engine composes collect_list over the bounded frame + array_sort "
+    "+ exact middle-element arithmetic on integer cents (identical in "
+    "both engines; even-sized frames average the two middles). State per "
+    f"row is bounded by the {_MEDIAN_FRAME}-row frame — O(frame), not "
+    "O(partition) — so the window scales to arbitrarily long histories; "
+    "one shuffle on the partition key.",
+    oracle=_ROLLMED_ORACLE,
+)
+def q83_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(_MEDIAN_FRAME - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med_cents = (mid_lo + mid_hi) / 2.0
+    return ev.select(
+        "event_id",
+        "event_type",
+        fround(med_cents / 100.0, 2).alias("rolling_median"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q84: trending items (top-k per time window)
+# --------------------------------------------------------------------------
+
+_TREND_K = 3
+
+_TREND_ORACLE = f"""
+WITH w AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_ms
+                               ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM w
+)
+SELECT bucket_ms, event_type, n_events, rank FROM r WHERE rank <= {_TREND_K}
+"""
+
+
+@register(
+    "q84_trending",
+    "analytics",
+    f"Trending items: top-{_TREND_K} event types per hourly window by "
+    "count, deterministic tie-break — the leaderboard/trending kernel "
+    "(windowed heavy hitters). One partially-aggregated count shuffle on "
+    "(window, item), then a rank window over the already-aggregated "
+    "|windows| x |types| rows — the expensive stage is the count, and it "
+    "map-side combines; the rank never touches raw events. The batch twin "
+    "of a per-window streaming leaderboard (same aggregate under a "
+    "tumbling event-time window).",
+    oracle=_TREND_ORACLE,
+)
+def q84_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("bucket_ms"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("bucket_ms").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TREND_K)
+        .select("bucket_ms", "event_type", "n_events", "rank")
+    )
