@@ -412,3 +412,89 @@ def stream_enrich_static_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("ts_ms"),
         (F.floor(F.col("value") * 100 + F.lit(0.5)) / 100).alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming trending leaderboard (windowed heavy hitters, incremental)
+# --------------------------------------------------------------------------
+
+
+def _trend_oracle() -> str:
+    from spark_stream_kudu_spark.operators.analytics import _TREND_ORACLE
+
+    return _TREND_ORACLE
+
+
+@register(
+    "stream_trending_e2e",
+    "streaming",
+    "END-TO-END streaming trending leaderboard: events replayed as 4 "
+    "micro-batches; each batch counts (hourly-bucket, event_type) "
+    "partials that an AdditiveRollupSink SUM-merges (commutative, so the "
+    "store is batch-boundary-independent), and the top-3 rank runs at "
+    "READ time over the |windows| x |types| rollup — never over raw "
+    "events. The streaming twin of q84_trending, value-equal to its "
+    "batch oracle. The production shape for live leaderboards at 100 TB/"
+    "day: the expensive count is incremental and map-side-combined; the "
+    "rank is a cheap query over the maintained store.",
+    oracle=_trend_oracle(),
+)
+def stream_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    from spark_stream_kudu_spark.operators.analytics import _TREND_K
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type")
+    base = new_run_dir("trend")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for k in range(4):
+        stage = os.path.join(base, f"stage_{k}")
+        (
+            ev.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "counts"),
+        key=["bucket_ms", "event_type"],
+        sum_cols=["n_events"],
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("bucket_ms"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = sink.read(spark).select("bucket_ms", "event_type", "n_events")
+    w = Window.partitionBy("bucket_ms").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TREND_K)
+        .select("bucket_ms", "event_type", "n_events", "rank")
+    )
