@@ -155,3 +155,133 @@ def q58_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-dimensional data skipping
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8  # per-dimension bits after normalization; 16-bit code
+_Z_EPOCH = "1995-01-01"  # day-number origin for the date dimension
+_Z_FILES = 8
+
+
+def _morton(a, b):
+    """Interleave the low _Z_BITS bits of integer columns a (odd
+    positions) and b (even positions) — a native Catalyst expression
+    tree (2*_Z_BITS shift/mask terms, JVM-side, codegen-friendly);
+    monotone in each input within a fixed other-input, which is what
+    makes range predicates on either dimension prunable."""
+    code = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        bit_a = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i)
+        )
+    return code
+
+
+def _zbucket(col, mn: int, mx: int):
+    """Monotone map of [mn, mx] onto the 2^_Z_BITS bucket grid. Without
+    this normalization the wider dimension's high bits dominate the
+    interleave and the layout degrades to a single-column sort."""
+    span = max(mx - mn + 1, 1)
+    return F.floor((col - F.lit(mn)).cast("double") * (1 << _Z_BITS) / span).cast(
+        "long"
+    )
+
+
+def zordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders re-laid-out Z-ordered on (o_custkey, order day).
+
+    Each dimension is first normalized onto an equal-width bucket grid
+    from its write-time min/max (one tiny agg — the stats pass every
+    OPTIMIZE ZORDER implementation runs), then rows are range-
+    partitioned and sorted by the Morton interleave, so each output file
+    covers a compact RECTANGLE of (custkey, day) space and its parquet
+    min/max footer stats prune 2-D box queries — the data-skipping
+    layout for workloads that filter on BOTH dimensions, where a
+    single-column sort only helps one. Written once per (process,
+    sf_dir) and reused.
+    """
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_zorder_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders")
+        day = F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date"))
+        stats = o.agg(
+            F.min("o_custkey").alias("cmn"),
+            F.max("o_custkey").alias("cmx"),
+            F.min(day).alias("dmn"),
+            F.max(day).alias("dmx"),
+        ).collect()[0]
+        zcode = _morton(
+            _zbucket(F.col("o_custkey"), stats.cmn, stats.cmx),
+            _zbucket(day, stats.dmn, stats.dmx),
+        )
+        # INT96 timestamps carry no parquet min/max stats — write micros
+        # so the date dimension is actually skippable from footers.
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (
+                o.withColumn("zcode", zcode)
+                .repartitionByRange(_Z_FILES, "zcode")
+                .sortWithinPartitions("zcode")
+                .drop("zcode")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return spark.read.parquet(path)
+
+
+_Q85_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_custkey BETWEEN 32 AND 95
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q85_zorder_scan",
+    "layout",
+    "2-D box query (custkey range x one order year) over the Z-ordered "
+    "orders layout: rows are clustered by the Morton interleave of "
+    "(o_custkey, order day), so every file covers a compact rectangle of "
+    "the 2-D key space and parquet min/max stats skip files the box "
+    "misses — on EITHER predicate dimension, which a single-column sort "
+    "cannot give (clustering quality asserted from the real file footers "
+    "in tests/test_plans.py). Results identical to scanning the plain "
+    "table (the oracle's form); only IO differs. At 100 TB this is the "
+    "lakehouse OPTIMIZE ZORDER pattern: one layout write amortized over "
+    "every multi-dimensional slice query.",
+    oracle=_Q85_ORACLE,
+    prepare=lambda spark, sf_dir: zordered_orders(spark, sf_dir) and None,
+)
+def q85_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = zordered_orders(spark, sf_dir)
+    return (
+        o.filter(
+            F.col("o_custkey").between(32, 95)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+    )

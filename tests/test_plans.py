@@ -214,3 +214,62 @@ def test_capped_minhash_pairs_no_extra_shuffle(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert len(checks.python_eval_nodes(df)) == 0
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_smoke):
+    """The Z-ordered orders layout must cluster BOTH dimensions: the 2-D
+    box query's predicate, evaluated against real parquet footer
+    min/max stats, must skip at least half the files, and the per-file
+    custkey ranges must not all span the full key domain (which is what
+    a single-column date sort would produce)."""
+    import datetime
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from spark_stream_kudu_spark.operators.layout import zordered_orders
+
+    zordered_orders(spark, sf_smoke)
+    tag = hashlib.md5(sf_smoke.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_zorder_{tag}")
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) >= 4
+
+    utc = datetime.timezone.utc
+    lo_d = datetime.datetime(1997, 1, 1, tzinfo=utc)
+    hi_d = datetime.datetime(1998, 1, 1, tzinfo=utc)
+
+    per_file = []
+    for f in files:
+        md = pq.read_metadata(f)
+        stats = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = stats.get(col.path_in_schema, (None, None))
+                stats[col.path_in_schema] = (
+                    st.min if mn is None else min(mn, st.min),
+                    st.max if mx is None else max(mx, st.max),
+                )
+        per_file.append((stats["o_custkey"], stats["o_orderdate"]))
+
+    hits = sum(
+        1
+        for (cmin, cmax), (dmin, dmax) in per_file
+        if not (cmax < 32 or cmin > 95) and not (dmax < lo_d or dmin >= hi_d)
+    )
+    assert hits <= len(files) // 2, f"box query hits {hits}/{len(files)} files"
+
+    domain_min = min(c[0] for c, _ in per_file)
+    domain_max = max(c[1] for c, _ in per_file)
+    full_span = sum(
+        1 for (cmin, cmax), _ in per_file if cmin == domain_min and cmax == domain_max
+    )
+    assert full_span < len(per_file), "custkey never splits: date-only sort"
