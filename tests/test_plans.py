@@ -273,3 +273,55 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_smoke):
         1 for (cmin, cmax), _ in per_file if cmin == domain_min and cmax == domain_max
     )
     assert full_span < len(per_file), "custkey never splits: date-only sort"
+
+
+def test_bloom_join_broadcasts_membership_set(spark, sf_smoke):
+    """The runtime-filter pattern only pays off if the bucket set is
+    broadcast (no shuffle to pre-filter the fact scan) and aggregation
+    is map-side combined."""
+    df = ALL["q81_bloom_join"].builder(spark, sf_smoke)
+    assert checks.uses_broadcast_join(df)
+    assert checks.has_partial_aggregate(df)
+
+
+def test_market_share_broadcasts_dims_single_pass(spark, sf_smoke):
+    """Customer and nation broadcast; share computed in one aggregation
+    pass (conditional numerator), so exactly one aggregate shuffle and
+    no self-join of the fact table."""
+    df = ALL["q82_market_share"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert checks.uses_broadcast_join(df)
+    assert checks.has_partial_aggregate(df)
+    # 4 scan NODES, one per table (executed_plan prints each node in
+    # both the tree and the details section, hence <= 8 occurrences)
+    assert plan.count("Scan parquet") <= 8
+
+
+def test_pit_join_is_no_theta_join(spark, sf_smoke):
+    """The point-in-time join must run as the as-of union + window
+    carry-forward: NO join operator at all (the oracle's interval
+    theta-join would be a per-key nested loop), and at most two
+    exchanges on user_id (one deriving the SCD2 intervals, one for the
+    post-union carry-forward window; each node prints twice in the
+    executed plan)."""
+    df = ALL["q79_pit_join"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_profile_is_single_scan(spark, sf_smoke):
+    """The column profiler computes every per-column aggregate from ONE
+    scan of the table (the oracle's UNION ALL form re-scans per column;
+    the engine must not)."""
+    df = ALL["q77_profile"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    # one scan NODE (printed twice: tree + details)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_dim_stats_partial_aggregates(spark, sf_smoke):
+    """The posexplode stream must collapse map-side before the shuffle
+    (64 rows per partition), or the exploded 64x row stream shuffles."""
+    df = ALL["emb_dim_stats"].builder(spark, sf_smoke)
+    assert checks.has_partial_aggregate(df)
