@@ -57,3 +57,30 @@ def interval_join(
         & (r[right_ts] <= lw[left_ts])
     )
     return lw.join(r, cond, "inner").drop(f"r_{key}")
+
+
+def interval_join_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon_sec: int = DEFAULT_HORIZON_SEC,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Left-outer variant: every ``left`` row emits; unmatched rows
+    carry nulls on the right side. In streaming, an unmatched left row
+    can only be declared final once the right watermark has passed its
+    interval end — so outer results trail the inner ones by the
+    watermark delay, and the state/eviction story is identical to the
+    inner join. The 'purchases with NO prior view' shape (attribution
+    gaps, timeout detection) that an inner join silently drops."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    r = rw.withColumnRenamed(key, f"r_{key}")
+    cond = (
+        (lw[key] == r[f"r_{key}"])
+        & (r[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {horizon_sec} SECONDS"))
+        & (r[right_ts] <= lw[left_ts])
+    )
+    return lw.join(r, cond, "left_outer").drop(f"r_{key}")
