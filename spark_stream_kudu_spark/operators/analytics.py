@@ -362,6 +362,7 @@ _BLOOM_BUCKETS = 1 << 16  # compressed key space for the membership pre-filter
     "|fact| to ~|matching fact| rows for one tiny broadcast; the win "
     "grows with fact:build selectivity skew.",
     oracle=_BLOOM_ORACLE,
+    bench=True,
 )
 def q81_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -538,6 +539,7 @@ SELECT bucket_ms, event_type, n_events, rank FROM r WHERE rank <= {_TREND_K}
     "of a per-window streaming leaderboard (same aggregate under a "
     "tumbling event-time window).",
     oracle=_TREND_ORACLE,
+    bench=True,
 )
 def q84_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -554,4 +556,124 @@ def q84_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TREND_K)
         .select("bucket_ms", "event_type", "n_events", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q87: skyline / Pareto front
+# --------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS day_no
+  FROM orders
+)
+SELECT a.o_orderkey, a.o_custkey, a.price_cents, a.day_no
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.day_no < a.day_no AND b.price_cents >= a.price_cents
+)
+"""
+
+
+@register(
+    "q87_skyline",
+    "analytics",
+    "2-D skyline (Pareto front): orders not dominated by any EARLIER "
+    "order of equal-or-higher price (minimize date, maximize price) — "
+    "the multi-objective shortlist query. The oracle states it as the "
+    "textbook O(n^2) NOT EXISTS; the engine computes the equivalent "
+    "single pass: running max of price over a RANGE frame ending one day "
+    "earlier (same-day rows never dominate each other, matching the "
+    "strict inequality), keep rows strictly above it. One sort shuffle "
+    "on a single global ordering vs the oracle's quadratic self-join — "
+    "the difference between feasible and not at 100 TB. For cluster "
+    "scale the global sort is a range-partitioned sort (Spark's default "
+    "for a global window) with per-partition prior-max merge.",
+    oracle=_SKYLINE_ORACLE,
+)
+def q87_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+    )
+    w = (
+        Window.orderBy("day_no")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        o.withColumn("prior_max", F.max("price_cents").over(w))
+        .filter(
+            F.col("prior_max").isNull()
+            | (F.col("price_cents") > F.col("prior_max"))
+        )
+        .select("o_orderkey", "o_custkey", "price_cents", "day_no")
+    )
+
+
+# --------------------------------------------------------------------------
+# q88: time-weighted average (TWAP)
+# --------------------------------------------------------------------------
+
+_TWAP_ORACLE = f"""
+WITH seg AS (
+  SELECT user_id, value, epoch_ms(ts) AS t0,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(t1 - t0) AS BIGINT) AS span_ms,
+       {sql_fround(
+           "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT) * (t1 - t0)) * 1.0 "
+           "/ sum(t1 - t0) / 10000", 6)} AS twap
+FROM seg WHERE t1 IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register(
+    "q88_twap",
+    "analytics",
+    "Time-weighted average value per user (TWAP): each observation holds "
+    "until the next one (lead over the per-user timeline), so the mean "
+    "weights each value by its holding duration — the correct average "
+    "for irregularly-sampled series, where the arithmetic mean "
+    "over-weights bursts. Numerator accumulates exact integer "
+    "(value_e4 x duration_ms) products; ONE window shuffle + one "
+    "aggregate on the same user_id partitioning, so Catalyst plans a "
+    "single exchange. The financial/telemetry downsampling kernel "
+    "(TWAP/VWAP family).",
+    oracle=_TWAP_ORACLE,
+)
+def q88_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v_e4"),
+        F.unix_millis("ts").alias("t0"),
+        F.lead(F.unix_millis("ts")).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    dur = F.col("t1") - F.col("t0")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dur).alias("span_ms"),
+            fround(
+                F.sum(F.col("v_e4") * dur) * 1.0 / F.sum(dur) / 10000, 6
+            ).alias("twap"),
+        )
     )

@@ -99,6 +99,7 @@ def _pr_oracle() -> str:
     "round: one edges x ranks join + one groupBy(dst) partial-aggregated "
     "shuffle; lineage cut per round via localCheckpoint.",
     oracle=_pr_oracle(),
+    bench=True,
 )
 def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)

@@ -267,6 +267,7 @@ GROUP BY o_orderpriority
     "lakehouse OPTIMIZE ZORDER pattern: one layout write amortized over "
     "every multi-dimensional slice query.",
     oracle=_Q85_ORACLE,
+    bench=True,
     prepare=lambda spark, sf_dir: zordered_orders(spark, sf_dir) and None,
 )
 def q85_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

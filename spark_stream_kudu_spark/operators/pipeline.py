@@ -719,6 +719,7 @@ GROUP BY 1, 2
     "FINGERPRINTS (md5 of the value columns, dedup_fingerprint) instead "
     "of each column cuts the compare to one string per row.",
     oracle=_SNAPDIFF_ORACLE,
+    bench=True,
 )
 def q80_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.functions.hashing import md5_int32

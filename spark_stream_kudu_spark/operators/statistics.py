@@ -230,6 +230,7 @@ FROM moments
     "64-row (mean, std) result broadcasts back for the transform step. "
     "Re-aggregatable: per-shard moment tables roll up by summing.",
     oracle=_DIM_STATS_ORACLE,
+    bench=True,
 )
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
