@@ -113,17 +113,23 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = e0.unionByName(
+    raw = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
-    outdeg = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    )
+    outdeg = raw.groupBy("src").agg(F.sum("w").alias("wout"))
+    # Fold the static out-degree into the edge list ONCE; each round then
+    # needs only a broadcast of the |nodes|-sized rank table — the edge
+    # list never re-shuffles (at web scale swap the broadcast for a
+    # shuffled hash join, same loop).
+    edges = raw.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     base = int(_PR_SCALE * 15 // 100)
     for _ in range(_PR_ITERATIONS):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outdeg, "src")
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
             .select(
                 F.col("dst"),
                 # Integer `div`, never float `/`: rank * w exceeds 2^53,
@@ -136,7 +142,7 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes.join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
