@@ -677,3 +677,114 @@ def q88_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q90: unpivot / melt (wide -> long reshape)
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH parts AS (
+  SELECT 'extended_cents' AS component,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  UNION ALL
+  SELECT 'discount_cents',
+         CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'tax_cents',
+         CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100 + 0.5) AS BIGINT)
+  FROM lineitem
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM parts GROUP BY component
+"""
+
+
+@register(
+    "q90_unpivot",
+    "analytics",
+    "Unpivot / melt (wide -> long reshape): each line item's three charge "
+    "components become three (component, cents) rows via the native "
+    "unpivot operator (Expand node — map-side, zero shuffle), then roll "
+    "up per component. The inverse of q33_pivot, closing the reshape "
+    "surface; the oracle states it as the classic 3x UNION ALL re-scan, "
+    "the engine scans ONCE. Long-form output is what feature stores and "
+    "plotting/QA pipelines ingest.",
+    oracle=_UNPIVOT_ORACLE,
+)
+def q90_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")
+    wide = li.select(
+        cents(F.col("l_extendedprice")).alias("extended_cents"),
+        cents(F.col("l_extendedprice") * F.col("l_discount")).alias("discount_cents"),
+        cents(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+        ).alias("tax_cents"),
+    )
+    long = wide.unpivot(
+        [], ["extended_cents", "discount_cents", "tax_cents"], "component", "cents"
+    )
+    return long.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q91: period-over-period growth
+# --------------------------------------------------------------------------
+
+_GROWTH_ORACLE = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(month(o_orderdate) AS INTEGER) AS o_month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_year, o_month, revenue_cents,
+       {sql_fround(
+           "(revenue_cents - lag(revenue_cents) OVER (ORDER BY o_year, o_month))"
+           " * 1.0 / lag(revenue_cents) OVER (ORDER BY o_year, o_month)", 6)}
+         AS mom_growth
+FROM monthly
+"""
+
+
+@register(
+    "q91_growth",
+    "analytics",
+    "Period-over-period growth: monthly revenue with month-over-month "
+    "percentage change (lag over the aggregated series). The global-"
+    "ordering window runs over |months| rows — the fact table never "
+    "enters the single-partition window, only the partially-aggregated "
+    "rollup does (aggregate first, window the rollup: the pattern that "
+    "keeps trend reporting cheap at any fact scale). First month's "
+    "growth is NULL by definition and preserved.",
+    oracle=_GROWTH_ORACLE,
+)
+def q91_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    w = Window.orderBy("o_year", "o_month")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        "o_year",
+        "o_month",
+        "revenue_cents",
+        fround((F.col("revenue_cents") - prev) * 1.0 / prev, 6).alias("mom_growth"),
+    )

@@ -255,3 +255,78 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(sxd / nd / _EMB_SCALE, 6).alias("mean"),
         fround(F.sqrt(var_nn) / _EMB_SCALE, 6).alias("std"),
     )
+
+
+# --------------------------------------------------------------------------
+# q89: winsorization (quantile clamping)
+# --------------------------------------------------------------------------
+
+_WINSOR_LO, _WINSOR_HI = 0.05, 0.95
+
+_WINSOR_ORACLE = f"""
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, {_WINSOR_LO}) AS lo,
+         quantile_cont(l_extendedprice, {_WINSOR_HI}) AS hi
+  FROM lineitem GROUP BY 1
+),
+clamped AS (
+  SELECT l.l_returnflag,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS raw_cents,
+         CAST(floor(least(greatest(l.l_extendedprice, b.lo), b.hi) * 100 + 0.5)
+              AS BIGINT) AS win_cents,
+         CAST(l.l_extendedprice < b.lo AS INT) AS clo,
+         CAST(l.l_extendedprice > b.hi AS INT) AS chi
+  FROM lineitem l JOIN bounds b USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(clo) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(chi) AS BIGINT) AS n_clamped_hi,
+       {sql_fround("sum(raw_cents) * 1.0 / count(*) / 100", 4)} AS mean_raw,
+       {sql_fround("sum(win_cents) * 1.0 / count(*) / 100", 4)} AS mean_winsorized
+FROM clamped
+GROUP BY 1
+"""
+
+
+@register(
+    "q89_winsorize",
+    "statistics",
+    f"Winsorization: clamp each group's values into its exact "
+    f"[p{int(_WINSOR_LO * 100)}, p{int(_WINSOR_HI * 100)}] quantile band "
+    "and report raw vs clamped means plus clamp counts — the outlier-"
+    "robust normalization step before loss-sensitive statistics (Spark "
+    "percentile() == DuckDB quantile_cont, the q37-proven pairing; means "
+    "from exact integer cents). Two passes over the group: one quantile "
+    "aggregate producing a |groups|-row bounds table that BROADCASTS "
+    "back, one clamp+aggregate — the fact table shuffles once.",
+    oracle=_WINSOR_ORACLE,
+)
+def q89_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, {_WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(l_extendedprice, {_WINSOR_HI})").alias("hi"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    win = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_extendedprice") < F.col("lo")).cast("int")).alias(
+            "n_clamped_lo"
+        ),
+        F.sum((F.col("l_extendedprice") > F.col("hi")).cast("int")).alias(
+            "n_clamped_hi"
+        ),
+        fround(F.sum(cents(F.col("l_extendedprice"))) * 1.0 / F.count(F.lit(1)) / 100, 4).alias(
+            "mean_raw"
+        ),
+        fround(F.sum(cents(win)) * 1.0 / F.count(F.lit(1)) / 100, 4).alias(
+            "mean_winsorized"
+        ),
+    )
