@@ -788,3 +788,64 @@ def q91_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         fround((F.col("revenue_cents") - prev) * 1.0 / prev, 6).alias("mom_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# q92: max concurrency (sweep-line over implied intervals)
+# --------------------------------------------------------------------------
+
+_CONC_HOLD_MS = 1_800_000  # each event holds a session open 30 min
+
+_CONC_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT user_id, epoch_ms(ts) + {_CONC_HOLD_MS}, -1 FROM events
+),
+sweep AS (
+  SELECT user_id,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY t ASC, delta ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS active
+  FROM pts
+)
+SELECT user_id, CAST(max(active) AS BIGINT) AS max_concurrent
+FROM sweep GROUP BY user_id
+"""
+
+
+@register(
+    "q92_max_concurrency",
+    "analytics",
+    "Maximum concurrent open sessions per user (each event holds a "
+    "30-minute interval): the classic sweep-line — unpivot each interval "
+    "to (+1 start, -1 end) points, running sum per user with ends "
+    "ordered before starts at the same instant (back-to-back intervals "
+    "do not overlap), max of the running count. O(n log n) via one "
+    "window sort instead of the quadratic interval self-join; point "
+    "generation is a map-side Expand, so the plan is one shuffle on "
+    "user_id. The double-booking / capacity-planning kernel.",
+    oracle=_CONC_ORACLE,
+)
+def q92_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    t = F.unix_millis("ts")
+    pts = ev.select(
+        "user_id", t.alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "user_id",
+            (t + F.lit(_CONC_HOLD_MS)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("active", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("active").alias("max_concurrent"))
+    )

@@ -643,3 +643,103 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_against_exact("ivf", exact, ivf).unionByName(
         _recall_against_exact("rplsh", exact, rp)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebook assignment
+# --------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 4
+_PQ_SUBDIM = _DIM // _PQ_SUBSPACES  # 16 dims per subspace
+_PQ_MOD = 50  # codebook: vec_id % _PQ_MOD == 0 (deterministic "training")
+_PQ_SCALE = 1 << 10  # component scaling for exact integer L2
+
+_PQ_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS sub,
+         CAST(floor(embedding[i] * {_PQ_SCALE}) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, {_DIM}) AS t(i)
+),
+cents AS (
+  SELECT vec_id AS cid, dim, sub, c FROM comp WHERE vec_id % {_PQ_MOD} = 0
+),
+dists AS (
+  SELECT v.vec_id, v.sub, ct.cid,
+         sum((v.c - ct.c) * (v.c - ct.c)) AS d2
+  FROM comp v JOIN cents ct ON ct.dim = v.dim
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, sub, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code_0,
+       CAST(sum(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code_1,
+       CAST(sum(CASE WHEN sub = 2 THEN cid END) AS BIGINT) AS code_2,
+       CAST(sum(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code_3,
+       CAST(sum(d2) AS BIGINT) AS quant_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def _pq_slice(col, sub: int):
+    """1-indexed slice of subspace ``sub`` as scaled integers."""
+    sliced = F.slice(col, sub * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+    return F.transform(sliced, lambda x: F.floor(x * _PQ_SCALE).cast("long"))
+
+
+def _pq_d2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "emb_pq_codes",
+    "similarity",
+    f"Product quantization: each {_DIM}-dim vector splits into "
+    f"{_PQ_SUBSPACES} subspaces of {_PQ_SUBDIM} dims, each assigned its "
+    "nearest codebook centroid by EXACT integer squared-L2 (2^10-scaled "
+    "components, deterministic min-distance/min-id tie-break), emitting "
+    f"the {_PQ_SUBSPACES}-byte code and total quantization error. THE "
+    "memory scale path for 100 TB ANN: vectors compress ~64x (4 small "
+    "codes vs 64 floats), distance evaluation becomes 4 table lookups, "
+    "and the codebook (|centroids| x dims) broadcasts everywhere. "
+    "Assignment is scan-local per subspace: corpus x broadcast-codebook "
+    "distance, rank, join codes back by vec_id. Codebook 'training' is "
+    "the same deterministic sampling the IVF family oracle-mirrors.",
+    oracle=_PQ_ORACLE,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % _PQ_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = None
+    for s in range(_PQ_SUBSPACES):
+        d2 = _pq_d2(_pq_slice(F.col("embedding"), s), _pq_slice(F.col("cv"), s))
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        best = (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                F.col("cid").alias(f"code_{s}"),
+                F.col("d2").alias(f"d2_{s}"),
+            )
+        )
+        out = best if out is None else out.join(best, "vec_id")
+    err = sum(F.col(f"d2_{s}") for s in range(_PQ_SUBSPACES))
+    return out.select(
+        "vec_id",
+        *[F.col(f"code_{s}") for s in range(_PQ_SUBSPACES)],
+        err.alias("quant_err"),
+    )
