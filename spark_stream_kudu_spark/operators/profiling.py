@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.rounding import fround
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -179,3 +180,63 @@ def q78_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel = totals.join(orphans, "fk").select("fk", "n_child", "n_orphans")
         out = rel if out is None else out.unionByName(rel)
     return out
+
+
+# --------------------------------------------------------------------------
+# q93: Benford first-digit audit
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+SELECT o.d AS digit, o.n,
+       floor((o.n * 1.0 / t.total) * 1000000 + 0.5) / 1000000 AS obs_share,
+       floor(ln(1.0 + 1.0 / o.d) / ln(10.0) * 1000000 + 0.5) / 1000000
+         AS benford_share,
+       floor(((o.n * 1.0 / t.total) - ln(1.0 + 1.0 / o.d) / ln(10.0))
+             * 1000000 + 0.5) / 1000000 AS deviation
+FROM obs o CROSS JOIN tot t
+"""
+
+
+@register(
+    "q93_benford",
+    "profiling",
+    "Benford first-digit audit: observed leading-digit distribution of "
+    "order totals vs the Benford expectation log10(1 + 1/d), with "
+    "per-digit deviation — the classic fabricated-data / broken-generator "
+    "screen for financial and telemetry feeds. First digit via integer "
+    "string prefix (identical in both engines, no float log tricks); one "
+    "map-side-combined count over 9 groups, the 1-row total broadcast "
+    "back. Output is 9 rows regardless of input scale.",
+    oracle=_BENFORD_ORACLE,
+)
+def q93_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    share = F.col("n") * 1.0 / F.col("total")
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            fround(share, 6).alias("obs_share"),
+            fround(benford, 6).alias("benford_share"),
+            fround(share - benford, 6).alias("deviation"),
+        )
+    )

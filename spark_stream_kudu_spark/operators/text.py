@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
@@ -450,4 +450,66 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
         .filter(dist <= _ED_MAX)
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_distance"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain divergence: per-source KL vs the corpus token distribution
+# --------------------------------------------------------------------------
+
+_KL_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+src_counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+),
+src_totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM src_counts GROUP BY 1
+),
+gdist AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM src_counts GROUP BY 1
+),
+gtot AS (SELECT CAST(sum(g) AS BIGINT) AS gn FROM gdist)
+SELECT s.source,
+       t.n AS n_tokens,
+       {sql_fround(
+           "sum((s.c * 1.0 / t.n) * ln((s.c * 1.0 / t.n) / (g.g * 1.0 / gt.gn)))",
+           6)} AS kl_vs_corpus
+FROM src_counts s
+JOIN src_totals t USING (source)
+JOIN gdist g USING (tok)
+CROSS JOIN gtot gt
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "text_domain_kl",
+    "text",
+    "Per-source KL divergence of the token distribution against the whole "
+    "corpus — the distribution-shift score data-mixing decisions key off "
+    "(which domains are redundant with the mix, which add novelty). "
+    "KL(P_source || P_corpus) over observed source tokens (every source "
+    "token exists globally, so no zero-q smoothing is needed). One "
+    "corpus-sized token-count shuffle; the global distribution and totals "
+    "are |vocab|-sized and broadcast back; floats only in the final "
+    "p*ln(p/q) on identical operands (the text_lm_score convention).",
+    oracle=_KL_ORACLE,
+)
+def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    src_counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src_totals = src_counts.groupBy("source").agg(F.sum("c").alias("n"))
+    glob = src_counts.groupBy("tok").agg(F.sum("c").alias("g"))
+    glob_total = glob.agg(F.sum("g").alias("gn"))
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("g") * 1.0 / F.col("gn")
+    return (
+        src_counts.join(F.broadcast(src_totals), "source")
+        .join(glob, "tok")
+        .crossJoin(F.broadcast(glob_total))
+        .groupBy("source", F.col("n").alias("n_tokens"))
+        .agg(fround(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
     )
