@@ -849,3 +849,153 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_TOP_K)
         .select("qid", "neighbor_id", "adc_d2", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ-ADC composed search (the production billion-vector pipeline)
+# --------------------------------------------------------------------------
+
+_IVF_ADC_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id % {IVF_MOD} = 0),
+assign0 AS (
+  SELECT e.vec_id, cent.ccid,
+         floor(((list_dot_product(e.v, cent.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))))
+               * 1000000 + 0.5) / 1000000 AS csim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, ccid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid ASC) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST((i - 1) // {_PQ_SUBDIM} AS INTEGER) AS sub,
+         CAST(floor(embedding[i] * {_PQ_SCALE}) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, {_DIM}) AS t(i)
+),
+pqcents AS (
+  SELECT vec_id AS cid, dim, sub, c FROM comp WHERE vec_id % {_PQ_MOD} = 0
+),
+dists AS (
+  SELECT v.vec_id, v.sub, ct.cid,
+         sum((v.c - ct.c) * (v.c - ct.c)) AS d2
+  FROM comp v JOIN pqcents ct ON ct.dim = v.dim
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, sub, cid,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+  FROM dists
+),
+adc AS (
+  SELECT d.vec_id AS qid, b.vec_id AS neighbor_id,
+         CAST(sum(d.d2) AS BIGINT) AS adc_d2
+  FROM best b
+  JOIN dists d ON d.sub = b.sub AND d.cid = b.cid
+  JOIN assign qa ON qa.vec_id = d.vec_id
+  JOIN assign na ON na.vec_id = b.vec_id AND na.ccid = qa.ccid
+  WHERE b.rn = 1 AND d.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT qid, neighbor_id, adc_d2, rank FROM r WHERE rank <= {_ADC_TOP_K}
+"""
+
+
+@register(
+    "sim_topk_ivf_adc",
+    "similarity",
+    f"IVF + PQ-ADC composed search, the production billion-vector "
+    "pipeline in one declared query: the IVF assignment prunes "
+    "candidates to the query's inverted list (~1/n_centroids of the "
+    "corpus), and the survivors are scored in the COMPRESSED domain — "
+    "four lookups against each vector's PQ codes via the broadcast "
+    "query-side distance table — never touching corpus floats. Both "
+    "index structures are the already-oracle-checked operators "
+    "(sim_topk_ivf, emb_pq_codes, sim_topk_pq_adc); this proves they "
+    "COMPOSE, hash-checked end to end. At 100 TB: cluster id is a "
+    "partition key (file-level pruning), codes are ~64x smaller than "
+    "floats, and the exact re-rank of the shortlist is "
+    "sim_topk_bruteforce on candidate ids.",
+    oracle=_IVF_ADC_ORACLE,
+)
+def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # IVF assignment (same deterministic construction as sim_topk_ivf)
+    cent = e.filter(F.col("vec_id") % IVF_MOD == 0).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("cv")
+    )
+    csim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("ccid").asc()
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "ccid", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "ccid")
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("ccid").alias("qcid"),
+    )
+    # Query-side (sub, cid) -> exact d2 lookup table, broadcast
+    pqcents = e.filter(F.col("vec_id") % _PQ_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("pcv")
+    )
+    lut = None
+    for s in range(_PQ_SUBSPACES):
+        part = q.crossJoin(pqcents).select(
+            "qid",
+            "qcid",
+            F.lit(s).alias("sub"),
+            "cid",
+            _pq_d2(_pq_slice(F.col("qv"), s), _pq_slice(F.col("pcv"), s)).alias("d2"),
+        )
+        lut = part if lut is None else lut.unionByName(part)
+    # Candidate codes: same-cluster corpus vectors only (IVF prune)
+    codes = emb_pq_codes(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
+    cand = codes.join(
+        assign.select(F.col("vec_id").alias("cvid"), F.col("ccid").alias("ncid")),
+        F.col("vec_id") == F.col("cvid"),
+    )
+    long_codes = cand.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "ncid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("sub"), F.col(f"code_{s}").alias("cid"))
+                    for s in range(_PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sc"),
+    ).select(
+        "neighbor_id", "ncid", F.col("sc.sub").alias("sub"), F.col("sc.cid").alias("cid")
+    )
+    adc = (
+        long_codes.join(
+            F.broadcast(lut),
+            (long_codes["sub"] == lut["sub"])
+            & (long_codes["cid"] == lut["cid"])
+            & (long_codes["ncid"] == lut["qcid"]),
+        )
+        .groupBy("qid", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_TOP_K)
+        .select("qid", "neighbor_id", "adc_d2", "rank")
+    )
