@@ -286,3 +286,104 @@ def q85_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-cluster-partitioned embedding layout: ANN probe as partition pruning
+# --------------------------------------------------------------------------
+
+_IVF_LAYOUT_MOD = 50  # must match similarity.IVF_MOD's construction
+
+
+def ivf_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings re-laid-out hive-partitioned by IVF cluster id.
+
+    The 'cluster id becomes a partition key' half of the ANN scale
+    story made physical: probing a query's inverted list is then a
+    PLANNING-TIME partition prune (PartitionFilters), not a post-scan
+    filter — a top-k probe reads 1/|centroids| of the files no matter
+    how big the corpus grows. Assignment is the same deterministic
+    nearest-centroid construction the sim_topk_ivf oracle mirrors.
+    Written once per (process, sf_dir) and reused.
+    """
+    from spark_stream_kudu_spark.functions.vectors import cosine_similarity
+    from spark_stream_kudu_spark.functions.rounding import fround
+
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_ivfpart_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from pyspark.sql import Window
+
+        e = load_table(spark, sf_dir, "embeddings")
+        cent = e.filter(F.col("vec_id") % _IVF_LAYOUT_MOD == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        csim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cid").asc()
+        )
+        (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "label", "cid", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "label", F.col("cid").alias("cluster"))
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+_Q96_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_IVF_LAYOUT_MOD} = 0),
+assign0 AS (
+  SELECT e.vec_id, cent.cid,
+         floor(((list_dot_product(e.v, cent.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))))
+               * 1000000 + 0.5) / 1000000 AS csim
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+)
+SELECT CAST(a.cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(a.vec_id) AS BIGINT) AS min_vec_id,
+       CAST(max(a.vec_id) AS BIGINT) AS max_vec_id
+FROM assign a
+WHERE a.cid = 0
+GROUP BY 1
+"""
+
+
+@register(
+    "q96_ivf_partitioned_scan",
+    "layout",
+    "Inverted-list probe over the IVF-cluster-partitioned embedding "
+    "layout: the cluster predicate lands on the hive partition column, "
+    "so planning prunes to ONE cluster directory (PartitionFilters, "
+    "asserted in test_plans) and executors never open the other "
+    "clusters' files — the physical form of the ANN 'probe 1/N of the "
+    "corpus' claim. Assignment identical to the sim_topk_ivf oracle "
+    "construction; results equal scanning the unpartitioned table.",
+    oracle=_Q96_ORACLE,
+    prepare=lambda spark, sf_dir: ivf_partitioned_embeddings(spark, sf_dir) and None,
+)
+def q96_ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ivf_partitioned_embeddings(spark, sf_dir)
+    return (
+        e.filter(F.col("cluster") == 0)
+        .groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+    )

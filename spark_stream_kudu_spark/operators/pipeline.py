@@ -855,3 +855,62 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("dup_hist") == 0) & (F.col("dup_batch") == 0)).cast("int")
         ).alias("n_ingested"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence training examples (context window -> next-event target)
+# --------------------------------------------------------------------------
+
+_SEQ_CONTEXT = 3  # context length (events) per training example
+
+_SEQ_EXAMPLES_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(event_type, 3) OVER w AS y,
+         lead(event_id, 3) OVER w AS target_event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS example_id,
+       concat_ws('>', event_type, t1, t2) AS context,
+       y AS target,
+       target_event_id
+FROM o WHERE y IS NOT NULL
+"""
+
+
+@register(
+    "pipeline_sequence_examples",
+    "pipeline",
+    f"Training-example construction from event sequences: every position "
+    f"in each user's ordered stream yields a ({_SEQ_CONTEXT}-event "
+    "context, next-event target) pair — the sliding-window next-token "
+    "dataset shape, via lead() over ONE per-user window (no self-joins, "
+    "no explode; examples overlap but each row is produced once). One "
+    "shuffle on user_id; example count = |events| - 3 per user, "
+    "generated at scan parallelism. Downstream splits hash the "
+    "example_id with the leakage-free cluster split machinery.",
+    oracle=_SEQ_EXAMPLES_ORACLE,
+)
+def pipeline_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_type", 3).over(w).alias("y"),
+        F.lead("event_id", 3).over(w).alias("target_event_id"),
+    )
+    return o.filter(F.col("y").isNotNull()).select(
+        "user_id",
+        F.col("event_id").alias("example_id"),
+        F.concat_ws(">", "event_type", "t1", "t2").alias("context"),
+        F.col("y").alias("target"),
+        "target_event_id",
+    )

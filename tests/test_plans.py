@@ -330,3 +330,14 @@ def test_dim_stats_partial_aggregates(spark, sf_smoke):
     (64 rows per partition), or the exploded 64x row stream shuffles."""
     df = ALL["emb_dim_stats"].builder(spark, sf_smoke)
     assert checks.has_partial_aggregate(df)
+
+
+def test_ivf_partitioned_scan_prunes_clusters(spark, sf_smoke):
+    """The cluster predicate must appear as PartitionFilters on the
+    IVF-partitioned embedding layout — the ANN probe reads ONE cluster
+    directory at planning time, not a post-scan filter."""
+    df = ALL["q96_ivf_partitioned_scan"].builder(spark, sf_smoke)
+    plan = checks.formatted_plan(df)
+    assert "PartitionFilters: [" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cluster" in l for l in pf_lines), pf_lines
