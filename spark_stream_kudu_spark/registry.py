@@ -71,13 +71,17 @@ def load_all() -> dict[str, QuerySpec]:
     Ordering is deliberate: the driver's correctness gate walks the
     registry front-to-back with a bounded window (~50 queries/round), so
     families whose driver-side evidence is thinnest register first.
-    Round 3 rotation: every query with ZERO driver rows so far leads —
-    the round-3 additions (analytics, anomaly, series, curation,
-    transitions), then parity_extra / pipeline / advanced (q36's fix
-    needs a green row) / streaming+operators extensions — followed by
-    the LLM-pipeline north-star families for re-confirmation; the
-    relational core (49/50 green in CORRECTNESS_r01) and temporal/
-    streaming families (green in round 2) trail.
+    Current rotation: the newest zero-driver-row additions (analytics,
+    statistics, profiling, graph, streaming e2e, pipeline) lead; the
+    relational core (49/50 green in CORRECTNESS_r01) trails.
+
+    NEXT-ROUND ROTATION NOTE: once the current window earns green rows,
+    move the still-unchecked families forward — dedup_* (positions
+    ~50-70), text_*, multimodal_*, sampling (incl. sample_cluster_split),
+    layout (q55/q58/q85/q96), temporal (q38-q41, q52-q54, q59, q64),
+    similarity tail (emb_pq_codes, sim_topk_pq_adc, sim_recall_eval,
+    sim_topk_ivf_adc) — and retire proven rows to the back. Coverage
+    accumulates across rounds; no single round can check all ~165.
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
     import spark_stream_kudu_spark.streaming.anomaly  # noqa: F401
