@@ -932,3 +932,55 @@ def q94_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_ms").alias("purchase_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q97: gap detection (missing-data report)
+# --------------------------------------------------------------------------
+
+_GAP_MIN_MS = 3_600_000  # report silences longer than 1 hour
+
+_GAP_ORACLE = f"""
+WITH seg AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS t0,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id,
+       t0 AS gap_start_ms, t1 AS gap_end_ms,
+       CAST(t1 - t0 AS BIGINT) AS gap_ms
+FROM seg
+WHERE t1 IS NOT NULL AND t1 - t0 > {_GAP_MIN_MS}
+"""
+
+
+@register(
+    "q97_gap_report",
+    "analytics",
+    "Missing-data gap report: per-user silences longer than 1h, each as "
+    "(last event before the gap, gap bounds, duration) — the inverse of "
+    "gap-fill (q70: synthesize the missing grid; q97: ALERT on it), the "
+    "sensor-outage / feed-health query. One lead() window per user, "
+    "filter on the gap length; one shuffle, output is |gaps| rows.",
+    oracle=_GAP_ORACLE,
+)
+def q97_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_millis("ts")
+    seg = ev.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        t.alias("gap_start_ms"),
+        F.lead(t).over(w).alias("gap_end_ms"),
+    )
+    return seg.filter(
+        F.col("gap_end_ms").isNotNull()
+        & (F.col("gap_end_ms") - F.col("gap_start_ms") > _GAP_MIN_MS)
+    ).select(
+        "user_id",
+        "last_event_id",
+        "gap_start_ms",
+        "gap_end_ms",
+        (F.col("gap_end_ms") - F.col("gap_start_ms")).alias("gap_ms"),
+    )

@@ -240,3 +240,80 @@ def q93_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(share - benford, 6).alias("deviation"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q98: embedding-quality audit
+# --------------------------------------------------------------------------
+
+_EMB_AUDIT_DIM = 64
+_EMB_AUDIT_SCALE = 1 << 20
+
+_EMB_AUDIT_ORACLE = f"""
+WITH comps AS (
+  SELECT vec_id, label,
+         CAST(floor(embedding[i] * {_EMB_AUDIT_SCALE}) AS BIGINT) AS c,
+         len(embedding) AS dim
+  FROM embeddings, generate_series(1, {_EMB_AUDIT_DIM}) AS t(i)
+),
+per_vec AS (
+  SELECT vec_id, label,
+         max(dim) AS dim,
+         sum(c * c) AS norm2_int,
+         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_comps
+  FROM comps GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN dim <> {_EMB_AUDIT_DIM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_dim,
+       CAST(sum(CASE WHEN norm2_int = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_vectors,
+       CAST(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_labels,
+       CAST(sum(n_zero_comps) AS BIGINT) AS n_zero_components,
+       floor(sqrt(min(norm2_int)) / {_EMB_AUDIT_SCALE}.0 * 1000000 + 0.5) / 1000000
+         AS min_norm,
+       floor(sqrt(max(norm2_int)) / {_EMB_AUDIT_SCALE}.0 * 1000000 + 0.5) / 1000000
+         AS max_norm
+FROM per_vec
+"""
+
+
+@register(
+    "q98_embedding_audit",
+    "profiling",
+    "Embedding-quality audit before ANN indexing / training: vector "
+    "count, wrong-dimension count, zero-vector count (cosine is "
+    "undefined on them — they poison similarity search silently), null "
+    "labels, zero components, and the norm range (2^20-scaled integer "
+    "norms, exact and engine-identical). One posexplode + per-vector "
+    "partial aggregate + one global rollup to a SINGLE audit row; the "
+    "pre-flight check every embedding pipeline should gate ingest on.",
+    oracle=_EMB_AUDIT_ORACLE,
+)
+def q98_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    c = F.floor(F.col("comp") * _EMB_AUDIT_SCALE).cast("long")
+    per_vec = (
+        e.select(
+            "vec_id", "label", F.size("embedding").alias("dim"),
+            F.posexplode("embedding").alias("pos", "comp"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max("dim").alias("dim"),
+            F.sum(c * c).alias("norm2_int"),
+            F.sum((c == 0).cast("long")).alias("n_zero_comps"),
+        )
+    )
+    scale = float(_EMB_AUDIT_SCALE)
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("dim") != _EMB_AUDIT_DIM).cast("long")).alias("n_bad_dim"),
+        F.sum((F.col("norm2_int") == 0).cast("long")).alias("n_zero_vectors"),
+        F.sum(F.col("label").isNull().cast("long")).alias("n_null_labels"),
+        F.sum("n_zero_comps").alias("n_zero_components"),
+        fround(F.sqrt(F.min("norm2_int")) / scale, 6).alias("min_norm"),
+        fround(F.sqrt(F.max("norm2_int")) / scale, 6).alias("max_norm"),
+    )
