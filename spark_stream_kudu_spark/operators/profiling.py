@@ -317,3 +317,62 @@ def q98_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sqrt(F.min("norm2_int")) / scale, 6).alias("min_norm"),
         fround(F.sqrt(F.max("norm2_int")) / scale, 6).alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q99: order-independent table content digest
+# --------------------------------------------------------------------------
+
+
+def _digest_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    row = (
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+        "o_orderstatus, CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), "
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)"
+    )
+    h = sql_md5_int32(row)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS digest_sum,
+       CAST(max({h}) AS BIGINT) AS digest_max
+FROM orders
+"""
+
+
+@register(
+    "q99_table_digest",
+    "profiling",
+    "Order-independent table content digest: each row renders to a "
+    "canonical string (integer cents, explicit timestamp format — the "
+    "q77 engine-stable conventions), hashes to a uint32, and the table "
+    "digest is the SUM of row hashes as DECIMAL(38,0) — commutative and "
+    "associative, so ANY partitioning, engine, or merge order yields "
+    "the identical digest. The replication/migration equality check "
+    "that pairs with q80_snapshot_diff: digests differ -> run the diff "
+    "to localize. One scan, map-side partial sums, single-row output; "
+    "at 100 TB compute per-partition digests the same way and store "
+    "them as a re-aggregatable digest table.",
+    oracle=_digest_oracle(),
+)
+def q99_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    h = md5_int32(row)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("digest_sum"),
+        F.max(h).alias("digest_max"),
+    )
