@@ -219,3 +219,53 @@ def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-count-per-stratum deterministic sampling
+# --------------------------------------------------------------------------
+
+PER_STRATUM_N = 20
+
+
+def _fixed_sample_oracle() -> str:
+    pct_expr = sql_md5_int32("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {pct_expr} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars
+FROM ranked WHERE rk <= {PER_STRATUM_N}
+"""
+
+
+@register(
+    "sample_fixed_per_stratum",
+    "sampling",
+    f"Deterministic fixed-count sample: exactly {PER_STRATUM_N} documents "
+    "per language, chosen by ranking each stratum on the key hash — the "
+    "reservoir-sampling contract (uniform within stratum, exact output "
+    "size) without reservoir state: membership is a pure function of "
+    "the keys present, reproducible across engines and partitionings, "
+    "and stable under reruns. One window shuffle on the stratum key; "
+    "at 100 TB strata rank in parallel and the hash order means no "
+    "secondary scan for randomization. The eval-set construction "
+    "primitive (fixed-size per-language holdouts).",
+    oracle=_fixed_sample_oracle(),
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_int32(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PER_STRATUM_N)
+        .drop("rk")
+    )

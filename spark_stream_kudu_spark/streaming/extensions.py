@@ -589,3 +589,103 @@ def stream_outer_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFram
             F.unix_millis("v_ts").alias("view_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental content-digest maintenance (CDC integrity monitor)
+# --------------------------------------------------------------------------
+
+
+def _stream_digest_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    row = (
+        "concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), "
+        "event_type, CAST(epoch_ms(ts) AS VARCHAR), "
+        "CAST(CAST(floor(value * 10000 + 0.5) AS BIGINT) AS VARCHAR))"
+    )
+    h = sql_md5_int32(row)
+    return f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS digest_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_digest_e2e",
+    "streaming",
+    "END-TO-END incremental content-digest maintenance: each micro-batch "
+    "computes per-event-type partial digests (sum of canonical row "
+    "hashes — the q99 convention) that the additive sink SUM-merges into "
+    "the keyed store. Digest sums are commutative/associative, so the "
+    "maintained table equals the one-shot batch digest regardless of "
+    "batch boundaries — the continuous integrity monitor a CDC feed "
+    "runs beside its sink: replay, reorder, or double-apply and the "
+    "digest diverges from the source-of-truth digest immediately. "
+    "Idempotent-replay marker prevents double-counting.",
+    oracle=_stream_digest_oracle(),
+)
+def stream_digest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "event_type", "ts", "value")
+    base = new_run_dir("dig")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for k in range(4):
+        stage = os.path.join(base, f"stage_{k}")
+        (
+            ev.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "digest"),
+        key=["event_type"],
+        sum_cols=["n_rows", "digest_sum"],
+    )
+
+    row = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.unix_millis("ts").cast("string"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").cast("string"),
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(md5_int32(row).cast("decimal(38,0)")).alias("digest_sum"),
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark).select(
+        "event_type",
+        "n_rows",
+        F.col("digest_sum").cast("decimal(38,0)").cast("string").alias("digest_sum"),
+    )
