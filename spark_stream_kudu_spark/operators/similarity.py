@@ -999,3 +999,72 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_TOP_K)
         .select("qid", "neighbor_id", "adc_d2", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Full index-quality report: every approximate arm vs exact ground truth
+# --------------------------------------------------------------------------
+
+
+def _recall_full_oracle() -> str:
+    from spark_stream_kudu_spark.operators.pipeline import _QUANTIZED_ORACLE
+
+    arms = {
+        "ivf": _IVF_ORACLE,
+        "rplsh": _RPLSH_ORACLE,
+        "quantized": _QUANTIZED_ORACLE,
+        "pq_adc": _ADC_ORACLE,
+        "ivf_adc": _IVF_ADC_ORACLE,
+    }
+    unions = "\n  UNION ALL\n".join(
+        f"""SELECT '{name}' AS method, e.qid,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN arm_{name} a
+    ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.qid"""
+        for name in arms
+    )
+    withs = ",\n".join(f"arm_{n} AS ({sql})" for n, sql in arms.items())
+    return f"""
+WITH exact AS ({_BRUTE_ORACLE}),
+{withs},
+ev AS (
+  {unions}
+)
+SELECT method, qid, n_exact, n_hits,
+       floor((n_hits * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall
+FROM ev
+"""
+
+
+@register(
+    "sim_recall_eval_full",
+    "similarity",
+    f"Complete ANN index-quality report: recall@{TOP_K} of EVERY "
+    "approximate arm the engine ships — IVF, random-hyperplane LSH, "
+    "int8 scalar quantization, PQ asymmetric-distance, and the composed "
+    "IVF+ADC pipeline — against the exact brute-force top-k, per query. "
+    "The table a deployment reads before choosing its scan-cost/recall/"
+    "memory point; every arm and the ground truth are already-verified "
+    "operators, composed and hash-checked in one query. Evaluation cost "
+    "is one exact pass over the (hash-sampled, at scale) query set "
+    "amortized across all five arms.",
+    oracle=_recall_full_oracle(),
+)
+def sim_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.pipeline import sim_topk_quantized
+
+    exact = sim_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    arms = {
+        "ivf": sim_topk_ivf(spark, sf_dir),
+        "rplsh": sim_topk_rplsh(spark, sf_dir),
+        "quantized": sim_topk_quantized(spark, sf_dir),
+        "pq_adc": sim_topk_pq_adc(spark, sf_dir),
+        "ivf_adc": sim_topk_ivf_adc(spark, sf_dir),
+    }
+    out = None
+    for name, approx in arms.items():
+        r = _recall_against_exact(name, exact, approx)
+        out = r if out is None else out.unionByName(r)
+    return out
