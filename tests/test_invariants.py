@@ -196,3 +196,46 @@ def test_recall_eval_bounded_and_exact_grain(spark, sf_smoke):
         assert r.n_exact == TOP_K
         assert 0 <= r.n_hits <= r.n_exact
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_pq_codes_valid_and_error_nonnegative(spark, sf_smoke):
+    """Every PQ code must name a real codebook centroid and quantization
+    error is non-negative; a vector that IS a centroid should code to
+    itself in every subspace with zero error."""
+    from spark_stream_kudu_spark.operators.similarity import _PQ_MOD
+
+    rows = ALL["emb_pq_codes"].builder(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        for s in range(4):
+            assert r[f"code_{s}"] % _PQ_MOD == 0
+        assert r.quant_err >= 0
+    self_coded = [r for r in rows if r.vec_id % _PQ_MOD == 0]
+    for r in self_coded:
+        assert r.quant_err == 0
+        assert all(r[f"code_{s}"] == r.vec_id for s in range(4))
+
+
+def test_table_digest_is_partition_invariant(spark, sf_smoke):
+    """The q99 digest must not change when the input is re-partitioned —
+    the order-independence claim, checked directly: hash-sum the same
+    rows under a different partitioning and compare."""
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    base = ALL["q99_table_digest"].builder(spark, sf_smoke).collect()[0]
+
+    o = load_table(spark, sf_smoke, "orders").repartition(7, "o_orderstatus")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    alt = o.agg(
+        F.sum(md5_int32(row).cast("decimal(38,0)")).cast("string").alias("digest_sum")
+    ).collect()[0]
+    assert alt.digest_sum == base.digest_sum
