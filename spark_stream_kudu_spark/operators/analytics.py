@@ -984,3 +984,66 @@ def q97_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_end_ms",
         (F.col("gap_end_ms") - F.col("gap_start_ms")).alias("gap_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# q100: null-handling semantics (the cross-engine divergence corners)
+# --------------------------------------------------------------------------
+
+_NULLSEM_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS v
+  FROM orders
+)
+SELECT coalesce(CAST(k % 3 AS VARCHAR), 'NULL_KEY') AS key_group,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_nonnull_v,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_v,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       floor(avg(v) * 100 + 0.5) / 100 AS avg_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_v
+FROM base
+GROUP BY 1
+"""
+
+
+@register(
+    "q100_null_semantics",
+    "analytics",
+    "Null-handling semantics pinned end to end: NULL grouping keys form "
+    "their own group (not dropped), count(*) counts them while count(v) "
+    "and count(DISTINCT v) skip NULL values, sum/avg/min ignore NULLs "
+    "(avg divides by the non-null count, not the row count), and NULLs "
+    "inside aggregation never poison the result. These are the corners "
+    "where engines historically diverge and silently corrupt reports — "
+    "declared as a query so the contract is hash-checked, not assumed.",
+    oracle=_NULLSEM_ORACLE,
+)
+def q100_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_custkey"))
+    v = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    )
+    base = o.select(k.alias("k"), v.alias("v"))
+    return (
+        base.groupBy(
+            F.coalesce((F.col("k") % 3).cast("string"), F.lit("NULL_KEY")).alias(
+                "key_group"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_nonnull_v"),
+            F.count_distinct(F.col("v")).alias("n_distinct_v"),
+            F.sum("v").alias("sum_v"),
+            fround(F.avg("v"), 2).alias("avg_v"),
+            F.min("v").alias("min_v"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_null_v"),
+        )
+    )
