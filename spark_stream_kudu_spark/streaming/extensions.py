@@ -689,3 +689,114 @@ def stream_digest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("digest_sum").cast("decimal(38,0)").cast("string").alias("digest_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming vector search: live queries served from the static PQ index
+# --------------------------------------------------------------------------
+
+
+def _stream_ann_oracle() -> str:
+    from spark_stream_kudu_spark.operators.similarity import _ADC_ORACLE
+
+    return _ADC_ORACLE
+
+
+@register(
+    "stream_ann_e2e",
+    "streaming",
+    "END-TO-END streaming vector search: query vectors arrive as a live "
+    "stream and each micro-batch is served against the STATIC PQ-coded "
+    "corpus — the batch computes its queries' distance lookup table "
+    "(|batch| x |codebook|, broadcast) and scores every corpus vector "
+    "from its 4-int codes, appending per-query top-k. The real-time "
+    "retrieval serving shape: the heavy index (codes) is a static table "
+    "resolved per batch, queries stream through, nothing global "
+    "re-trains. Value-equal to the batch PQ-ADC oracle.",
+    oracle=_stream_ann_oracle(),
+)
+def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_stream_kudu_spark.operators.similarity import (
+        _ADC_TOP_K,
+        _PQ_SUBSPACES,
+        _pq_d2,
+        _pq_slice,
+        N_QUERIES,
+        _PQ_MOD,
+        emb_pq_codes,
+    )
+
+    tune_session(spark)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = new_run_dir("ann")
+    q_dir = os.path.join(base, "queries")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    queries.write.mode("overwrite").parquet(q_dir)
+
+    cents = e.filter(F.col("vec_id") % _PQ_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    codes = emb_pq_codes(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
+    long_codes = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("sub"), F.col(f"code_{s}").alias("cid"))
+                    for s in range(_PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sc"),
+    ).select("neighbor_id", F.col("sc.sub").alias("sub"), F.col("sc.cid").alias("cid"))
+    long_codes = long_codes.localCheckpoint(eager=True)  # static index, built once
+
+    out = os.path.join(base, "out")
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = batch_df.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        lut = None
+        for s in range(_PQ_SUBSPACES):
+            part = q.crossJoin(cents).select(
+                "qid",
+                F.lit(s).alias("sub"),
+                "cid",
+                _pq_d2(_pq_slice(F.col("qv"), s), _pq_slice(F.col("cv"), s)).alias(
+                    "d2"
+                ),
+            )
+            lut = part if lut is None else lut.unionByName(part)
+        adc = (
+            long_codes.join(F.broadcast(lut), ["sub", "cid"])
+            .groupBy("qid", "neighbor_id")
+            .agg(F.sum("d2").alias("adc_d2"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+        )
+        (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _ADC_TOP_K)
+            .select("qid", "neighbor_id", "adc_d2", "rank")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(q_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("qid", "neighbor_id", "adc_d2", "rank")
