@@ -387,3 +387,81 @@ def q96_ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# JSON-lines source surface (schema-on-read round trip)
+# --------------------------------------------------------------------------
+
+
+def json_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders exported once to JSON-lines and read back with an explicit
+    schema — the interchange-format ingest path (APIs, logs, vendor
+    drops arrive as JSONL, not parquet). Timestamps are exported as
+    epoch millis: JSON has no timestamp type, and epoch integers are
+    the only representation that round-trips bit-exactly between
+    engines. Explicit read schema (never inferSchema) — at 100 TB
+    schema inference is a full extra pass and a silent-drift hazard."""
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_json_orders_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .json(path)
+        )
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate_ms long, o_orderpriority string"
+    )
+    return spark.read.schema(schema).json(path)
+
+
+_Q101_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(min(epoch_ms(o_orderdate)) AS BIGINT) AS first_order_ms
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q101_json_roundtrip",
+    "layout",
+    "JSON-lines source surface: orders exported to JSONL once and read "
+    "back with an EXPLICIT schema (inference is an extra full pass and a "
+    "drift hazard at scale), timestamps as epoch millis (the only "
+    "JSON-representable form that round-trips bit-exactly), then the "
+    "same filtered aggregate as the parquet path. The oracle reads the "
+    "original parquet — equality proves the interchange round trip is "
+    "lossless, the ingest contract for API/log/vendor JSONL feeds.",
+    oracle=_Q101_ORACLE,
+    prepare=lambda spark, sf_dir: json_orders(spark, sf_dir) and None,
+)
+def q101_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = json_orders(spark, sf_dir)
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+            F.min("o_orderdate_ms").alias("first_order_ms"),
+        )
+    )
