@@ -465,3 +465,77 @@ def q101_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate_ms").alias("first_order_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CSV source surface (the reference's native wire format, as files)
+# --------------------------------------------------------------------------
+
+
+def csv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders exported once to headerless CSV and read back with an
+    explicit schema — the reference's native format (its Kafka payloads
+    are CSV lines, kafka_to_kudu.py:31) as a file source. Strings in
+    the fixture are comma-free identifiers so no quoting ambiguity;
+    timestamps as epoch millis and money as integer cents, the two
+    text-representable forms that round-trip bit-exactly."""
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_csv_orders_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("o_totalprice_cents"),
+                F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .option("header", "false")
+            .csv(path)
+        )
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice_cents long, o_orderdate_ms long, o_orderpriority string"
+    )
+    return spark.read.schema(schema).option("header", "false").csv(path)
+
+
+_Q102_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(epoch_ms(o_orderdate)) AS BIGINT) AS last_order_ms
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q102_csv_roundtrip",
+    "layout",
+    "CSV source surface: orders exported to headerless CSV (the "
+    "reference's native wire format — its Kafka payloads are CSV lines) "
+    "and read back with an explicit schema, money as integer cents and "
+    "timestamps as epoch millis so text serialization is bit-exact. "
+    "Aggregate checked against the original parquet via the oracle: the "
+    "text round trip is lossless. Together with q101 (JSONL) this "
+    "closes the interchange-format surface beside the parquet-native "
+    "path.",
+    oracle=_Q102_ORACLE,
+    prepare=lambda spark, sf_dir: csv_orders(spark, sf_dir) and None,
+)
+def q102_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = csv_orders(spark, sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice_cents").alias("total_cents"),
+        F.max("o_orderdate_ms").alias("last_order_ms"),
+    )
