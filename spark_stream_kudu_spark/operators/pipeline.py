@@ -914,3 +914,71 @@ def pipeline_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("target"),
         "target_event_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Targeted deletion (right-to-be-forgotten) with audit
+# --------------------------------------------------------------------------
+
+
+def _deletion_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    row = (
+        "concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), "
+        "event_type, CAST(epoch_ms(ts) AS VARCHAR))"
+    )
+    h = sql_md5_int32(row)
+    return f"""
+WITH survivors AS (
+  SELECT * FROM events WHERE user_id % 10 <> 3
+)
+SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_before,
+       CAST((SELECT count(*) FROM events WHERE user_id % 10 = 3) AS BIGINT)
+         AS n_deleted,
+       CAST(count(*) AS BIGINT) AS n_after,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_after,
+       CAST(sum(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS digest_after
+FROM survivors
+"""
+
+
+@register(
+    "pipeline_targeted_deletion",
+    "pipeline",
+    "Targeted deletion (right-to-be-forgotten): drop every event of a "
+    "deletion set (deterministic user_id % 10 = 3 stands in for the "
+    "request list) and emit the compliance audit row — counts before/"
+    "deleted/after plus the surviving table's content digest (q99 "
+    "convention), so the deletion is VERIFIABLE later: re-digest and "
+    "compare, no row-level inspection. At 100 TB the deletion set "
+    "broadcasts into an anti-join predicate evaluated at the scan "
+    "(partition rewrite only where matches exist); the digest doubles "
+    "as the proof-of-erasure artifact regulators ask for.",
+    oracle=_deletion_oracle(),
+)
+def pipeline_targeted_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    survivors = ev.filter(F.col("user_id") % 10 != 3)
+    row = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.unix_millis("ts").cast("string"),
+    )
+    before = ev.agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum((F.col("user_id") % 10 == 3).cast("long")).alias("n_deleted"),
+    )
+    after = survivors.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.count_distinct(F.col("user_id")).alias("n_users_after"),
+        F.sum(md5_int32(row).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("digest_after"),
+    )
+    return before.crossJoin(after)

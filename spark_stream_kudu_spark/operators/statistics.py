@@ -330,3 +330,75 @@ def q89_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q103: robust outliers via median absolute deviation (MAD)
+# --------------------------------------------------------------------------
+
+_MAD_K = 3.0  # flag |x - median| > K * MAD
+
+_MAD_ORACLE = f"""
+WITH cents AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, median(v) AS med_v FROM cents GROUP BY 1
+),
+mad AS (
+  SELECT c.event_type, m.med_v, median(abs(c.v - m.med_v)) AS mad_v
+  FROM cents c JOIN med m USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT c.event_id, c.event_type,
+       {sql_fround("c.v / 100.0", 2)} AS value,
+       {sql_fround("m.med_v / 100.0", 2)} AS median_value,
+       {sql_fround("m.mad_v / 100.0", 2)} AS mad_value
+FROM cents c JOIN mad m USING (event_type)
+WHERE abs(c.v - m.med_v) > {_MAD_K} * m.mad_v
+"""
+
+
+@register(
+    "q103_mad_outliers",
+    "statistics",
+    f"Robust outlier detection: flag values more than {_MAD_K}x the "
+    "median absolute deviation from their group median — the robust "
+    "sibling of z-scoring (q72): a burst of outliers inflates mean and "
+    "stddev and hides itself, but breaks down the median/MAD pair only "
+    "past 50% contamination. Exact integer cents; two small group "
+    "aggregates (median, then MAD) produce a |groups|-row table that "
+    "BROADCASTS back over one fact scan — the fact table shuffles zero "
+    "times. Spark medians via percentile() == DuckDB median (the "
+    "q37-proven pairing).",
+    oracle=_MAD_ORACLE,
+)
+def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    med = cents.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med_v")
+    )
+    mad = (
+        cents.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_v")
+        .agg(F.expr("percentile(abs(v - med_v), 0.5)").alias("mad_v"))
+    )
+    return (
+        cents.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("v") - F.col("med_v")) > _MAD_K * F.col("mad_v"))
+        .select(
+            "event_id",
+            "event_type",
+            fround(F.col("v") / 100.0, 2).alias("value"),
+            fround(F.col("med_v") / 100.0, 2).alias("median_value"),
+            fround(F.col("mad_v") / 100.0, 2).alias("mad_value"),
+        )
+    )
