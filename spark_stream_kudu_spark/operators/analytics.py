@@ -1047,3 +1047,164 @@ def q100_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").isNull().cast("long")).alias("n_null_v"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q104: percent-of-parent hierarchy shares
+# --------------------------------------------------------------------------
+
+_HIER_ORACLE = f"""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, revenue_cents,
+       {sql_fround(
+           "revenue_cents * 1.0 / sum(revenue_cents) OVER (PARTITION BY region)", 6)}
+         AS share_of_region,
+       {sql_fround("revenue_cents * 1.0 / sum(revenue_cents) OVER ()", 6)}
+         AS share_of_total
+FROM rev
+"""
+
+
+@register(
+    "q104_hierarchy_share",
+    "analytics",
+    "Percent-of-parent contribution analysis: each nation's revenue as a "
+    "share of its region and of the world — two window totals over the "
+    "ALREADY-AGGREGATED |nations|-row rollup (aggregate first, window "
+    "the rollup: the fact table feeds one partially-aggregated shuffle "
+    "and never enters a window). Dimensions broadcast. The drill-down "
+    "contribution report every OLAP deployment serves.",
+    oracle=_HIER_ORACLE,
+)
+def q104_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue_cents",
+        fround(
+            F.col("revenue_cents") * 1.0 / F.sum("revenue_cents").over(w_region), 6
+        ).alias("share_of_region"),
+        fround(
+            F.col("revenue_cents") * 1.0 / F.sum("revenue_cents").over(w_all), 6
+        ).alias("share_of_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q105: top navigation paths (sessionized path extraction)
+# --------------------------------------------------------------------------
+
+_PATH_GAP_MS = 1_800_000  # same 30-min session gap as q52
+_TOP_PATHS = 10
+
+_PATHS_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= {_PATH_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM o
+),
+paths AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+  FROM s GROUP BY user_id, sess_id
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM counted
+)
+SELECT path, n_sessions, rank FROM ranked WHERE rank <= {_TOP_PATHS}
+"""
+
+
+@register(
+    "q105_top_paths",
+    "analytics",
+    f"Top-{_TOP_PATHS} navigation paths: sessionize (the q52 gap rule), "
+    "assemble each session's ordered event-type path (sort_array over "
+    "(ts, event_id, type) structs -> join — the deterministic ordered "
+    "string_agg composition from q67), count path frequencies, rank. "
+    "Product-analytics' most-common-journeys report. The path table is "
+    "one shuffle keyed by (user, session); the count collapses to "
+    "|distinct paths| rows map-side before its shuffle; the final rank "
+    "windows only the top table.",
+    oracle=_PATHS_ORACLE,
+)
+def q105_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    o = ev.withColumn(
+        "new_sess",
+        (F.lag("ts").over(w).isNull() | (gap >= _PATH_GAP_MS)).cast("int"),
+    )
+    s = o.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = (
+        s.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_millis("ts").alias("t"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda x: x["et"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_PATHS)
+        .select("path", "n_sessions", "rank")
+    )
