@@ -513,3 +513,46 @@ def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("n").alias("n_tokens"))
         .agg(fround(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
     )
+
+
+# --------------------------------------------------------------------------
+# Text normalization (the pre-tokenization canonicalization pass)
+# --------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_after,
+       CAST(norm_text <> text AS INT) AS changed,
+       md5(norm_text) AS norm_checksum
+FROM norm
+"""
+
+
+@register(
+    "text_normalize",
+    "text",
+    "Text canonicalization before tokenization/fingerprinting: lowercase, "
+    "collapse whitespace runs to single spaces, trim — emitted as "
+    "before/after lengths, a changed flag, and the md5 of the normalized "
+    "form (the canonical checksum dedup SHOULD key on, so case/spacing "
+    "variants of the same content collide). Pure scan-local string "
+    "expressions, zero shuffles; the checksum column feeds the exact-"
+    "dedup and incremental-ingest fingerprint stores unchanged.",
+    oracle=_NORM_ORACLE,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(norm).cast("long").alias("n_chars_after"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+        F.md5(norm).alias("norm_checksum"),
+    )
