@@ -982,3 +982,148 @@ def pipeline_targeted_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digest_after"),
     )
     return before.crossJoin(after)
+
+
+# --------------------------------------------------------------------------
+# Per-key rate limiting / quota sampling
+# --------------------------------------------------------------------------
+
+_RATE_LIMIT_N = 3  # keep at most N events per (user, hour)
+
+_RATE_LIMIT_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts ASC, event_id ASC
+         ) AS rk
+  FROM events
+)
+SELECT user_id, event_id, event_type, ts_ms
+FROM ranked WHERE rk <= {_RATE_LIMIT_N}
+"""
+
+
+@register(
+    "pipeline_rate_limit",
+    "pipeline",
+    f"Per-key quota sampling: keep the first {_RATE_LIMIT_N} events per "
+    "(event type, hour), dropping the rest — the deterministic batch form of "
+    "ingestion rate limiting / per-entity data capping (bounding any "
+    "single entity's contribution to a training corpus is the "
+    "anti-dominance sibling of dedup). First-N-by-time is a pure "
+    "rank-and-filter over one (user, hour-bucket) window — one shuffle, "
+    "deterministic under replay, and the kept set only grows forward in "
+    "time, so incremental runs never revoke earlier decisions.",
+    oracle=_RATE_LIMIT_ORACLE,
+)
+def pipeline_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RATE_LIMIT_N)
+        .select("user_id", "event_id", "event_type", F.unix_millis("ts").alias("ts_ms"))
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC apply with inserts, updates, AND deletes
+# --------------------------------------------------------------------------
+
+
+def _cdc_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    pct = f"({sql_md5_int32('CAST(o_orderkey AS VARCHAR)')} % 100)"
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders WHERE {pct} < 80
+),
+changes AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN {pct} >= 80 THEN 'I'
+              WHEN {pct} < 10 THEN 'D'
+              ELSE 'U' END AS op,
+         o_orderstatus AS status,
+         CASE WHEN {pct} >= 80
+              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+              ELSE CAST(floor(o_totalprice * 110 + 0.5) AS BIGINT) END AS price_cents
+  FROM orders WHERE {pct} >= 80 OR {pct} < 20
+),
+applied AS (
+  SELECT coalesce(c.okey, b.okey) AS okey,
+         coalesce(c.status, b.status) AS status,
+         coalesce(c.price_cents, b.price_cents) AS price_cents,
+         c.op
+  FROM base b FULL OUTER JOIN changes c ON c.okey = b.okey
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+FROM applied
+GROUP BY status
+"""
+
+
+@register(
+    "pipeline_cdc_apply",
+    "pipeline",
+    "Full CDC apply — inserts, updates, AND deletes in one pass: an "
+    "op-coded change set (I/U/D, derived deterministically by key hash "
+    "so the oracle can mirror it) merges into the base snapshot via one "
+    "full-outer join; D rows drop, U rows replace, I rows append, "
+    "untouched base rows carry through. Completes the change-capture "
+    "family: q69 is upsert-only MERGE, q80 diffs snapshots, this APPLIES "
+    "a change log with the full op vocabulary. One shuffle on the key "
+    "for each side; with both sides bucket-layouted the apply is "
+    "zero-shuffle — the nightly-compaction shape of every CDC lakehouse "
+    "table.",
+    oracle=_cdc_oracle(),
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    pct = md5_int32(F.col("o_orderkey").cast("string")) % 100
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    bumped = F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)).cast("long")
+    base = o.filter(pct < 80).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("price_cents"),
+    )
+    changes = o.filter((pct >= 80) | (pct < 20)).select(
+        F.col("o_orderkey").alias("okey"),
+        F.when(pct >= 80, "I").when(pct < 10, "D").otherwise("U").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(pct >= 80, cents).otherwise(bumped).alias("price_cents"),
+    )
+    b = base.alias("b")
+    c = changes.alias("c")
+    applied = (
+        b.join(c, F.col("b.okey") == F.col("c.okey"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.status"), F.col("b.status")).alias("status"),
+            F.coalesce(F.col("c.price_cents"), F.col("b.price_cents")).alias(
+                "price_cents"
+            ),
+            F.col("c.op").alias("op"),
+        )
+    )
+    return applied.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("total_cents"),
+        F.sum((F.col("op") == "I").cast("long")).alias("n_inserted"),
+        F.sum((F.col("op") == "U").cast("long")).alias("n_updated"),
+    )
