@@ -1168,6 +1168,7 @@ SELECT path, n_sessions, rank FROM ranked WHERE rank <= {_TOP_PATHS}
     "|distinct paths| rows map-side before its shuffle; the final rank "
     "windows only the top table.",
     oracle=_PATHS_ORACLE,
+    bench=True,
 )
 def q105_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)

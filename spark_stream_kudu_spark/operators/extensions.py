@@ -480,3 +480,49 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-grain sketch rollup: one sketch table answers every grain
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q106_sketch_grains",
+    "aggregation",
+    "Multi-grain distinct-user counts from ONE sketch table: events "
+    "sketch once at (day, event_type) grain (hll_sketch_agg of user_id), "
+    "then per-day, per-type, and global estimates all re-merge from "
+    "those partials (hll_union_agg) — three grains, zero re-scans of "
+    "the raw events. The continuous-aggregate pattern for distinct "
+    "counts, which do NOT sum across groups the way counts do (a user "
+    "active on two days is one user, not two): only sketch union gives "
+    "re-aggregation. Approximate by contract (rows-only check; lgK=12 "
+    "keeps relative error ~1.6%, pinned against exact counts by an "
+    "invariant test). At 100 TB the (day, type) sketch table IS the "
+    "stored rollup; every dashboard grain is a cheap merge over it.",
+    oracle=None,
+)
+def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_day = base.groupBy("day").agg(F.hll_union_agg("sk").alias("g")).select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("string").alias("key"),
+        F.hll_sketch_estimate("g").alias("approx_users"),
+    )
+    per_type = base.groupBy("event_type").agg(
+        F.hll_union_agg("sk").alias("g")
+    ).select(
+        F.lit("event_type").alias("grain"),
+        F.col("event_type").alias("key"),
+        F.hll_sketch_estimate("g").alias("approx_users"),
+    )
+    total = base.agg(F.hll_union_agg("sk").alias("g")).select(
+        F.lit("total").alias("grain"),
+        F.lit("*").alias("key"),
+        F.hll_sketch_estimate("g").alias("approx_users"),
+    )
+    return per_day.unionByName(per_type).unionByName(total)

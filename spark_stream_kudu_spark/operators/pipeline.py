@@ -1088,6 +1088,7 @@ GROUP BY status
     "zero-shuffle — the nightly-compaction shape of every CDC lakehouse "
     "table.",
     oracle=_cdc_oracle(),
+    bench=True,
 )
 def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.functions.hashing import md5_int32

@@ -239,3 +239,34 @@ def test_table_digest_is_partition_invariant(spark, sf_smoke):
         F.sum(md5_int32(row).cast("decimal(38,0)")).cast("string").alias("digest_sum")
     ).collect()[0]
     assert alt.digest_sum == base.digest_sum
+
+
+def test_sketch_grains_near_exact_counts(spark, sf_smoke):
+    """Every sketch-merged estimate must sit within 5% of the exact
+    distinct count at its grain (default lgK keeps HLL error ~1.6%) —
+    pinning that union-merge re-aggregates correctly, which summing
+    per-group distinct counts would NOT."""
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    est = {
+        (r.grain, r.key): r.approx_users
+        for r in ALL["q106_sketch_grains"].builder(spark, sf_smoke).collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    exact_day = {
+        ("day", str(r.day)): r.n
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_type = {
+        ("event_type", r.event_type): r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact = {**exact_day, **exact_type}
+    exact[("total", "*")] = ev.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
