@@ -376,3 +376,67 @@ def q99_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h.cast("decimal(38,0)")).cast("string").alias("digest_sum"),
         F.max(h).alias("digest_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# q107: join-fanout preflight audit
+# --------------------------------------------------------------------------
+
+_FANOUT_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+)
+SELECT 'lineitem.l_orderkey' AS side,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_rows_per_key,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows
+FROM l
+UNION ALL
+SELECT 'orders.o_orderkey',
+       CAST(count(*) AS BIGINT),
+       CAST(max(c) AS BIGINT),
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(c) AS BIGINT)
+FROM o
+"""
+
+
+@register(
+    "q107_join_fanout_audit",
+    "profiling",
+    "Join-explosion preflight: per join side, key count, MAX rows per "
+    "key, duplicate-key count, and total rows — the product of the two "
+    "max-rows-per-key numbers bounds the worst per-key fanout of the "
+    "join, and a many-to-many surprise (both sides > 1) is the classic "
+    "silent row-multiplication bug. Two partially-aggregated count "
+    "shuffles over the key columns only (column pruning leaves the "
+    "rest on disk); at 100 TB this audit is cheaper than one wrong "
+    "join re-run, which is the point of running it first.",
+    oracle=_FANOUT_ORACLE,
+)
+def q107_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    out = None
+    for side, tbl, key in [
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+    ]:
+        per_key = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        agg = per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows_per_key"),
+            F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
+            F.sum("c").alias("n_rows"),
+        ).select(F.lit(side).alias("side"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -151,3 +151,117 @@ def stream_cep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out).select("purchase_id", "user_id", "purchase_ms")
+
+
+# --------------------------------------------------------------------------
+# Streaming quota enforcement — the streaming lift of pipeline_rate_limit
+# --------------------------------------------------------------------------
+
+_QUOTA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+# State: the hour bucket the counter belongs to + events admitted in it.
+_QUOTA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hour_ms", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+    ]
+)
+
+
+def quota_stateful(events: DataFrame, limit: int) -> DataFrame:
+    """Admit at most ``limit`` events per (event_type, hour) from a
+    *streaming* events DataFrame, carrying one (hour, count) pair of
+    keyed state per event type across batches. Requires time-ordered
+    micro-batches (feed through a time-split replay)."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        hour_ms, admitted = (state.get if state.exists else (None, 0))
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks:
+            if state.exists:
+                state.update((hour_ms, admitted))
+            return
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        out = {"user_id": [], "event_id": [], "event_type": [], "ts_ms": []}
+        for uid, eid, ts in zip(batch["user_id"], batch["event_id"], batch["ts"]):
+            t_ms = int(ts.value // 1_000_000)
+            h = t_ms - t_ms % 3_600_000
+            if h != hour_ms:
+                hour_ms, admitted = h, 0
+            if admitted < limit:
+                admitted += 1
+                out["user_id"].append(int(uid))
+                out["event_id"].append(int(eid))
+                out["event_type"].append(key[0])
+                out["ts_ms"].append(t_ms)
+        state.update((hour_ms, admitted))
+        if out["event_id"]:
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=_QUOTA_OUT_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _quota_oracle() -> str:
+    from spark_stream_kudu_spark.operators.pipeline import _RATE_LIMIT_ORACLE
+
+    return _RATE_LIMIT_ORACLE
+
+
+@register(
+    "stream_rate_limit_e2e",
+    "streaming",
+    "END-TO-END streaming quota enforcement: at most 3 events per "
+    "(event type, hour) admitted from a live replay — one (hour, count) "
+    "pair of keyed state per event type in applyInPandasWithState, "
+    "reset when the hour rolls over, decisions spanning micro-batch "
+    "boundaries (a batch split mid-hour must NOT reset the counter, "
+    "which the batch-SQL oracle pins). The ingestion-throttling / "
+    "anti-dominance cap running where it belongs: at the stream, before "
+    "storage is spent.",
+    oracle=_quota_oracle(),
+)
+def stream_rate_limit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.pipeline import _RATE_LIMIT_N
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    base = new_run_dir("quo")
+    src = stage_time_split_batches(
+        ev, base, ["2024-01-08", "2024-01-15", "2024-01-22"]
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    admitted = quota_stateful(stream, _RATE_LIMIT_N)
+    out = os.path.join(base, "out")
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("user_id", "event_id", "event_type", "ts_ms")
