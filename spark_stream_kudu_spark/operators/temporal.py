@@ -591,3 +591,83 @@ def q64_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("ts_ms"),
         F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval coalescing (merge overlapping intervals per key)
+# --------------------------------------------------------------------------
+
+_COALESCE_HOLD_MS = 1_800_000  # each event opens a 30-minute interval
+
+_COALESCE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS s,
+         epoch_ms(ts) + {_COALESCE_HOLD_MS} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+)
+SELECT user_id,
+       CAST(min(s) AS BIGINT) AS start_ms,
+       CAST(max(e) AS BIGINT) AS end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+@register(
+    "q108_interval_coalesce",
+    "temporal",
+    "Interval coalescing (the temporal-database PACK operator): each "
+    "event opens a 30-minute interval; overlapping intervals per user "
+    "merge into maximal islands, reported as (start, end, contributing "
+    "events). Gaps-and-islands via ONE ordered window pass — a row "
+    "starts a new island iff its start exceeds the running max end of "
+    "all predecessors, island id is the running flag sum, then one "
+    "grouped rollup on the SAME user partitioning (single exchange). "
+    "Generalizes gap sessionization (q52 is the special case where "
+    "every interval has equal length and overlap means gap < hold); "
+    "the uptime/coverage-merging kernel for SLA and presence analytics.",
+    oracle=_COALESCE_ORACLE,
+)
+def q108_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_millis("ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.lit(_COALESCE_HOLD_MS)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("event_id").asc())
+    prior_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prior_max_end, F.lit(-1))).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_ms"),
+        F.max("e").alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("island")
