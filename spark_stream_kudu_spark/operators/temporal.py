@@ -671,3 +671,80 @@ def q108_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("end_ms"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("island")
+
+
+# --------------------------------------------------------------------------
+# Interval unpacking: daily coverage minutes (time-in-app per user-day)
+# --------------------------------------------------------------------------
+
+_DAY_MS = 86_400_000
+
+_COVERAGE_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS s,
+         epoch_ms(ts) + {_COALESCE_HOLD_MS} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, min(s) AS ms, max(e) AS me
+  FROM islands GROUP BY user_id, island
+),
+days AS (
+  SELECT user_id, ms, me,
+         unnest(generate_series(CAST(ms // {_DAY_MS} AS BIGINT),
+                                CAST((me - 1) // {_DAY_MS} AS BIGINT))) AS day_no
+  FROM merged
+)
+SELECT user_id, CAST(day_no AS BIGINT) AS day_no,
+       CAST(sum(least(me, (day_no + 1) * {_DAY_MS}) -
+                greatest(ms, day_no * {_DAY_MS})) AS BIGINT) AS covered_ms
+FROM days
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q109_daily_coverage",
+    "temporal",
+    "Interval UNPACK: the coalesced presence islands (q108) split at UTC "
+    "day boundaries and clipped, summing covered milliseconds per "
+    "(user, day) — daily time-in-app, the engagement metric DAU counts "
+    "cannot see. Islands first (so overlaps never double-count), then a "
+    "map-side sequence-explode over each island's day span and a "
+    "partially-aggregated rollup; the explode multiplies rows only by "
+    "days-per-island (bounded), never shuffles unaggregated.",
+    oracle=_COVERAGE_ORACLE,
+)
+def q109_daily_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    merged = q108_interval_coalesce(spark, sf_dir).select(
+        "user_id", F.col("start_ms").alias("ms"), F.col("end_ms").alias("me")
+    )
+    day_no = F.explode(
+        F.sequence(
+            F.floor(F.col("ms") / _DAY_MS).cast("long"),
+            F.floor((F.col("me") - 1) / _DAY_MS).cast("long"),
+        )
+    ).alias("day_no")
+    days = merged.select("user_id", "ms", "me", day_no)
+    covered = F.least(F.col("me"), (F.col("day_no") + 1) * _DAY_MS) - F.greatest(
+        F.col("ms"), F.col("day_no") * _DAY_MS
+    )
+    return days.groupBy("user_id", "day_no").agg(
+        F.sum(covered).alias("covered_ms")
+    )
