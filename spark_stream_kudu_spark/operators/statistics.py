@@ -33,7 +33,7 @@ counts) with the single stats row broadcast; bucket count output is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
@@ -401,4 +401,179 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("med_v") / 100.0, 2).alias("median_value"),
             fround(F.col("mad_v") / 100.0, 2).alias("mad_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q110: decile gains table (lift analysis)
+# --------------------------------------------------------------------------
+
+_GAINS_ORACLE = f"""
+WITH user_value AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS purchase_cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT *, ntile(5) OVER (ORDER BY purchase_cents DESC, user_id ASC) AS bucket
+  FROM user_value
+),
+per_bucket AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(purchase_cents) AS BIGINT) AS bucket_cents
+  FROM ranked GROUP BY bucket
+)
+SELECT bucket, n_users, bucket_cents,
+       {sql_fround(
+           "sum(bucket_cents) OVER (ORDER BY bucket ASC "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 "
+           "/ sum(bucket_cents) OVER ()", 6)} AS cum_share
+FROM per_bucket
+"""
+
+
+@register(
+    "q110_gains_table",
+    "statistics",
+    "Decile/quintile gains table (lift analysis): users ranked by "
+    "purchase value into 5 equal-count buckets (deterministic ntile "
+    "tie-break), each bucket's revenue and the cumulative share — 'the "
+    "top 20% of users drive X% of revenue', the targeting/prioritization "
+    "report of every growth team and the evaluation chart of every "
+    "propensity model. The per-user rollup shuffles once; ntile and the "
+    "cumulative windows run over |users| and |buckets| rows "
+    "respectively, never raw events.",
+    oracle=_GAINS_ORACLE,
+)
+def q110_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    uv = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("purchase_cents")
+    )
+    wn = Window.orderBy(F.col("purchase_cents").desc(), F.col("user_id").asc())
+    per_bucket = (
+        uv.withColumn("bucket", F.ntile(5).over(wn))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("purchase_cents").alias("bucket_cents"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return per_bucket.select(
+        "bucket",
+        "n_users",
+        "bucket_cents",
+        fround(
+            F.sum("bucket_cents").over(w_cum) * 1.0
+            / F.sum("bucket_cents").over(w_all),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q111: A/B test analysis (two-proportion z-test on hash-split arms)
+# --------------------------------------------------------------------------
+
+
+def _ab_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    arm = f"CASE WHEN ({sql_md5_int32('CAST(user_id AS VARCHAR)')} % 2) = 0 THEN 'A' ELSE 'B' END"
+    return f"""
+WITH per_user AS (
+  SELECT user_id, {arm} AS arm,
+         CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+                       THEN 1 ELSE 0 END) AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY arm
+),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+    max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+    max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+    max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+  FROM arms
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       {sql_fround("ca * 1.0 / na", 6)} AS rate_a,
+       {sql_fround("cb * 1.0 / nb", 6)} AS rate_b,
+       {sql_fround(
+           "(ca * 1.0 / na - cb * 1.0 / nb) / "
+           "sqrt(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb)) "
+           "* (1.0 / na + 1.0 / nb))", 4)} AS z_stat
+FROM wide
+"""
+
+
+@register(
+    "q111_ab_test",
+    "statistics",
+    "A/B experiment readout: users split into two arms by key hash (the "
+    "same deterministic assignment the sampling family uses — stable "
+    "under re-partitioning and re-runs, which per-partition RNG "
+    "assignment is NOT), per-arm conversion (a high-value purchase), and the "
+    "pooled two-proportion z-statistic. Float math only at finalize on "
+    "identical integer operands. One per-user rollup shuffle + a "
+    "two-row arm aggregate; the experimentation kernel with the "
+    "assignment-determinism property experiments actually require.",
+    oracle=_ab_oracle(),
+)
+def q111_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        md5_int32(F.col("user_id").cast("string")) % 2 == 0, "A"
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150)).cast(
+                "long"
+            )
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a") * 1.0 / F.col("n_a")
+    rb = F.col("conv_b") * 1.0 / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        fround(ra, 6).alias("rate_a"),
+        fround(rb, 6).alias("rate_b"),
+        fround(z, 4).alias("z_stat"),
     )
