@@ -440,3 +440,69 @@ def q107_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(side).alias("side"), "*")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --------------------------------------------------------------------------
+# q112: semi-structured (JSON) validity audit
+# --------------------------------------------------------------------------
+
+_JSON_MANGLE_MOD = 9  # corrupt every 9th record to exercise the bad path
+
+_JSON_AUDIT_ORACLE = f"""
+WITH feed AS (
+  SELECT event_type,
+         CASE WHEN event_id % {_JSON_MANGLE_MOD} = 0 THEN props || 'x'
+              ELSE props END AS payload
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(payload) THEN 1 ELSE 0 END AS ok,
+         CASE WHEN json_valid(payload)
+              THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k
+  FROM feed
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(1 - ok) AS BIGINT) AS n_malformed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(k) AS BIGINT) AS n_k
+FROM parsed
+GROUP BY event_type
+"""
+
+
+@register(
+    "q112_json_quality",
+    "profiling",
+    "Semi-structured feed audit: a JSON payload stream with injected "
+    "corruption (every 9th record prefixed with garbage, deterministically, so the "
+    "oracle can mirror the feed) is parsed with malformed records "
+    "COUNTED per group rather than crashing the job or silently "
+    "vanishing — the quarantine accounting every JSON ingest needs. "
+    "Spark's from_json yields a NULL struct for unparseable input and "
+    "DuckDB's json_valid gates extraction; both engines agree record "
+    "by record. Valid records contribute exact integer field sums. "
+    "Scan-local parse, one small rollup shuffle.",
+    oracle=_JSON_AUDIT_ORACLE,
+)
+def q112_json_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % _JSON_MANGLE_MOD == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type",
+        F.from_json(payload, "k long").alias("j"),
+    )
+    # PERMISSIVE from_json yields an all-null struct (not a null
+    # struct) for malformed input; every valid fixture record carries k,
+    # so a null k IS the malformed marker.
+    ok = F.col("j.k").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((~ok).cast("long")).alias("n_malformed"),
+        F.sum(F.col("j.k")).alias("sum_k"),
+        F.count(F.col("j.k")).alias("n_k"),
+    )
