@@ -1209,3 +1209,75 @@ def q105_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_PATHS)
         .select("path", "n_sessions", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q113: conversion latency distribution (view -> purchase time)
+# --------------------------------------------------------------------------
+
+_LATENCY_ORACLE = f"""
+WITH marked AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS t_ms,
+         max(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) OVER w AS lv,
+         max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) OVER w AS ls
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+conv AS (
+  SELECT t_ms - lv AS latency_ms
+  FROM marked
+  WHERE event_type = 'purchase'
+    AND lv IS NOT NULL
+    AND lv >= t_ms - {_CEP_HORIZON_MS}
+    AND (ls IS NULL OR ls < lv)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(min(latency_ms) AS BIGINT) AS min_ms,
+       {sql_fround("quantile_cont(latency_ms, 0.5)", 1)} AS p50_ms,
+       {sql_fround("quantile_cont(latency_ms, 0.9)", 1)} AS p90_ms,
+       CAST(max(latency_ms) AS BIGINT) AS max_ms
+FROM conv
+"""
+
+
+@register(
+    "q113_conversion_latency",
+    "analytics",
+    "Conversion-latency distribution: for every q94-qualified "
+    "view->purchase match, the elapsed time from the qualifying view, "
+    "summarized as count/min/exact-median/p90/max — the 'how long does "
+    "intent take to convert' product metric that windowed funnels "
+    "cannot answer. Matches come from the same single carried-state "
+    "window pass as q94 (no event-log self-join); the latency column is "
+    "|conversions|-sized before the tiny percentile aggregate "
+    "(Spark percentile == DuckDB quantile_cont, q37-proven).",
+    oracle=_LATENCY_ORACLE,
+)
+def q113_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.unix_millis("ts")
+    marked = ev.select(
+        "event_type",
+        t.alias("t_ms"),
+        F.max(F.when(F.col("event_type") == "view", t)).over(w).alias("lv"),
+        F.max(F.when(F.col("event_type") == "signup", t)).over(w).alias("ls"),
+    )
+    conv = marked.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("lv").isNotNull()
+        & (F.col("lv") >= F.col("t_ms") - _CEP_HORIZON_MS)
+        & (F.col("ls").isNull() | (F.col("ls") < F.col("lv")))
+    ).select((F.col("t_ms") - F.col("lv")).alias("latency_ms"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("latency_ms").alias("min_ms"),
+        fround(F.expr("percentile(latency_ms, 0.5)"), 1).alias("p50_ms"),
+        fround(F.expr("percentile(latency_ms, 0.9)"), 1).alias("p90_ms"),
+        F.max("latency_ms").alias("max_ms"),
+    )
