@@ -78,9 +78,9 @@ SELECT r.source,
        count(*) FILTER (
            {sql_md5_int32("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.thr
        ) AS n_sampled,
-       coalesce(sum(d.n_chars) FILTER (
+       CAST(coalesce(sum(d.n_chars) FILTER (
            {sql_md5_int32("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.thr
-       ), 0) AS chars_sampled
+       ), 0) AS BIGINT) AS chars_sampled
 FROM documents d JOIN rates r ON d.source = r.source
 GROUP BY 1, 2, 3, 4
 """

@@ -320,8 +320,9 @@ SELECT user_id, session_idx,
        max(ts_ms) - min(ts_ms) AS duration_ms
 FROM (
   SELECT user_id, ts_ms,
-         sum(is_new) OVER (PARTITION BY user_id
-                           ORDER BY ts_ms, event_id) AS session_idx
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_ms, event_id) AS BIGINT)
+             AS session_idx
   FROM flagged
 )
 GROUP BY user_id, session_idx

@@ -64,24 +64,137 @@ def register(
     return deco
 
 
+# Explicit front-of-registry ordering for the driver's bounded
+# correctness window (~50 queries/round). Round-3 rotation: every name
+# here has had ZERO driver CORRECTNESS rows across rounds 1-2 (plus
+# q36_approx_sketches, whose r01 row was an ERR and whose fix was never
+# re-checked). The dedup / similarity / text-core / multimodal /
+# sampling / traffic-parity families lead, per the round-2 verdict.
+# Names not listed keep registration order behind these; queries with
+# green rows from r01/r02 trail at the very back.
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # r01 ERR whose fix never re-entered a window
+    "q36_approx_sketches",
+    # dedup family (13) — zero driver rows ever
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_rplsh",
+    "dedup_verified_pairs",
+    "dedup_clusters",
+    "dedup_cluster_stats",
+    "pipeline_corpus_clean",
+    # similarity family (12) — only sim_topk_quantized has a row
+    "sim_topk_bruteforce",
+    "sim_topk_pandas",
+    "sim_topk_ivf",
+    "sim_topk_rplsh",
+    "sim_topk_rplsh_multi",
+    "emb_label_centroids",
+    "emb_knn_classify",
+    "emb_pq_codes",
+    "sim_topk_pq_adc",
+    "sim_topk_ivf_adc",
+    "sim_recall_eval",
+    "sim_recall_eval_full",
+    # text core (11) — zero driver rows ever
+    "text_tfidf",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_rolling_hash",
+    "text_regex_scan",
+    "text_edit_distance",
+    "text_domain_kl",
+    "text_normalize",
+    "text_chunking",
+    "text_contamination",
+    # multimodal (4) — zero driver rows ever
+    "multimodal_meta",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    # sampling stragglers (2); sample_domain_mix carries the oracle
+    # BIGINT-cast fix for its r02 repr-only hash mismatch
+    "sample_cluster_split",
+    "sample_domain_mix",
+    # the reference's own pipeline (kafka_to_kudu parity) — never had
+    # a driver row (7)
+    "traffic_parse_csv",
+    "q29_traffic_parity",
+    "q30_tumbling_window",
+    "q31_sliding_window",
+    "q32_session_window",
+    "streaming_upsert_merge",
+    "stream_traffic_pipeline",
+    # ---- 50 above; below queues for the window's tail / round 4 ----
+    # temporal family — zero driver rows ever
+    "q38_asof_join",
+    "q39_range_join",
+    "q40_correlated_subquery",
+    "q41_range_frame",
+    "q52_sessionize",
+    "q53_event_funnel",
+    "q54_cohort_retention",
+    "q59_multires_rollup",
+    "q64_running_distinct",
+    "q64b_running_distinct_bounded",
+    # layout + roundtrip sources
+    "q55_bucketed_join",
+    "q58_partitioned_scan",
+    "q85_zorder_scan",
+    "q96_ivf_partitioned_scan",
+    "q101_json_roundtrip",
+    "q102_csv_roundtrip",
+    # sampling core
+    "sample_hash_bernoulli",
+    "split_train_test",
+    "sample_stratified",
+    "sample_fixed_per_stratum",
+    # pipeline batch ops
+    "q80_snapshot_diff",
+    "pipeline_incremental_ingest",
+    "pipeline_sequence_examples",
+    "pipeline_targeted_deletion",
+    "pipeline_rate_limit",
+    "pipeline_cdc_apply",
+    "pipeline_sequence_pack",
+    # sketches / extensions stragglers
+    "q66_hll_partial_merge",
+    "q67_string_agg",
+    "q106_sketch_grains",
+    # streaming e2e — three of these shapes went driver-green in r02
+    "stream_first_seen",
+    "stream_interval_join_e2e",
+    "stream_watermark_dedup_e2e",
+    "stream_session_window_e2e",
+    "stream_rollup_incremental_e2e",
+    "stream_enrich_static_e2e",
+    "stream_trending_e2e",
+    "stream_outer_interval_join_e2e",
+    "stream_digest_e2e",
+    "stream_ann_e2e",
+    "stream_rate_limit_e2e",
+    "stream_scd2_e2e",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules (triggering registration) and return
     the full registry.
 
     Ordering is deliberate: the driver's correctness gate walks the
     registry front-to-back with a bounded window (~50 queries/round), so
-    families whose driver-side evidence is thinnest register first.
-    Current rotation: the newest zero-driver-row additions (analytics,
-    statistics, profiling, graph, streaming e2e, pipeline) lead; the
-    relational core (49/50 green in CORRECTNESS_r01) trails.
-
-    NEXT-ROUND ROTATION NOTE: once the current window earns green rows,
-    move the still-unchecked families forward — dedup_* (positions
-    ~50-70), text_*, multimodal_*, sampling (incl. sample_cluster_split),
-    layout (q55/q58/q85/q96), temporal (q38-q41, q52-q54, q59, q64),
-    similarity tail (emb_pq_codes, sim_topk_pq_adc, sim_recall_eval,
-    sim_topk_ivf_adc) — and retire proven rows to the back. Coverage
-    accumulates across rounds; no single round can check all ~165.
+    families whose driver-side evidence is thinnest come first. The
+    explicit ``_WINDOW_PRIORITY`` list pins the round-3 window to the 92
+    queries that have never had a driver CORRECTNESS row (rounds 1-2
+    covered 100 of 192); everything already driver-green trails behind
+    in registration order. Coverage accumulates across rounds.
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
     import spark_stream_kudu_spark.streaming.anomaly  # noqa: F401
@@ -111,7 +224,14 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.operators.relational  # noqa: F401
     import spark_stream_kudu_spark.operators.subqueries  # noqa: F401
 
-    return dict(_REGISTRY)
+    missing = [n for n in _WINDOW_PRIORITY if n not in _REGISTRY]
+    if missing:  # defensive: a renamed query must not silently drop out
+        raise KeyError(f"window-priority names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _WINDOW_PRIORITY}
+    ordered.update(
+        (n, spec) for n, spec in _REGISTRY.items() if n not in ordered
+    )
+    return ordered
 
 
 def get(name: str) -> QuerySpec:

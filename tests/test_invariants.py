@@ -270,3 +270,29 @@ def test_sketch_grains_near_exact_counts(spark, sf_smoke):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+
+
+def test_no_oracle_emits_hugeint_or_decimal(sf_smoke):
+    """Every oracle's DuckDB result schema must be free of HUGEINT /
+    UHUGEINT / DECIMAL columns. DuckDB's sum(BIGINT) widens to HUGEINT,
+    which the correctness gate's canonicalizer represents as float64
+    while Spark emits int64 — values match but hashes differ (the
+    sample_domain_mix r02 red row). Wrapping the aggregate in
+    CAST(... AS BIGINT) fixes it; this audit keeps the footgun out of
+    all future oracles. Schema-only: ``con.sql(...)`` binds lazily, so
+    this checks 189 oracles without executing them."""
+    from spark_stream_kudu_spark.plans.oracle import duckdb_connection
+
+    con = duckdb_connection(sf_smoke)
+    try:
+        offenders = []
+        for name, spec in ALL.items():
+            if spec.oracle is None:
+                continue
+            rel = con.sql(spec.oracle)
+            for c, t in zip(rel.columns, (str(t).upper() for t in rel.types)):
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+                    offenders.append((name, c, t))
+        assert not offenders, f"oracles with repr-unstable column types: {offenders}"
+    finally:
+        con.close()
