@@ -884,47 +884,55 @@ WHERE p.event_type = 'purchase'
     "EXISTS / NOT EXISTS (quadratic-ish); the engine runs ONE ordered "
     "window pass per user carrying the most-recent view and signup "
     "timestamps forward — the pattern holds iff the last view is in the "
-    "horizon and is more recent than the last signup (equivalent because "
-    "any qualifying view may be replaced by the LATEST qualifying view). "
-    "Same-timestamp ties broken by event_id order, both engines. This is "
+    "horizon and no signup follows it (equivalent because any qualifying "
+    "view may be replaced by the LATEST qualifying view). The carried "
+    "maxima use a RANGE frame over epoch-ms, so every same-millisecond "
+    "event is visible to the purchase exactly as the oracle's v.ts <= "
+    "p.ts / s.ts <= p.ts bounds see it, and a signup at the view's own "
+    "millisecond does not invalidate (ls <= lv keeps, mirroring the "
+    "oracle's strict s.ts > v.ts) — no reliance on fixture timing. This is "
     "how sequence-pattern queries stay single-shuffle at 100 TB: carry "
     "pattern state down the partition, never self-join the event log.",
     oracle=_CEP_ORACLE,
 )
 def q94_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t = F.unix_millis("ts")
-    last_view = F.max(
-        F.when(F.col("event_type") == "view", t)
-    ).over(w)
-    last_signup = F.max(
-        F.when(F.col("event_type") == "signup", t)
-    ).over(w)
-    marked = ev.select(
+    # RANGE frame over epoch-ms: every event at the purchase's own
+    # millisecond is inside the frame regardless of event_id order —
+    # the exact visibility of the oracle's v.ts <= p.ts / s.ts <= p.ts
+    # bounds, so parity holds even with same-instant ties.
+    base = ev.select(
         "event_id",
         "user_id",
         "event_type",
-        t.alias("t_ms"),
-        last_view.alias("lv"),
-        last_signup.alias("ls"),
+        F.unix_millis("ts").alias("t_ms"),
     )
-    # NOTE on signup-at-purchase-instant ties: the oracle's inner NOT
-    # EXISTS uses s.ts <= p.ts, so a signup at the same millisecond as
-    # the purchase invalidates a strictly-earlier view; the carried
-    # last_signup includes same-instant signups only if they sort before
-    # the purchase — both engines order ties by event_id, keeping the
-    # fixtures deterministic (distinct-millisecond events).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "t_ms",
+        F.max(F.when(F.col("event_type") == "view", F.col("t_ms")))
+        .over(w)
+        .alias("lv"),
+        F.max(F.when(F.col("event_type") == "signup", F.col("t_ms")))
+        .over(w)
+        .alias("ls"),
+    )
+    # ls <= lv keeps: a signup at the latest view's own millisecond does
+    # NOT invalidate (the oracle's inner NOT EXISTS is strict, s.ts >
+    # v.ts); any signup strictly after the latest view does.
     return (
         marked.filter(
             (F.col("event_type") == "purchase")
             & F.col("lv").isNotNull()
             & (F.col("lv") >= F.col("t_ms") - _CEP_HORIZON_MS)
-            & (F.col("ls").isNull() | (F.col("ls") < F.col("lv")))
+            & (F.col("ls").isNull() | (F.col("ls") <= F.col("lv")))
         )
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -1221,8 +1229,8 @@ WITH marked AS (
          max(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) OVER w AS lv,
          max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) OVER w AS ls
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 conv AS (
   SELECT t_ms - lv AS latency_ms
@@ -1230,7 +1238,7 @@ conv AS (
   WHERE event_type = 'purchase'
     AND lv IS NOT NULL
     AND lv >= t_ms - {_CEP_HORIZON_MS}
-    AND (ls IS NULL OR ls < lv)
+    AND (ls IS NULL OR ls <= lv)
 )
 SELECT CAST(count(*) AS BIGINT) AS n_conversions,
        CAST(min(latency_ms) AS BIGINT) AS min_ms,
@@ -1256,23 +1264,30 @@ FROM conv
 )
 def q113_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    # Same RANGE-frame-over-ms / ls <= lv match semantics as q94, so
+    # the latency distribution is over exactly the q94 match set even
+    # under same-instant ties.
+    base = ev.select("event_type", F.unix_millis("ts").alias("t_ms"), "user_id")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("t_ms")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = F.unix_millis("ts")
-    marked = ev.select(
+    marked = base.select(
         "event_type",
-        t.alias("t_ms"),
-        F.max(F.when(F.col("event_type") == "view", t)).over(w).alias("lv"),
-        F.max(F.when(F.col("event_type") == "signup", t)).over(w).alias("ls"),
+        "t_ms",
+        F.max(F.when(F.col("event_type") == "view", F.col("t_ms")))
+        .over(w)
+        .alias("lv"),
+        F.max(F.when(F.col("event_type") == "signup", F.col("t_ms")))
+        .over(w)
+        .alias("ls"),
     )
     conv = marked.filter(
         (F.col("event_type") == "purchase")
         & F.col("lv").isNotNull()
         & (F.col("lv") >= F.col("t_ms") - _CEP_HORIZON_MS)
-        & (F.col("ls").isNull() | (F.col("ls") < F.col("lv")))
+        & (F.col("ls").isNull() | (F.col("ls") <= F.col("lv")))
     ).select((F.col("t_ms") - F.col("lv")).alias("latency_ms"))
     return conv.agg(
         F.count(F.lit(1)).alias("n_conversions"),

@@ -40,6 +40,12 @@ from spark_stream_kudu_spark.functions.hashing import (
     minhash_params,
     sql_md5_int32,
 )
+from spark_stream_kudu_spark.functions.lineage import (
+    CKPT_INTERVAL,
+    RELIABLE_CKPT_ENV,
+    configure_reliable_checkpoints,
+    cut_lineage,
+)
 from spark_stream_kudu_spark.functions.rounding import fround
 from spark_stream_kudu_spark.functions.textutil import (
     sql_tokens,
@@ -628,13 +634,10 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAX_CC_ITERATIONS = 15
 
-# Env var: directory for *reliable* (HDFS/object-store) checkpointing of
-# the label-propagation loop. localCheckpoint is executor-local — fast,
-# but lost on executor death; a 100 TB run over thousands of executors
-# wants real checkpoints every few rounds so a lost executor doesn't
-# force a full lineage recompute.
-_RELIABLE_CKPT_ENV = "SPARK_GRAFT_CC_CHECKPOINT_DIR"
-_CKPT_INTERVAL = 3
+# Reliable-checkpoint wiring (env var + lineage-cut policy) lives in
+# functions/lineage.py, shared with the PageRank loop in graph.py.
+_RELIABLE_CKPT_ENV = RELIABLE_CKPT_ENV
+_CKPT_INTERVAL = CKPT_INTERVAL
 
 
 def propagate_min_labels(
@@ -658,9 +661,7 @@ def propagate_min_labels(
     """
 
     def _cut_lineage(df: DataFrame, round_no: int) -> DataFrame:
-        if reliable_checkpoint and round_no % checkpoint_interval == checkpoint_interval - 1:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return cut_lineage(df, round_no, reliable_checkpoint, checkpoint_interval)
 
     converged = False
     for i in range(max_iter):
@@ -747,8 +748,6 @@ SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
     oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     d = _docs(spark, sf_dir)
     pairs = dedup_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -758,11 +757,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of recomputing the whole LSH+verify pipeline per round.
     edges = edges.localCheckpoint(eager=True)
     labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
-    ckpt_dir = os.environ.get(_RELIABLE_CKPT_ENV)
-    if ckpt_dir:
-        spark.sparkContext.setCheckpointDir(ckpt_dir)
     labels = propagate_min_labels(
-        labels, edges, reliable_checkpoint=bool(ckpt_dir)
+        labels, edges, reliable_checkpoint=configure_reliable_checkpoints(spark)
     )
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
 

@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.lineage import (
+    configure_reliable_checkpoints,
+    cut_lineage,
+)
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -97,7 +101,14 @@ def _pr_oracle() -> str:
     "same rounds as chained CTEs, so the iterative DataFrame loop is "
     "hash-checked end-to-end like the connected-components family. Each "
     "round: one edges x ranks join + one groupBy(dst) partial-aggregated "
-    "shuffle; lineage cut per round via localCheckpoint.",
+    "shuffle; lineage cut per round via the shared lineage helper "
+    "(reliable checkpoints every few rounds when "
+    "SPARK_GRAFT_CC_CHECKPOINT_DIR names a durable store, exactly as "
+    "dedup_clusters does). Overflow bound: rank*w is 64-bit; ranks sum "
+    "to ~|nodes|*1e9, so a single node's rank times a heavy edge weight "
+    "must stay under 2^63 — safe up to ~1e9 rank-mass per node with "
+    "w<=1e4; beyond that accumulate contributions as decimal(38,0) like "
+    "the q99 digest family.",
     oracle=_pr_oracle(),
     bench=True,
 )
@@ -127,7 +138,8 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     base = int(_PR_SCALE * 15 // 100)
-    for _ in range(_PR_ITERATIONS):
+    reliable = configure_reliable_checkpoints(spark)
+    for i in range(_PR_ITERATIONS):
         contrib = (
             edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
             .select(
@@ -147,6 +159,6 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = cut_lineage(ranks, i, reliable)
     return ranks.select("node", F.col("rank").alias("rank_e9"))

@@ -102,14 +102,42 @@ def _bigrams(t: Column) -> Column:
     )
 
 
+def mode_count(t: Column) -> Column:
+    """Count of the most frequent element of array ``t`` — the longest
+    equal run of the sorted array, found by a single linear fold
+    (acc = last element seen, current run, best run). O(n log n) per
+    row vs the O(distinct * n) transform/filter nesting, which on
+    book-length documents dominates the whole suite."""
+
+    def step(acc: Column, x: Column) -> Column:
+        cur = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
 @register(
     "text_repetition",
     "text",
     "Gopher-style repetition quality filters: distinct-token ratio, "
     "top-token frequency ratio, duplicate-bigram ratio, and the keep/drop "
     "flag they imply — the standard boilerplate/spam pre-training filter. "
-    "All metrics are row-local array expressions (the per-doc mode count is "
-    "O(distinct x tokens) on a document, never corpus-sized), so at 100 TB "
+    "All metrics are row-local array expressions (the per-doc mode count "
+    "sorts the token array and takes the longest equal run via a linear "
+    "fold — O(n log n) per document, never corpus-sized), so at 100 TB "
     "this runs inside the parquet scan with zero shuffles and prunes to "
     "(doc_id, text).",
     oracle=_REPETITION_ORACLE,
@@ -120,16 +148,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(F.col("text"))
     base = d.select("doc_id", t.alias("t")).withColumn("big", _bigrams(F.col("t")))
     distinct_ratio = F.size(F.array_distinct("t")) * F.lit(1.0) / F.size("t")
-    top_ratio = (
-        F.array_max(
-            F.transform(
-                F.array_distinct("t"),
-                lambda d_: F.size(F.filter(F.col("t"), lambda x: x == d_)),
-            )
-        )
-        * F.lit(1.0)
-        / F.size("t")
-    )
+    top_ratio = mode_count(F.col("t")) * F.lit(1.0) / F.size("t")
     dup_bigram = F.when(F.size("big") == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct("big")) * F.lit(1.0) / F.size("big")
     )
@@ -620,6 +639,7 @@ def q79_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.unix_millis("ts").alias("t_ms"),
             F.col("event_type").alias("state"),
+            F.col("event_id").alias("ord"),
         )
     )
     probes = ev.select(
@@ -629,17 +649,24 @@ def q79_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # As-of union: interval starts sort before probes at the same
     # timestamp (tag 0 < 1), last(state) ignoring nulls carries the
-    # currently-valid state into each probe row.
+    # currently-valid state into each probe row. The change event_id
+    # ("ord") is the third sort key so that two state changes at the
+    # same millisecond resolve deterministically to the higher event_id
+    # — exactly the state the oracle's lead()-derived intervals keep
+    # (the lower id's interval is zero-length and matches no probe).
     combined = kept.select(
-        "user_id", "t_ms", F.lit(0).alias("tag"), F.lit(None).cast("long").alias("event_id"), "state"
+        "user_id", "t_ms", F.lit(0).alias("tag"), "ord",
+        F.lit(None).cast("long").alias("event_id"), "state"
     ).unionByName(
         probes.select(
-            "user_id", "t_ms", F.lit(1).alias("tag"), "event_id", F.lit(None).cast("string").alias("state")
+            "user_id", "t_ms", F.lit(1).alias("tag"),
+            F.col("event_id").alias("ord"), "event_id",
+            F.lit(None).cast("string").alias("state")
         )
     )
     wc = (
         Window.partitionBy("user_id")
-        .orderBy("t_ms", "tag")
+        .orderBy("t_ms", "tag", "ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = combined.withColumn(
@@ -988,7 +1015,7 @@ def pipeline_targeted_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-key rate limiting / quota sampling
 # --------------------------------------------------------------------------
 
-_RATE_LIMIT_N = 3  # keep at most N events per (user, hour)
+_RATE_LIMIT_N = 3  # keep at most N events per (event_type, hour)
 
 _RATE_LIMIT_ORACLE = f"""
 WITH ranked AS (
@@ -1012,7 +1039,7 @@ FROM ranked WHERE rk <= {_RATE_LIMIT_N}
     "ingestion rate limiting / per-entity data capping (bounding any "
     "single entity's contribution to a training corpus is the "
     "anti-dominance sibling of dedup). First-N-by-time is a pure "
-    "rank-and-filter over one (user, hour-bucket) window — one shuffle, "
+    "rank-and-filter over one (event_type, hour-bucket) window — one shuffle, "
     "deterministic under replay, and the kept set only grows forward in "
     "time, so incremental runs never revoke earlier decisions.",
     oracle=_RATE_LIMIT_ORACLE,

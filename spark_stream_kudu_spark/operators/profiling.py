@@ -480,9 +480,11 @@ GROUP BY event_type
     "oracle can mirror the feed) is parsed with malformed records "
     "COUNTED per group rather than crashing the job or silently "
     "vanishing — the quarantine accounting every JSON ingest needs. "
-    "Spark's from_json yields a NULL struct for unparseable input and "
-    "DuckDB's json_valid gates extraction; both engines agree record "
-    "by record. Valid records contribute exact integer field sums. "
+    "Spark's PERMISSIVE from_json routes unparseable input into a "
+    "corrupt-record probe column and DuckDB's json_valid gates "
+    "extraction; both engines agree record by record, including valid "
+    "records that merely lack the audited field. Valid records "
+    "contribute exact integer field sums. "
     "Scan-local parse, one small rollup shuffle.",
     oracle=_JSON_AUDIT_ORACLE,
 )
@@ -494,12 +496,17 @@ def q112_json_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("props"))
     parsed = ev.select(
         "event_type",
-        F.from_json(payload, "k long").alias("j"),
+        F.from_json(
+            payload,
+            "k long, _malformed string",
+            {"columnNameOfCorruptRecord": "_malformed"},
+        ).alias("j"),
     )
-    # PERMISSIVE from_json yields an all-null struct (not a null
-    # struct) for malformed input; every valid fixture record carries k,
-    # so a null k IS the malformed marker.
-    ok = F.col("j.k").isNotNull()
+    # Syntactic-validity gate: PERMISSIVE from_json routes unparseable
+    # input into the corrupt-record column, so ok mirrors DuckDB's
+    # json_valid exactly — a VALID record that merely lacks k stays ok
+    # (null k, excluded from count(k)/sum(k) on both engines).
+    ok = F.col("j._malformed").isNull()
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_records"),
         F.sum((~ok).cast("long")).alias("n_malformed"),

@@ -5,8 +5,10 @@ The batch operator carries the latest view/signup timestamps down each
 user's ordered event sequence; that carry is exactly two longs of keyed
 state, so the operator lifts to ``applyInPandasWithState``: per user,
 each arriving row first evaluates the pattern against the carried
-state (purchases emit if the last view is inside the horizon and newer
-than the last signup), then updates the state. State is O(|users|) x
+state (purchases emit if the last view is inside the horizon and no
+signup strictly follows it — the q94 ls <= lv rule, with all of an
+instant's events folded in first to mirror the RANGE-frame
+visibility), then updates the state. State is O(|users|) x
 two longs — independent of stream age — and patterns SPAN micro-batch
 boundaries (a week-1 view can qualify a week-2 purchase), which is the
 continuity the oracle check pins: a run that dropped state between
@@ -73,20 +75,27 @@ def cep_stateful(events: DataFrame) -> DataFrame:
         batch = pd.concat(chunks).sort_values(["ts", "event_id"])
         out_ids: list[int] = []
         out_ms: list[int] = []
-        for eid, ts, et in zip(
-            batch["event_id"], batch["ts"], batch["event_type"]
-        ):
-            t_ms = int(ts.value // 1_000_000)
-            if et == "view":
+        # Millisecond groups: fold ALL of an instant's views/signups
+        # into the carried state before evaluating that instant's
+        # purchases — the q94 RANGE-frame visibility (v.ts <= p.ts,
+        # s.ts <= p.ts), independent of event_id order. The weekly
+        # time-split replay keeps an instant inside one micro-batch,
+        # so the grouping never straddles a batch boundary.
+        batch = batch.assign(_t_ms=batch["ts"].astype("int64") // 1_000_000)
+        for t_ms, grp in batch.groupby("_t_ms", sort=True):
+            t_ms = int(t_ms)
+            if (grp["event_type"] == "view").any():
                 lv = t_ms
-            elif et == "signup":
+            if (grp["event_type"] == "signup").any():
                 ls = t_ms
-            elif et == "purchase":
-                if (
-                    lv is not None
-                    and lv >= t_ms - _CEP_HORIZON_MS
-                    and (ls is None or ls < lv)
-                ):
+            if (
+                lv is not None
+                and lv >= t_ms - _CEP_HORIZON_MS
+                and (ls is None or ls <= lv)
+            ):
+                for eid in grp.loc[
+                    grp["event_type"] == "purchase", "event_id"
+                ]:
                     out_ids.append(int(eid))
                     out_ms.append(t_ms)
         state.update((lv, ls))

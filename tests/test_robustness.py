@@ -100,6 +100,56 @@ def test_label_propagation_reliable_checkpoint(spark, tmp_path):
     assert any(files for _, _, files in os.walk(ckpt))
 
 
+def test_pagerank_reliable_checkpoint(spark, tmp_path, sf_smoke, monkeypatch):
+    """q86_pagerank honors SPARK_GRAFT_CC_CHECKPOINT_DIR exactly as
+    dedup_clusters does (shared lineage helper): reliable checkpoints
+    land on the configured dir and the ranks are identical to the
+    localCheckpoint run — the lineage-cut policy must never change
+    values."""
+    from spark_stream_kudu_spark.functions.lineage import RELIABLE_CKPT_ENV
+    from spark_stream_kudu_spark.registry import load_all
+
+    builder = load_all()["q86_pagerank"].builder
+    monkeypatch.delenv(RELIABLE_CKPT_ENV, raising=False)
+    plain = {r["node"]: r["rank_e9"] for r in builder(spark, sf_smoke).collect()}
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    monkeypatch.setenv(RELIABLE_CKPT_ENV, ckpt)
+    ckpted = {r["node"]: r["rank_e9"] for r in builder(spark, sf_smoke).collect()}
+    assert ckpted == plain
+    assert any(files for _, _, files in os.walk(ckpt))
+
+
+def test_repetition_mode_fold_linear_on_long_doc(spark):
+    """The text_repetition mode count must complete in bounded time on a
+    book-length document (50k tokens). The old O(distinct x n)
+    transform/filter would take minutes here; the sort + linear run fold
+    finishes in seconds — and the metrics stay exact."""
+    import time
+
+    from spark_stream_kudu_spark.operators import pipeline as pl
+    from pyspark.sql import functions as F
+
+    # 50k tokens, 5k distinct, worst-case for the quadratic form; token
+    # "t0" appears twice as often so the mode is unambiguous.
+    toks = ["t%d" % (i % 5000) for i in range(50_000)] + ["t0"] * 10
+    doc = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+
+    t0 = time.time()
+    rows = (
+        doc.select("doc_id", pl.tokens(F.col("text")).alias("t"))
+        .select(
+            F.size("t").alias("n"),
+            pl.mode_count(F.col("t")).alias("mode_count"),
+        )
+        .collect()
+    )
+    elapsed = time.time() - t0
+    assert rows[0]["n"] == 50_010
+    assert rows[0]["mode_count"] == 20  # t0: 10 from the cycle + 10 extra
+    assert elapsed < 60, f"mode fold took {elapsed:.0f}s — not linear"
+
+
 def test_additive_rollup_replay_does_not_double_count(spark, tmp_path):
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
 
