@@ -1296,3 +1296,86 @@ def q113_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr("percentile(latency_ms, 0.9)"), 1).alias("p90_ms"),
         F.max("latency_ms").alias("max_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# q115: last-touch revenue attribution
+# --------------------------------------------------------------------------
+
+_ATTR_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS t_ms
+  FROM events WHERE event_type <> 'purchase'
+), joined AS (
+  SELECT p.event_id, p.v, t.event_type,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY t.t_ms DESC NULLS LAST, t.event_id DESC NULLS LAST
+         ) AS rk
+  FROM p LEFT JOIN t
+    ON t.user_id = p.user_id
+   AND t.t_ms <= p.t_ms
+   AND t.t_ms >= p.t_ms - {_CEP_HORIZON_MS}
+)
+SELECT coalesce(event_type, 'organic') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(v) AS BIGINT) AS revenue_e4
+FROM joined WHERE rk = 1
+GROUP BY 1
+"""
+
+
+@register(
+    "q115_attribution",
+    "analytics",
+    "Last-touch revenue attribution: every purchase credits its most "
+    "recent non-purchase touchpoint within the 1h horizon (else "
+    "'organic'), rolled up to credited revenue per channel. The oracle "
+    "is the textbook purchase x touch join + row_number pick; the "
+    "engine carries max(struct(t_ms, event_id, type)) down each user's "
+    "RANGE-framed window — struct ordering makes the same-instant "
+    "tie-break (latest event_id) explicit, one shuffle on user_id, and "
+    "the event log is never self-joined. Same carried-state shape as "
+    "the q94 CEP family: at 100 TB attribution is a window pass, not a "
+    "fact-x-fact join.",
+    oracle=_ATTR_ORACLE,
+)
+def q115_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("t_ms"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_ms")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_touch = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("t_ms", "event_id", F.col("event_type").alias("touch")),
+        )
+    ).over(w)
+    credited = base.select(
+        "event_type",
+        "t_ms",
+        "v",
+        last_touch.alias("lt"),
+    ).filter(F.col("event_type") == "purchase")
+    touch_type = F.when(
+        F.col("lt").isNotNull()
+        & (F.col("lt.t_ms") >= F.col("t_ms") - _CEP_HORIZON_MS),
+        F.col("lt.touch"),
+    ).otherwise(F.lit("organic"))
+    return credited.groupBy(touch_type.alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").alias("revenue_e4"),
+    )

@@ -267,3 +267,66 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= _BP_MIN_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-decile curriculum binning (data-mixing schedule construction)
+# --------------------------------------------------------------------------
+
+# Epoch multiplier per decile: the top deciles are repeated more often
+# in the training mix (quality-weighted epochs, the DoReMi/CCNet-style
+# curriculum knob). Pure integer function of the bin for determinism.
+_CURR_DECILES = [i / 10 for i in range(1, 10)]
+
+_CURRICULUM_ORACLE = f"""
+WITH th AS (
+  SELECT quantile_cont(n_chars, {_CURR_DECILES}) AS t FROM documents
+), binned AS (
+  SELECT d.doc_id, d.n_chars,
+         len(list_filter(th.t, x -> d.n_chars > x)) AS bin
+  FROM documents d CROSS JOIN th
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(1 + bin // 3 AS BIGINT) AS epochs,
+       CAST(sum(n_chars) * (1 + bin // 3) AS BIGINT) AS chars_effective
+FROM binned GROUP BY bin
+"""
+
+
+@register(
+    "quality_curriculum",
+    "sampling",
+    "Quality-decile curriculum construction: exact corpus deciles of the "
+    "quality proxy (n_chars) become bin edges, every document is binned "
+    "scan-locally against the BROADCAST 9-value threshold array, and the "
+    "per-bin schedule assigns integer epoch multipliers (top deciles "
+    "repeated more — the quality-weighted mixing knob). NOT an NTILE "
+    "over the corpus: a global NTILE is a single-partition sort of "
+    "everything, while this is one tiny percentile aggregate + a "
+    "row-local array comparison + one |bins|-group rollup — the shape "
+    "that survives 100 TB. Output is the per-bin audit (docs, raw and "
+    "epoch-weighted token mass).",
+    oracle=_CURRICULUM_ORACLE,
+)
+def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.agg(
+        F.percentile(F.col("n_chars"), F.array(*[F.lit(p) for p in _CURR_DECILES]))
+        .alias("t")
+    )
+    binned = docs.crossJoin(F.broadcast(th)).select(
+        "n_chars",
+        F.size(F.filter("t", lambda x: F.col("n_chars") > x))
+        .cast("long")
+        .alias("bin"),
+    )
+    epochs = (F.lit(1) + F.floor(F.col("bin") / 3)).cast("long")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        epochs.alias("epochs"),
+        (F.sum("n_chars") * epochs).alias("chars_effective"),
+    )

@@ -1155,3 +1155,109 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("op") == "I").cast("long")).alias("n_inserted"),
         F.sum((F.col("op") == "U").cast("long")).alias("n_updated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (aggregate MV + delta merge)
+# --------------------------------------------------------------------------
+
+# Deterministic base/delta split of the order fact stream: the delta
+# batch is ~10% of orders, standing in for "what arrived since the MV
+# was last refreshed".
+_MV_DELTA_MOD = 10
+_MV_DELTA_REM = 7
+
+_MV_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
+def _mv_store_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"ssk_mv_segment_{tag}")
+
+
+def _mv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment-grain aggregate MV over the base (pre-delta) orders."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % _MV_DELTA_MOD != _MV_DELTA_REM
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+def mv_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """One-time MV refresh: materialize the base aggregate to the store.
+
+    Idempotent per (process, sf_dir); mirrors the deployment where the
+    MV lives in a table and only deltas are aggregated per refresh.
+    """
+    import os
+
+    tune_session(spark)
+    path = _mv_store_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _mv_base(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+@register(
+    "mv_incremental_join",
+    "pipeline",
+    "Incremental materialized-view maintenance: the segment-grain "
+    "join-aggregate MV is READ from its store (materialized once by the "
+    "prepare step) and merged with the aggregate of ONLY the delta batch "
+    "(~10% of orders) — a unionByName + re-aggregate on the MV grain, so "
+    "refresh cost scales with the delta, not the fact table. The oracle "
+    "is the full recompute over all orders; the driver hash therefore "
+    "checks THE invariant of incremental view maintenance: "
+    "merge(MV_base, agg(delta)) == full_recompute. SUM/COUNT are "
+    "self-mergeable; the dimension side broadcasts in both paths. At "
+    "100 TB the delta path touches gigabytes where recompute touches "
+    "the world.",
+    oracle=_MV_ORACLE,
+    prepare=mv_prepare,
+)
+def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    mv_prepare(spark, sf_dir)
+    stored = spark.read.parquet(_mv_store_path(sf_dir))
+    delta_o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % _MV_DELTA_MOD == _MV_DELTA_REM
+    )
+    c = load_table(spark, sf_dir, "customer")
+    delta_mv = (
+        delta_o.join(F.broadcast(c), delta_o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+    return (
+        stored.unionByName(delta_mv)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )

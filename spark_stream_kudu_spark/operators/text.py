@@ -402,6 +402,89 @@ def text_regex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII redaction (the scrub transform beside the detection scan)
+# --------------------------------------------------------------------------
+
+# Redaction patterns: case-insensitive via inline (?i), identical automata
+# in Java regex and RE2. Emails first, then long digit runs (phone/account
+# shapes) — ordered so digits inside an already-redacted email never
+# double-count.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"
+_PII_LONG_DIGITS = r"[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"  # 7+ digits
+
+# The fixture corpus carries no real PII, so a deterministic footer is
+# synthesized from doc_id identically in both engines (every 3rd doc
+# gains an email, every 4th a long account number) — the mechanism
+# (ordered redaction passes + audit digest) is the contract, exactly as
+# text_url_normalize synthesizes URLs.
+_PII_FEED_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' acct 900001' || (doc_id + 1000)"
+    " ELSE '' END"
+)
+
+_PII_REDACT_ORACLE = f"""
+WITH feed AS (
+  SELECT doc_id, {_PII_FEED_SQL} AS text FROM documents
+), red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_LONG_DIGITS}', '[NUMBER]', 'g') AS redacted
+  FROM feed
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(
+           regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_LONG_DIGITS}')) AS BIGINT) AS n_numbers,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(redacted) AS BIGINT) AS n_chars_after,
+       md5(redacted) AS redacted_digest
+FROM red
+"""
+
+
+@register(
+    "text_pii_redact",
+    "text",
+    "PII redaction: emails then 7+-digit runs replaced with typed "
+    "placeholders, emitting per-document redaction counts, before/after "
+    "lengths, and an md5 digest of the REDACTED text — so the transform "
+    "itself (not just detection) is hash-verified cross-engine without "
+    "hauling the corpus into the result. The fixture corpus is PII-free, "
+    "so a deterministic email/account footer is synthesized from doc_id "
+    "identically in both engines (the url-normalize convention). Ordered "
+    "passes mean digits "
+    "inside an already-redacted email never double-count. Row-local "
+    "regexp_replace in the scan stage: zero shuffles, prunes to "
+    "(doc_id, text); at 100 TB this is a pure map over the corpus with "
+    "the audit rollup the only small output.",
+    oracle=_PII_REDACT_ORACLE,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", F.expr(_PII_FEED_SQL).alias("text"))
+    email_redacted = F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]")
+    redacted = F.regexp_replace(email_redacted, _PII_LONG_DIGITS, "[NUMBER]")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(email_redacted, F.lit(_PII_LONG_DIGITS), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_numbers"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(redacted).cast("long").alias("n_chars_after"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy matching: bounded-block edit distance
 # --------------------------------------------------------------------------
 
