@@ -629,6 +629,100 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment (sub/superset detection over LSH candidates)
+# --------------------------------------------------------------------------
+
+# Containment C(A,B) = |shingles(A) n shingles(B)| / |shingles(A)| —
+# catches "document A is quoted/embedded inside B" even when Jaccard is
+# low because B is much larger. Classification threshold:
+CONTAINMENT_THRESHOLD = 0.5
+
+_CONTAIN_ORACLE = f"""
+WITH {_sql_minhash_cte()},
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
+    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ")) AS bkey FROM sig"
+    for j in range(BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh2 AS (
+  SELECT doc_id, list_distinct({sql_word_shingles(sql_tokens('text'), SHINGLE_N)}) AS s
+  FROM documents
+),
+c AS (
+  SELECT c.doc_a, c.doc_b,
+         floor(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s)
+               * 1000000 + 0.5) / 1000000 AS containment_a,
+         floor(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s)
+               * 1000000 + 0.5) / 1000000 AS containment_b
+  FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, containment_a, containment_b,
+       CASE WHEN containment_a >= {CONTAINMENT_THRESHOLD}
+             AND containment_b >= {CONTAINMENT_THRESHOLD} THEN 'mutual'
+            WHEN containment_a >= {CONTAINMENT_THRESHOLD} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM c
+WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment",
+    "dedup",
+    "Asymmetric shingle containment over MinHash-LSH candidates: "
+    "C(A,B) = |A n B| / |A| in both directions, classifying pairs as "
+    "mutual near-dups or sub/superset inclusions (a quoted or embedded "
+    "document that symmetric Jaccard under-scores because the host is "
+    "much larger). Same generate-cheap/verify-exact shape as "
+    "dedup_verified_pairs: the exact set arithmetic touches only the "
+    "LSH candidate pairs, never all pairs — 100 TB-safe by the same "
+    "bucket-cap argument.",
+    oracle=_CONTAIN_ORACLE,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    ca = fround(inter * F.lit(1.0) / F.size("sa"), 6)
+    cb = fround(inter * F.lit(1.0) / F.size("sb"), 6)
+    thr = F.lit(CONTAINMENT_THRESHOLD)
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+    )
+    relation = (
+        F.when(
+            (F.col("containment_a") >= thr) & (F.col("containment_b") >= thr),
+            "mutual",
+        )
+        .when(F.col("containment_a") >= thr, "a_in_b")
+        .otherwise("b_in_a")
+    )
+    return scored.filter(
+        F.greatest("containment_a", "containment_b") >= thr
+    ).select("doc_a", "doc_b", "containment_a", "containment_b", relation.alias("relation"))
+
+
+# --------------------------------------------------------------------------
 # Dedup clusters: connected components over verified pairs (iterative)
 # --------------------------------------------------------------------------
 

@@ -800,3 +800,101 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out).select("qid", "neighbor_id", "adc_d2", "rank")
+
+
+# --------------------------------------------------------------------------
+# Late-data audit: watermark-dropped rows are exactly the late arrivals
+# --------------------------------------------------------------------------
+
+_LATE_CUTOFF = "2024-01-08"
+
+_LATE_AUDIT_ORACLE = f"""
+SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE NOT (event_id % 11 = 3 AND ts < TIMESTAMP '{_LATE_CUTOFF}')
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_late_audit_e2e",
+    "streaming",
+    "END-TO-END watermark late-data semantics, value-checked: a "
+    "deterministic slice of week-1 events (event_id % 11 = 3) is held "
+    "back and replayed AFTER weeks 2-4, by which point the 1-hour "
+    "watermark has closed and evicted every week-1 daily window — so "
+    "the late rows are dropped from the append-mode aggregate, state "
+    "stays bounded by the watermark horizon, and the final table equals "
+    "the batch aggregate EXCLUDING exactly the late set (the oracle). "
+    "This pins the eviction/drop contract a 100 TB continuous pipeline "
+    "depends on: without it, either state grows forever or late data "
+    "silently corrupts closed windows.",
+    oracle=_LATE_AUDIT_ORACLE,
+)
+def stream_late_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    base = new_run_dir("late")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def stage(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    cutoff = F.lit(_LATE_CUTOFF).cast("timestamp")
+    is_late = (F.col("event_id") % 11 == 3) & (F.col("ts") < cutoff)
+    sentinel = ev.sparkSession.createDataFrame(
+        [(-1, -1)], "user_id long, event_id long"
+    ).select(
+        "user_id",
+        "event_id",
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+        F.lit("view").alias("event_type"),
+    )
+    # Arrival order: on-time week 1; weeks 2-3; week 4; THEN the late
+    # week-1 slice; sentinel last to flush remaining windows. Weeks 2-4
+    # are split into TWO batches because the stateful operator's
+    # late-row filter is planned with the watermark of the PREVIOUS
+    # batch (one batch of lag, observed empirically): by the late
+    # batch, even the lagged watermark (set by the weeks-2-3 maximum)
+    # is past every week-1 window, so the whole late slice drops
+    # deterministically.
+    mid = F.lit("2024-01-22").cast("timestamp")
+    stage(ev.filter((F.col("ts") < cutoff) & ~is_late), "batch_0", 1_000_000.0)
+    stage(
+        ev.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid)),
+        "batch_1",
+        1_000_100.0,
+    )
+    stage(ev.filter(F.col("ts") >= mid), "batch_2", 1_000_200.0)
+    stage(ev.filter(is_late), "batch_3", 1_000_300.0)
+    stage(sentinel, "batch_4", 1_000_400.0)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    daily = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("day_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = _run_to_parquet(daily, base)
+    return spark.read.parquet(out).filter(
+        F.col("day_ms") < F.unix_millis(F.to_timestamp(F.lit("2029-12-31")))
+    )
