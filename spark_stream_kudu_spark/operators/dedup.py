@@ -951,3 +951,110 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("tokens_kept"),
         F.sum("quality_e4").alias("quality_e4_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity join (PPJoin-style)
+# --------------------------------------------------------------------------
+
+_PREFIX_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct({sql_word_shingles('t', SHINGLE_N)}) AS s FROM tok),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+                len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_prefix_filter",
+    "dedup",
+    f"EXACT Jaccard-threshold (>= {JACCARD_THRESHOLD}) set-similarity self-"
+    "join via PPJoin-style prefix filtering — the exact-recall counterpart "
+    "to the probabilistic MinHash-LSH path (dedup_verified_pairs can miss a "
+    "qualifying pair; this cannot). Shingles are globally ordered rarest-"
+    "first by document frequency; a doc only probes on its prefix (the "
+    "|S| - ceil(t*|S|) + 1 rarest shingles), which provably covers every "
+    "pair with J >= t, and a size filter (t*|A| <= |B| <= |A|/t) prunes the "
+    "rest before the exact verify. The oracle is the obviously-correct "
+    "spec: candidates = every pair sharing ANY shingle (complete for any "
+    "t > 0), then exact Jaccard.",
+    oracle=_PREFIX_ORACLE,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style exact similarity join (Xiao et al., WWW'08 — public).
+
+    Scale design (100 TB): the document-frequency table is the shingle
+    vocabulary — joined (AQE picks broadcast vs sort-merge by its actual
+    size), never collected. Prefix probing inverts the usual skew story:
+    the GLOBAL rarest-first order puts precisely the lowest-df shingles
+    into prefixes, so per-shingle join fanout is anti-correlated with
+    popularity; residual hot prefixes (boilerplate-heavy corpora) are
+    AQE skew-split. Shuffles: df groupBy, per-doc re-sort groupBy, the
+    prefix equi-join, and the two verify joins — all on keys, no
+    all-pairs stage anywhere. The reference
+    (src/main/python/kafka_to_kudu.py) has no dedup surface; this
+    extends the declared contract (SURVEY.md §2.4).
+    """
+    return prefix_filter_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
+    """Exact J >= t pairs of ``(doc_id, text)`` rows via prefix filtering."""
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    df_counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # Rarest-first total order (df, then shingle text) — identical for
+    # every document, which is what the prefix-filter guarantee needs.
+    ranked = (
+        ex.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("ordered"))
+        .select(
+            "doc_id",
+            F.transform("ordered", lambda x: x["g"]).alias("os"),
+            F.size("ordered").alias("n"),
+        )
+    )
+    # Probe prefix: |S| - ceil(t*|S|) + 1 rarest shingles. J(A,B) >= t
+    # forces |A n B| >= t*max(|A|,|B|), so two qualifying prefixes must
+    # intersect; anything missed here would contradict the overlap bound.
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
+    pe = ranked.select(
+        "doc_id", "n", F.explode(F.slice("os", 1, prefix_len)).alias("g")
+    )
+    a, b = pe.alias("a"), pe.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(
+            (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(t)))
+            & (F.col("a.n") >= F.ceil(F.col("b.n") * F.lit(t)))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_distinct(F.array_intersect("sa", "sb")))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    jac = fround(inter * F.lit(1.0) / union, 6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= F.lit(t))
+    )

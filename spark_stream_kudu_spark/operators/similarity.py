@@ -1068,3 +1068,178 @@ def sim_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = _recall_against_exact(name, exact, approx)
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means (the real IVF codebook trainer)
+# --------------------------------------------------------------------------
+
+_KM_K = 8  # seeds: vec_id < _KM_K (deterministic init, k-means++ in prod)
+_KM_ROUNDS = 2
+
+
+def _km_sql_quant(expr: str) -> str:
+    return (
+        f"list_transform({expr}, x -> CAST(floor(x * {_SCALE}) AS BIGINT))"
+    )
+
+
+_KMEANS_ORACLE = f"""
+WITH vq AS (
+  SELECT vec_id, {_km_sql_quant('embedding')} AS xq FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, xq AS cq FROM vq WHERE vec_id < {_KM_K}
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                       i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM vq v CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cid, t.i AS pos,
+         CAST(sum(v.xq[t.i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a1 a JOIN vq v USING (vec_id), generate_series(1, {_DIM}) AS t(i)
+  GROUP BY a.cid, t.i
+),
+c1 AS (
+  SELECT cid,
+         list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cq,
+         any_value(n) AS n_members
+  FROM u1 GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                       i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM vq v CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+u2 AS (
+  SELECT a.cid, t.i AS pos,
+         CAST(sum(v.xq[t.i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a2 a JOIN vq v USING (vec_id), generate_series(1, {_DIM}) AS t(i)
+  GROUP BY a.cid, t.i
+)
+SELECT cid AS cluster_id, CAST(pos - 1 AS INTEGER) AS pos,
+       CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS comp_q20,
+       n AS n_members
+FROM u2
+"""
+
+
+@register(
+    "emb_kmeans_lloyd",
+    "similarity",
+    f"Distributed Lloyd k-means, {_KM_ROUNDS} rounds, k={_KM_K}: the real "
+    "IVF codebook trainer (sim_topk_ivf's vec_id%-mod 'training' is the "
+    "degenerate 0-round case). Components are 2^20-scaled BIGINTs, so "
+    "distances are EXACT integer squared-L2 (no float accumulation-order "
+    "drift), assignment ties break to the lowest centroid id, and the "
+    "update step is an exact integer floor-division mean — every round is "
+    "bit-reproducible and the DuckDB oracle unrolls the same two rounds. "
+    "Output: (cluster_id, pos) grain quantized centroid components + "
+    "member counts.",
+    oracle=_KMEANS_ORACLE,
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd iteration, Spark-shaped: centroids are k x dim = tiny, so
+    each round broadcasts them (as literal arrays via a bounded k-row
+    collect, the same pattern as the N_QUERIES query-vector broadcast at
+    similarity.py:121) and assignment is scan-local zip_with arithmetic
+    inside whole-stage codegen; the update is ONE posexplode + partial-
+    aggregated groupBy((cid, pos)) shuffle per round. At 100 TB that is
+    the textbook distributed k-means: rounds x (broadcast + one shuffle
+    of |k|*dim partials per partition), corpus never re-keyed. Overflow
+    bound: |diff| <= 2^22, squared <= 2^44, x 64 dims <= 2^50 << 2^63.
+    """
+    return lloyd_rounds(_emb(spark, sf_dir), _KM_K, _KM_ROUNDS)
+
+
+def lloyd_rounds(emb: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` exact-integer Lloyd iterations over ``(vec_id,
+    embedding)`` rows, seeded from ``vec_id < k``."""
+    vq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(float(_SCALE))).cast("long")
+        ).alias("xq"),
+    )
+    centroids = [
+        (int(r["vec_id"]), [int(v) for v in r["xq"]])
+        for r in vq.where(F.col("vec_id") < k).collect()
+    ]
+
+    def assign(cents: list[tuple[int, list[int]]]):
+        # dist to each centroid as a literal-array zip_with fold; argmin
+        # via array_min over (dist, cid) structs — row-local, exact.
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xq"),
+                            F.array(*[F.lit(c) for c in comps]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, comps in cents
+            ]
+        )
+        return vq.select(
+            "vec_id", "xq", F.array_min(pairs)["cid"].alias("cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cid", F.posexplode("xq").alias("pos", "comp"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum("comp").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cid",
+                "pos",
+                F.expr("(s - ((s % n) + n) % n) div n").alias("comp"),
+                F.col("n").alias("n_members"),
+            )
+        )
+
+    cents = centroids
+    upd = None
+    for rnd in range(rounds):
+        upd = update(assign(cents))
+        if rnd == rounds - 1:
+            break  # final round's table IS the output; no re-collect
+        rows = (
+            upd.groupBy("cid")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+            .select("cid", F.transform("pc", lambda x: x["comp"]).alias("cq"))
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cid"]), [int(v) for v in r["cq"]]) for r in rows
+        )
+    return upd.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("comp").alias("comp_q20"),
+        F.col("n_members"),
+    )

@@ -96,3 +96,66 @@ def test_capped_equals_uncapped_below_cap(spark, skewed_docs):
     assert capped <= exact
     # uncapped emits the full clique for the duplicate cluster
     assert len(exact) >= N_DUP * (N_DUP - 1) // 2
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact similarity join: zero false negatives by theorem;
+# pin it empirically against the naive all-pairs computation, including
+# the edge shapes the prefix bound has to survive.
+# --------------------------------------------------------------------------
+
+def _naive_jaccard_pairs(rows, n, t):
+    """Reference all-pairs shingle Jaccard in plain Python."""
+    import itertools
+
+    def shingles(text):
+        toks = text.strip().lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    sets = {i: shingles(txt) for i, txt in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= t:
+            out.add((a, b))
+    return out
+
+
+def test_prefix_filter_equals_naive_all_pairs(spark):
+    from spark_stream_kudu_spark.operators.dedup import (
+        SHINGLE_N,
+        prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),                                  # \
+        (1, base),                                  #  identical pair (J=1)
+        (2, base + " lambda"),                      # near-dup of 0/1
+        (3, "alpha beta gamma"),                    # strict subset, small
+        (4, "one two"),                             # below SHINGLE_N tokens
+        (5, "one two"),                             # identical tiny doc
+        (6, "totally different words entirely here unrelated content"),
+        (7, "zeta eta theta iota kappa alpha beta gamma delta epsilon"),
+    ]
+    t = 0.5
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (p["doc_a"], p["doc_b"])
+        for p in prefix_filter_pairs(docs, t).collect()
+    }
+    want = _naive_jaccard_pairs(rows, SHINGLE_N, t)
+    assert got == want
+    assert (0, 1) in got and (4, 5) in got  # the edge shapes actually fired
+
+
+def test_prefix_filter_no_cartesian_plan(spark, sf_smoke):
+    from spark_stream_kudu_spark.operators.dedup import dedup_prefix_filter
+    from spark_stream_kudu_spark.plans import checks
+
+    plan = checks.formatted_plan(dedup_prefix_filter(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -296,3 +296,43 @@ def test_no_oracle_emits_hugeint_or_decimal(sf_smoke):
         assert not offenders, f"oracles with repr-unstable column types: {offenders}"
     finally:
         con.close()
+
+
+# --------------------------------------------------------------------------
+# Lloyd k-means: exact-integer determinism and Lloyd-step semantics
+# --------------------------------------------------------------------------
+
+def test_kmeans_partition_invariant_and_separates_planted_clusters(spark):
+    """Quantized-integer Lloyd must be bit-identical under any physical
+    partitioning (the whole point of the 2^20 scaling), and two planted
+    far-apart blobs must end up in different clusters with exact
+    centroid means."""
+    from spark_stream_kudu_spark.operators.similarity import lloyd_rounds
+
+    dim = 4
+    rows = []
+    # seeds 0 and 1 are one member of each blob (vec_id < k init)
+    for i in range(40):
+        blob = i % 2
+        base = 10.0 if blob else -10.0
+        # deterministic jitter, exactly representable offsets
+        jit = (i // 2) * 0.25
+        rows.append((i, [base + jit, base - jit, base, base + 0.5 * blob]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out1 = {
+        (r["cluster_id"], r["pos"]): (r["comp_q20"], r["n_members"])
+        for r in lloyd_rounds(emb, 2, 2).collect()
+    }
+    out2 = {
+        (r["cluster_id"], r["pos"]): (r["comp_q20"], r["n_members"])
+        for r in lloyd_rounds(emb.repartition(7), 2, 2).collect()
+    }
+    assert out1 == out2
+    assert len(out1) == 2 * dim
+    # each blob has 20 members and the two centroids are far apart
+    counts = {cid: n for (cid, _), (_, n) in out1.items()}
+    assert sorted(counts.values()) == [20, 20]
+    c0 = out1[(0, 0)][0] / (1 << 20)
+    c1 = out1[(1, 0)][0] / (1 << 20)
+    assert abs(c0 - c1) > 15  # -10ish vs +10ish on dim 0
