@@ -1058,3 +1058,98 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(t))
     )
+
+
+# --------------------------------------------------------------------------
+# LSH recall evaluation against the EXACT prefix-filter ground truth
+# --------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH {_sql_minhash_cte()},
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
+    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ")) AS bkey FROM sig"
+    for j in range(BANDS)
+  )}
+),
+lcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+dsh AS (
+  SELECT doc_id, list_distinct({sql_word_shingles(sql_tokens('text'), SHINGLE_N)}) AS s
+  FROM documents
+),
+lv AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+                len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM lcand c JOIN dsh a ON a.doc_id = c.doc_a JOIN dsh b ON b.doc_id = c.doc_b
+),
+lsh_pairs AS (SELECT doc_a, doc_b FROM lv WHERE jaccard >= {JACCARD_THRESHOLD}),
+pex AS (SELECT doc_id, unnest(s) AS g FROM dsh),
+pcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pex a JOIN pex b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+pv AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+                len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM pcand c JOIN dsh a ON a.doc_id = c.doc_a JOIN dsh b ON b.doc_id = c.doc_b
+),
+true_pairs AS (SELECT doc_a, doc_b FROM pv WHERE jaccard >= {JACCARD_THRESHOLD}),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM true_pairs t JOIN lsh_pairs l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+)
+SELECT 'minhash_lsh' AS method,
+       CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT) AS n_found_pairs,
+       (SELECT c FROM hits) AS n_hits,
+       floor(((SELECT c FROM hits) * 1.0 /
+              (SELECT count(*) FROM true_pairs)) * 1000000 + 0.5) / 1000000 AS recall
+"""
+
+
+@register(
+    "dedup_recall_eval",
+    "dedup",
+    f"MinHash-LSH recall audit against EXACT ground truth: the verified "
+    f"LSH pipeline (dedup_verified_pairs) scored against the complete "
+    f"J >= {JACCARD_THRESHOLD} pair set from the prefix-filter join "
+    "(dedup_prefix_filter) — the production quality dial for banding "
+    "parameters. Verified-LSH precision is 1.0 by construction (every "
+    "emitted pair is exact-verified), so the number that matters is "
+    "recall; banding theory predicts it from (bands, rows) and this "
+    "query MEASURES it. Mirrors sim_recall_eval's exact-vs-approx "
+    "pattern, now for dedup.",
+    oracle=_RECALL_ORACLE,
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both arms are already-registered oracle-checked queries; this
+    proves they compose. Cost at 100 TB is the two pair sets (near
+    output-sized) plus three 1-row aggregates crossed at the end —
+    the corpus is scanned by the arms, never by the comparison."""
+    exact = dedup_prefix_filter(spark, sf_dir).select("doc_a", "doc_b")
+    approx = dedup_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_found = approx.agg(F.count(F.lit(1)).alias("n_found_pairs"))
+    hits = exact.join(approx, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(hits)
+        .select(
+            F.lit("minhash_lsh").alias("method"),
+            "n_true_pairs",
+            "n_found_pairs",
+            "n_hits",
+            fround(F.col("n_hits") * F.lit(1.0) / F.col("n_true_pairs"), 6).alias(
+                "recall"
+            ),
+        )
+    )

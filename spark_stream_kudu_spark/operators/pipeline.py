@@ -1261,3 +1261,72 @@ def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_cents").alias("revenue_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-shard export manifest (deterministic sharding + per-shard digest)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def _shard_export_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    shard = f"{sql_md5_int32('CAST(doc_id AS VARCHAR)')} % {_N_SHARDS}"
+    row = (
+        "concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), "
+        "coalesce(lang, ''), coalesce(source, ''), CAST(n_chars AS VARCHAR))"
+    )
+    h = sql_md5_int32(row)
+    return f"""
+SELECT CAST({shard} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS digest_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "pipeline_shard_export",
+    "pipeline",
+    f"Training-shard export manifest: every document is assigned to one "
+    f"of {_N_SHARDS} shards by a portable content-independent hash of "
+    "its id (uniform, deterministic, engine-agnostic — the same "
+    "expression is the repartition key the shard writer uses), and each "
+    "shard gets a row count, byte total, and an order-independent "
+    "DECIMAL(38,0) content digest (q99's convention). This is the "
+    "manifest a downstream trainer verifies before reading a shard — "
+    "corrupted, truncated, or re-ordered exports change the digest, "
+    "re-partitioned ones do not.",
+    oracle=_shard_export_oracle(),
+)
+def pipeline_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one partially-aggregated groupBy(shard) shuffle of
+    {_N_SHARDS} partial rows per partition — at 100 TB the manifest
+    costs a scan, and the writer reuses the identical shard expression
+    in repartition(shard) so manifest and export cannot diverge."""
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    shard = md5_int32(F.col("doc_id").cast("string")) % _N_SHARDS
+    row = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.md5("text"),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    h = md5_int32(row)
+    return (
+        d.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("digest_sum"),
+        )
+    )
