@@ -204,6 +204,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_stream_kudu_spark.operators.profiling  # noqa: F401
     import spark_stream_kudu_spark.operators.graph  # noqa: F401
     import spark_stream_kudu_spark.streaming.transitions  # noqa: F401
+    import spark_stream_kudu_spark.streaming.attribution  # noqa: F401
     import spark_stream_kudu_spark.streaming.cep  # noqa: F401
     import spark_stream_kudu_spark.streaming.scd2  # noqa: F401
     import spark_stream_kudu_spark.streaming.parity_extra  # noqa: F401
