@@ -639,3 +639,117 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (norm != F.col("text")).cast("int").alias("changed"),
         F.md5(norm).alias("norm_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge step (tokenizer training: count pairs -> pick -> apply merge)
+# --------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {sql_tokens('text')} AS t FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM tok WHERE len(t) >= 2
+),
+top1 AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1
+  ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+w AS (
+  SELECT source, len(t) AS n_tok,
+         '|' || array_to_string(t, '||') || '|' AS s
+  FROM tok
+),
+m AS (
+  SELECT w.source, w.n_tok, top1.pair, top1.pair_count,
+         length(w.s) - length(replace(
+            w.s,
+            '|' || split_part(top1.pair, ' ', 1) || '||' || split_part(top1.pair, ' ', 2) || '|',
+            '|' || split_part(top1.pair, ' ', 1) || '_'  || split_part(top1.pair, ' ', 2) || '|'
+         )) AS n_merges
+  FROM w CROSS JOIN top1
+)
+SELECT source, any_value(pair) AS merged_pair,
+       any_value(pair_count) AS pair_count,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+       CAST(sum(n_merges) AS BIGINT) AS n_merges,
+       CAST(sum(n_tok) - sum(n_merges) AS BIGINT) AS tokens_after
+FROM m
+GROUP BY source
+"""
+
+
+@register(
+    "text_bpe_merge",
+    "text",
+    "One BPE tokenizer-training merge step over the corpus: count every "
+    "adjacent token pair (row-local pair arrays, one partially-aggregated "
+    "shuffle), pick the most frequent pair (ties -> lexicographically "
+    "first), and APPLY the merge corpus-wide with greedy left-to-right "
+    "non-overlapping semantics — reported per source as tokens "
+    "before/after and merge counts. Full BPE training iterates this exact "
+    "step; one bit-reproducible round is the unit the loop is built from "
+    "(the pagerank/k-means pattern: per round, one broadcast of the "
+    "decision + one scan).",
+    oracle=_BPE_ORACLE,
+)
+def text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge application is string-level on a delimiter-wrapped join
+    ('|a||b|' -> '|a_b|'): both engines' replace() scan left-to-right
+    without overlap, and each merge shrinks the string by exactly one
+    char ('||' -> '_'), so n_merges = len_delta with no re-tokenization
+    pass (pinned by the overlap-semantics unit test — oracle parity
+    alone can't catch a length-delta mistake both sides share). 100 TB:
+    pair counting is the only shuffle; the chosen pair broadcasts; the
+    apply pass is scan-local. (Production separators would be control
+    chars; the fixture corpus is whitespace word soup, and parity holds
+    for ANY corpus since both engines run the identical expression.)"""
+    return bpe_merge_step(_docs(spark, sf_dir))
+
+
+def bpe_merge_step(d: DataFrame) -> DataFrame:
+    """One merge round over ``(source, text)`` rows."""
+    tok = d.select("source", tokens(F.col("text")).alias("t"))
+    pair_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top1 = (
+        tok.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+    )
+    a = F.element_at(F.split(F.col("pair"), " "), 1)
+    b = F.element_at(F.split(F.col("pair"), " "), 2)
+    wrapped = F.concat(F.lit("|"), F.concat_ws("||", F.col("t")), F.lit("|"))
+    search = F.concat(F.lit("|"), a, F.lit("||"), b, F.lit("|"))
+    repl = F.concat(F.lit("|"), a, F.lit("_"), b, F.lit("|"))
+    merged = tok.crossJoin(F.broadcast(top1)).select(
+        "source",
+        "pair",
+        "pair_count",
+        F.size("t").alias("n_tok"),
+        (F.length(wrapped) - F.length(F.replace(wrapped, search, repl)))
+        .cast("long")
+        .alias("n_merges"),
+    )
+    return merged.groupBy("source").agg(
+        F.any_value(F.col("pair")).alias("merged_pair"),
+        F.any_value(F.col("pair_count")).alias("pair_count"),
+        F.sum("n_tok").alias("tokens_before"),
+        F.sum("n_merges").alias("n_merges"),
+        (F.sum("n_tok") - F.sum("n_merges")).alias("tokens_after"),
+    )

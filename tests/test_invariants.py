@@ -336,3 +336,21 @@ def test_kmeans_partition_invariant_and_separates_planted_clusters(spark):
     c0 = out1[(0, 0)][0] / (1 << 20)
     c1 = out1[(1, 0)][0] / (1 << 20)
     assert abs(c0 - c1) > 15  # -10ish vs +10ish on dim 0
+
+
+def test_bpe_merge_greedy_nonoverlap_semantics(spark):
+    """'b b b b b' under top pair (b,b) must merge greedily left-to-right
+    without overlap: 2 merges, not 4 — the property both engines'
+    replace() share and the oracle comparison silently depends on."""
+    from spark_stream_kudu_spark.operators.text import bpe_merge_step
+
+    docs = spark.createDataFrame(
+        [(0, "s", "b b b b b"), (1, "s", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    [row] = bpe_merge_step(docs).collect()
+    assert row["merged_pair"] == "b b"
+    assert row["pair_count"] == 4       # counting phase counts overlaps
+    assert row["n_merges"] == 2         # application is non-overlapping
+    assert row["tokens_before"] == 8
+    assert row["tokens_after"] == 6
