@@ -819,6 +819,50 @@ def q24_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.subtract(p)
 
 
+_Q116_ORACLE = """
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 25
+INTERSECT ALL
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+@register(
+    "q116_intersect_all",
+    "setop",
+    "INTERSECT ALL (multiset): per supplier key, min(multiplicity) copies "
+    "survive — bag semantics the distinct q23 can't express (SQL:2003 "
+    "F304). Spark's intersectAll plans as a count-compare aggregate + "
+    "generate, one shuffle per side on the compared columns.",
+    oracle=_Q116_ORACLE,
+)
+def q116_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+_Q117_ORACLE = """
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 25
+EXCEPT ALL
+SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+@register(
+    "q117_except_all",
+    "setop",
+    "EXCEPT ALL (multiset): each key keeps max(0, left-mult - right-mult) "
+    "copies — the bag difference q24's distinct subtract collapses.",
+    oracle=_Q117_ORACLE,
+)
+def q117_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    return a.exceptAll(b)
+
+
 # --------------------------------------------------------------------------
 # Scalar functions (reference O5/O10/O11: split/trim/round/unix_timestamp)
 # --------------------------------------------------------------------------

@@ -1084,8 +1084,9 @@ def _km_sql_quant(expr: str) -> str:
     )
 
 
-_KMEANS_ORACLE = f"""
-WITH vq AS (
+# CTE chain through the final update table (u2); shared by the trainer
+# oracle and the trained-IVF serving oracle.
+_KMEANS_CTES = f"""vq AS (
   SELECT vec_id, {_km_sql_quant('embedding')} AS xq FROM embeddings
 ),
 c0 AS (
@@ -1132,7 +1133,10 @@ u2 AS (
          CAST(count(*) AS BIGINT) AS n
   FROM a2 a JOIN vq v USING (vec_id), generate_series(1, {_DIM}) AS t(i)
   GROUP BY a.cid, t.i
-)
+)"""
+
+_KMEANS_ORACLE = f"""
+WITH {_KMEANS_CTES}
 SELECT cid AS cluster_id, CAST(pos - 1 AS INTEGER) AS pos,
        CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS comp_q20,
        n AS n_members
@@ -1168,78 +1172,169 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_rounds(_emb(spark, sf_dir), _KM_K, _KM_ROUNDS)
 
 
+def _km_quantize(emb: DataFrame) -> DataFrame:
+    """2^20-scaled integer components; keeps every other input column."""
+    return emb.withColumn(
+        "xq",
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(float(_SCALE))).cast("long")
+        ),
+    )
+
+
+def _km_assign(vq: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid id (exact integer squared-L2, ties -> lowest cid)
+    appended as ``cid``; dist to each centroid is a literal-array
+    zip_with fold, argmin via array_min over (dist, cid) structs —
+    row-local, exact, whole-stage-codegen'd."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xq"),
+                        F.array(*[F.lit(c) for c in comps]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, comps in cents
+        ]
+    )
+    return vq.withColumn("cid", F.array_min(pairs)["cid"])
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Exact integer floor-division centroid means at (cid, pos) grain."""
+    return (
+        assigned.select("cid", F.posexplode("xq").alias("pos", "comp"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum("comp").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cid",
+            "pos",
+            F.expr("(s - ((s % n) + n) % n) div n").alias("comp"),
+            F.col("n").alias("n_members"),
+        )
+    )
+
+
+def _km_collect_centroids(upd: DataFrame) -> list[tuple[int, list[int]]]:
+    """Bounded k-row collect of an update table back to literal arrays."""
+    rows = (
+        upd.groupBy("cid")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+        .select("cid", F.transform("pc", lambda x: x["comp"]).alias("cq"))
+        .collect()
+    )
+    return sorted((int(r["cid"]), [int(v) for v in r["cq"]]) for r in rows)
+
+
 def lloyd_rounds(emb: DataFrame, k: int, rounds: int) -> DataFrame:
     """``rounds`` exact-integer Lloyd iterations over ``(vec_id,
     embedding)`` rows, seeded from ``vec_id < k``."""
-    vq = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x * F.lit(float(_SCALE))).cast("long")
-        ).alias("xq"),
-    )
-    centroids = [
+    vq = _km_quantize(emb.select("vec_id", "embedding")).select("vec_id", "xq")
+    cents = [
         (int(r["vec_id"]), [int(v) for v in r["xq"]])
         for r in vq.where(F.col("vec_id") < k).collect()
     ]
-
-    def assign(cents: list[tuple[int, list[int]]]):
-        # dist to each centroid as a literal-array zip_with fold; argmin
-        # via array_min over (dist, cid) structs — row-local, exact.
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("xq"),
-                            F.array(*[F.lit(c) for c in comps]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, comps in cents
-            ]
-        )
-        return vq.select(
-            "vec_id", "xq", F.array_min(pairs)["cid"].alias("cid")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        return (
-            assigned.select("cid", F.posexplode("xq").alias("pos", "comp"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum("comp").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                "cid",
-                "pos",
-                F.expr("(s - ((s % n) + n) % n) div n").alias("comp"),
-                F.col("n").alias("n_members"),
-            )
-        )
-
-    cents = centroids
     upd = None
     for rnd in range(rounds):
-        upd = update(assign(cents))
+        upd = _km_update(_km_assign(vq, cents))
         if rnd == rounds - 1:
             break  # final round's table IS the output; no re-collect
-        rows = (
-            upd.groupBy("cid")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
-            .select("cid", F.transform("pc", lambda x: x["comp"]).alias("cq"))
-            .collect()
-        )
-        cents = sorted(
-            (int(r["cid"]), [int(v) for v in r["cq"]]) for r in rows
-        )
+        cents = _km_collect_centroids(upd)
     return upd.select(
         F.col("cid").alias("cluster_id"),
         F.col("pos").cast("int").alias("pos"),
         F.col("comp").alias("comp_q20"),
         F.col("n_members"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF serving with the TRAINED codebook (Lloyd centroids, not mod-seeds)
+# --------------------------------------------------------------------------
+
+_IVF_TRAINED_ORACLE = f"""
+WITH {_KMEANS_CTES},
+c2 AS (
+  SELECT cid,
+         list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cq
+  FROM u2 GROUP BY cid
+),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                       i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM vq v CROSS JOIN c2 c
+  ) WHERE rn = 1
+),
+e AS (SELECT vec_id, embedding FROM embeddings),
+qa AS (
+  SELECT a.vec_id AS qid, e.embedding AS qv, a.cid AS qcid
+  FROM a3 a JOIN e USING (vec_id) WHERE a.vec_id < {N_QUERIES}
+),
+s AS (
+  SELECT qa.qid, b.vec_id AS neighbor_id,
+         floor(({_SQL_COS.format(a='qa.qv', b='e2.embedding')}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM qa JOIN a3 b ON b.cid = qa.qcid AND b.vec_id <> qa.qid
+          JOIN e e2 ON e2.vec_id = b.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_ivf_trained",
+    "similarity",
+    f"IVF top-{TOP_K} served from the TRAINED codebook: the {_KM_ROUNDS}-"
+    f"round Lloyd centroids (emb_kmeans_lloyd) replace sim_topk_ivf's "
+    "vec_id%-mod seeds — train and serve composed in one declared query, "
+    "assignment by the same exact integer squared-L2 the trainer used. "
+    "The full production ANN lifecycle: train -> assign inverted lists -> "
+    "probe the query's list only.",
+    oracle=_IVF_TRAINED_ORACLE,
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB: training touches the corpus rounds x (scan + one
+    (cid,pos) shuffle); serving assignment is scan-local against the
+    broadcast trained codebook; the probe joins the broadcast query set
+    against one inverted list. Same shape as sim_topk_ivf, better
+    centroids (balanced lists where mod-seeds cluster poorly)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    vq = _km_quantize(emb)
+    cents = _km_collect_centroids(
+        lloyd_rounds(emb, _KM_K, _KM_ROUNDS).select(
+            "cluster_id", "pos", "comp_q20"
+        ).withColumnsRenamed({"cluster_id": "cid", "comp_q20": "comp"})
+    )
+    assigned = _km_assign(vq, cents).select("vec_id", "embedding", "cid")
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+    )
+    return _rank_topk(scored)
