@@ -539,3 +539,51 @@ def q102_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice_cents").alias("total_cents"),
         F.max("o_orderdate_ms").alias("last_order_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning: the dim-side filter prunes fact partitions
+# --------------------------------------------------------------------------
+
+_Q118_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events
+WHERE CAST(ts AS DATE) IN (
+  SELECT DISTINCT CAST(ts AS DATE) FROM events WHERE day(ts) % 5 = 0
+)
+GROUP BY event_type
+"""
+
+
+@register(
+    "q118_dpp_join",
+    "layout",
+    "Dynamic partition pruning: the date-partitioned event log joins a "
+    "derived date dimension whose filter (day-of-month % 5 = 0) is NOT "
+    "expressible as a static predicate on the partition column at plan "
+    "time — Spark injects a dynamicpruning#N subquery into the fact "
+    "scan's PartitionFilters, so the broadcast dim's build side decides "
+    "AT RUNTIME which date directories are read. q58 is the static "
+    "half of the story; this is the runtime half (star-schema joins at "
+    "100 TB live on it). Plan-asserted in test_plans.",
+    oracle=_Q118_ORACLE,
+    prepare=lambda spark, sf_dir: partitioned_events(spark, sf_dir) and None,
+)
+def q118_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = partitioned_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .filter(F.dayofmonth("d") % 5 == 0)
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["event_date"] == dim["d"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+    )

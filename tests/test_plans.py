@@ -341,3 +341,13 @@ def test_ivf_partitioned_scan_prunes_clusters(spark, sf_smoke):
     assert "PartitionFilters: [" in plan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cluster" in l for l in pf_lines), pf_lines
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_smoke):
+    """The dim-side filter must reach the fact scan as a
+    dynamicpruningexpression in PartitionFilters — runtime directory
+    pruning driven by the broadcast build side, not a post-scan filter."""
+    df = ALL["q118_dpp_join"].builder(spark, sf_smoke)
+    plan = checks.formatted_plan(df)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l for l in pf_lines), pf_lines
