@@ -1379,3 +1379,122 @@ def q115_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("v").alias("revenue_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# q119: null-safe join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 100 END AS k
+  FROM orders
+),
+b AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 100 END AS k
+  FROM customer
+)
+SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL_KEY') AS key_repr,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+"""
+
+
+@register(
+    "q119_null_safe_join",
+    "join",
+    "Null-safe equi-join: <=> (IS NOT DISTINCT FROM) makes NULL keys "
+    "join each other — plain = silently drops every NULL row, the "
+    "classic lost-rows bug when join keys are sparse. Spark still plans "
+    "this as a HASH join (null-safe keys hash like values), not a "
+    "nested loop; the NULL bucket is one hot key, the same skew AQE "
+    "splits. Aggregated to per-key pair counts so the contract is the "
+    "multiplicity, not a blown-up row set.",
+    oracle=_NULLSAFE_ORACLE,
+)
+def q119_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("ka")
+    )
+    b = c.select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 100)
+        .alias("kb")
+    )
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(
+            F.coalesce(F.col("ka").cast("string"), F.lit("NULL_KEY")).alias(
+                "key_repr"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q120: higher-order-function pipeline vs window-function oracle
+# --------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_cents
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(cents - prev_cents) AS BIGINT) AS max_jump_cents
+FROM o
+GROUP BY o_custkey
+HAVING count(*) >= 2
+"""
+
+
+@register(
+    "q120_hof_order_jumps",
+    "scalar",
+    "Largest jump between a customer's consecutive order totals, "
+    "computed with HIGHER-ORDER array functions (collect into a "
+    "date-sorted struct array, zip_with adjacent slices, array_max) "
+    "and hash-checked against the classic lag()-window oracle — the "
+    "nested/denormalized data-modeling surface (one row per customer "
+    "holding an ordered array) proven value-equal to the flat window "
+    "form. One groupBy shuffle; the fold is row-local Catalyst.",
+    oracle=_HOF_ORACLE,
+)
+def q120_hof_order_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    nested = (
+        o.select(
+            "o_custkey",
+            F.struct(
+                F.col("o_orderdate"), F.col("o_orderkey"), cents.alias("cents")
+            ).alias("rec"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+        .filter(F.size("recs") >= 2)
+    )
+    prices = F.transform("recs", lambda r: r["cents"])
+    jumps = F.zip_with(
+        F.slice(prices, 2, F.size("recs") - 1),
+        F.slice(prices, 1, F.size("recs") - 1),
+        lambda cur, prev: cur - prev,
+    )
+    return nested.select(
+        F.col("o_custkey").alias("custkey"),
+        F.size("recs").cast("long").alias("n_orders"),
+        F.array_max(jumps).alias("max_jump_cents"),
+    )
