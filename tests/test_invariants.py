@@ -354,3 +354,46 @@ def test_bpe_merge_greedy_nonoverlap_semantics(spark):
     assert row["n_merges"] == 2         # application is non-overlapping
     assert row["tokens_before"] == 8
     assert row["tokens_after"] == 6
+
+
+def test_shard_manifest_invariant_under_physical_layout(spark, sf_smoke):
+    """The export manifest (shard membership, counts, digests) is a pure
+    function of table CONTENT: recomputing it from a repartitioned /
+    re-ordered copy of documents must give byte-identical rows — the
+    property that lets a reader verify a shard written by any writer."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.operators.pipeline import _N_SHARDS
+    from spark_stream_kudu_spark.registry import get
+
+    base = get("pipeline_shard_export").builder(spark, sf_smoke)
+    rows1 = {r["shard"]: (r["n_docs"], r["chars_total"], r["digest_sum"])
+             for r in base.collect()}
+    assert len(rows1) == _N_SHARDS
+
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents").repartition(13).sortWithinPartitions(
+        F.desc("doc_id")
+    )
+    shard = md5_int32(F.col("doc_id").cast("string")) % _N_SHARDS
+    row = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.md5("text"),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    redo = (
+        d.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(md5_int32(row).cast("decimal(38,0)")).cast("string").alias("digest_sum"),
+        )
+    )
+    rows2 = {r["shard"]: (r["n_docs"], r["chars_total"], r["digest_sum"])
+             for r in redo.collect()}
+    assert rows1 == rows2
