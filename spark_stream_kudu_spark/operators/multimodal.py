@@ -336,3 +336,84 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cell_{k} double" for k in range(RESIZE_BUCKETS)
     )
     return d.mapInPandas(resize, schema)
+
+
+# --------------------------------------------------------------------------
+# Byte-level feature extraction — a REAL (non-stub) Arrow kernel
+# --------------------------------------------------------------------------
+
+_BYTE_STATS_ORACLE = """
+WITH b AS (
+  SELECT doc_id, encode(text) AS blob,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_bytes,
+         list_transform(generate_series(1, n_bytes),
+           i -> CAST(('0x' || substr(hex(blob), 2 * i - 1, 2)) AS INTEGER)) AS bytes
+  FROM b
+)
+SELECT doc_id,
+       CAST(n_bytes AS BIGINT)         AS n_bytes,
+       CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+       CAST(list_min(bytes) AS BIGINT) AS byte_min,
+       CAST(list_max(bytes) AS BIGINT) AS byte_max,
+       CAST((list_sum(bytes) * 10000) // n_bytes AS BIGINT) AS mean_e4
+FROM s
+"""
+
+
+@register(
+    "multimodal_byte_stats",
+    "multimodal",
+    "Byte-level payload features via a REAL Arrow kernel (numpy "
+    "frombuffer over the binary column — no stub): per-payload byte "
+    "count/sum/min/max and an exact integer-scaled mean. The oracle "
+    "re-derives every byte from the blob's hex dump, so the kernel is "
+    "verified byte-exactly, independent of text encoding. This is the "
+    "shape a real image/audio feature extractor has — opaque bytes in, "
+    "numeric features out, all math vectorized inside the Arrow batch.",
+    oracle=_BYTE_STATS_ORACLE,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the payload column dominates IO: this kernel reads it
+    ONCE, emits fixed-width features, and never shuffles the bytes —
+    the downstream join/agg works on the tiny feature table. One
+    Python(Arrow) eval node, zero exchanges."""
+    import numpy as np
+    import pandas as pd
+
+    d = with_binary_payload(_docs(spark, sf_dir)).select("doc_id", "payload")
+
+    def features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(buf), dtype=np.uint8)
+                s = int(a.sum(dtype=np.int64))
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(a.size),
+                        s,
+                        int(a.min()),
+                        int(a.max()),
+                        (s * 10000) // int(a.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "byte_sum",
+                    "byte_min", "byte_max", "mean_e4",
+                ],
+            )
+
+    return d.mapInPandas(
+        features,
+        schema="doc_id long, n_bytes long, byte_sum long, "
+        "byte_min long, byte_max long, mean_e4 long",
+    )
