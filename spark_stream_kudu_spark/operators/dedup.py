@@ -1153,3 +1153,67 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive training triplets from exact near-dup pairs
+# --------------------------------------------------------------------------
+
+_TRIPLET_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct({sql_word_shingles('t', SHINGLE_N)}) AS s FROM tok),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+                len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+),
+pos AS (SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_a AS anchor, doc_b AS positive,
+       CASE
+         WHEN (doc_a * 31 + doc_b) % n_docs NOT IN (doc_a, doc_b)
+           THEN (doc_a * 31 + doc_b) % n_docs
+         WHEN ((doc_a * 31 + doc_b) + 1) % n_docs NOT IN (doc_a, doc_b)
+           THEN ((doc_a * 31 + doc_b) + 1) % n_docs
+         ELSE ((doc_a * 31 + doc_b) + 2) % n_docs
+       END AS negative,
+       jaccard
+FROM pos CROSS JOIN n
+"""
+
+
+@register(
+    "pipeline_contrastive_triplets",
+    "pipeline",
+    "Contrastive-training triplet construction: every EXACT near-dup "
+    f"pair (prefix-filter ground truth, J >= {JACCARD_THRESHOLD}) "
+    "becomes an (anchor, positive) pair, and the negative is a "
+    "deterministic modular pick over the dense doc-id space, stepped "
+    "past collisions — the embedding-model training-data op (simCSE-"
+    "style positives from near-dups, uniform negatives), reproducible "
+    "bit-for-bit so the oracle can check it. In production negatives "
+    "come from a hash-bucketed sample of the anchor's shard (same "
+    "expression shape); hard-negative mining composes with "
+    "sim_topk_* on the anchor embedding.",
+    oracle=_TRIPLET_ORACLE,
+)
+def pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pos = dedup_prefix_filter(spark, sf_dir)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    c0 = (F.col("doc_a") * 31 + F.col("doc_b")) % F.col("n_docs")
+    c1 = (F.col("doc_a") * 31 + F.col("doc_b") + 1) % F.col("n_docs")
+    c2 = (F.col("doc_a") * 31 + F.col("doc_b") + 2) % F.col("n_docs")
+    hit = lambda c: (c != F.col("doc_a")) & (c != F.col("doc_b"))  # noqa: E731
+    return pos.crossJoin(F.broadcast(n)).select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        F.when(hit(c0), c0).when(hit(c1), c1).otherwise(c2).alias("negative"),
+        "jaccard",
+    )
