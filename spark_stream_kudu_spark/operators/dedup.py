@@ -192,6 +192,24 @@ sig AS (SELECT doc_id,
         FROM hs)"""
 
 
+def _sql_bands_cte() -> str:
+    """Shared oracle CTE: sig -> (doc_id, band, bkey) LSH band keys.
+
+    One definition for the five oracles that band the minhash signature
+    — a banding-layout change edits exactly one place.
+    """
+    return (
+        "bands AS (\n  "
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
+            + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+            + ")) AS bkey FROM sig"
+            for j in range(BANDS)
+        )
+        + "\n)"
+    )
+
+
 _MH_SIG_ORACLE = f"""
 WITH {_sql_minhash_cte()}
 SELECT * FROM sig
@@ -220,14 +238,7 @@ def _band_key_cols() -> list[F.Column]:
 
 _MH_PAIRS_ORACLE = f"""
 WITH {_sql_minhash_cte()},
-bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
-    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-    + ")) AS bkey FROM sig"
-    for j in range(BANDS)
-  )}
-)
+{_sql_bands_cte()}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 """
@@ -572,14 +583,7 @@ JACCARD_THRESHOLD = 0.5
 
 _VERIFIED_ORACLE = f"""
 WITH {_sql_minhash_cte()},
-bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
-    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-    + ")) AS bkey FROM sig"
-    for j in range(BANDS)
-  )}
-),
+{_sql_bands_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -639,14 +643,7 @@ CONTAINMENT_THRESHOLD = 0.5
 
 _CONTAIN_ORACLE = f"""
 WITH {_sql_minhash_cte()},
-bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
-    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-    + ")) AS bkey FROM sig"
-    for j in range(BANDS)
-  )}
-),
+{_sql_bands_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -791,14 +788,7 @@ def propagate_min_labels(
 # Shared CTE body: minhash sigs -> LSH bands -> verified edges ->
 # recursive reachability. Reused by the composed corpus-clean pipeline.
 _CC_CTE_BODY = f"""{_sql_minhash_cte()},
-bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
-    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-    + ")) AS bkey FROM sig"
-    for j in range(BANDS)
-  )}
-),
+{_sql_bands_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -1066,14 +1056,7 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
 
 _RECALL_ORACLE = f"""
 WITH {_sql_minhash_cte()},
-bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
-    + ", ".join(f"mh_{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-    + ")) AS bkey FROM sig"
-    for j in range(BANDS)
-  )}
-),
+{_sql_bands_cte()},
 lcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -1130,28 +1113,32 @@ SELECT 'minhash_lsh' AS method,
 )
 def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both arms are already-registered oracle-checked queries; this
-    proves they compose. Cost at 100 TB is the two pair sets (near
-    output-sized) plus three 1-row aggregates crossed at the end —
-    the corpus is scanned by the arms, never by the comparison."""
-    exact = dedup_prefix_filter(spark, sf_dir).select("doc_a", "doc_b")
-    approx = dedup_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_found = approx.agg(F.count(F.lit(1)).alias("n_found_pairs"))
-    hits = exact.join(approx, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    proves they compose. All three counts come from ONE full-outer join
+    of the two pair sets, so each arm's pipeline is instantiated once in
+    the plan (not once per aggregate) — at 100 TB the comparison costs
+    one join of two near-output-sized sets, and the corpus is scanned
+    only by the arms. (Verified-LSH pairs are provably a subset of the
+    exact set; n_found_pairs is still counted independently so a
+    violation would surface as n_found > n_hits.)"""
+    exact = dedup_prefix_filter(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
-    return (
-        n_true.crossJoin(n_found)
-        .crossJoin(hits)
-        .select(
-            F.lit("minhash_lsh").alias("method"),
-            "n_true_pairs",
-            "n_found_pairs",
-            "n_hits",
-            fround(F.col("n_hits") * F.lit(1.0) / F.col("n_true_pairs"), 6).alias(
-                "recall"
-            ),
-        )
+    approx = dedup_verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    both = exact.join(approx, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.count("in_exact").alias("n_true_pairs"),
+        F.count("in_lsh").alias("n_found_pairs"),
+        F.count(F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)).alias("n_hits"),
+    ).select(
+        F.lit("minhash_lsh").alias("method"),
+        "n_true_pairs",
+        "n_found_pairs",
+        "n_hits",
+        fround(F.col("n_hits") * F.lit(1.0) / F.col("n_true_pairs"), 6).alias(
+            "recall"
+        ),
     )
 
 

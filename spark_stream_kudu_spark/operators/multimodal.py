@@ -364,6 +364,50 @@ FROM s
 """
 
 
+BYTE_STATS_SCHEMA = (
+    "doc_id long, n_bytes long, byte_sum long, "
+    "byte_min long, byte_max long, mean_e4 long"
+)
+
+
+def byte_features_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Arrow batch kernel: (doc_id, payload) -> byte-stat features."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        rows = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(buf), dtype=np.uint8)
+            if a.size == 0:
+                # mirror the oracle: empty blob -> NULL stats, not a
+                # reduction-on-empty crash poisoning the whole stage
+                rows.append((int(doc_id), 0, None, None, None, None))
+                continue
+            s = int(a.sum(dtype=np.int64))
+            rows.append(
+                (
+                    int(doc_id),
+                    int(a.size),
+                    s,
+                    int(a.min()),
+                    int(a.max()),
+                    (s * 10000) // int(a.size),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_bytes", "byte_sum",
+                "byte_min", "byte_max", "mean_e4",
+            ],
+        )
+
+
 @register(
     "multimodal_byte_stats",
     "multimodal",
@@ -381,39 +425,5 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE, emits fixed-width features, and never shuffles the bytes —
     the downstream join/agg works on the tiny feature table. One
     Python(Arrow) eval node, zero exchanges."""
-    import numpy as np
-    import pandas as pd
-
     d = with_binary_payload(_docs(spark, sf_dir)).select("doc_id", "payload")
-
-    def features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            rows = []
-            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
-                a = np.frombuffer(bytes(buf), dtype=np.uint8)
-                s = int(a.sum(dtype=np.int64))
-                rows.append(
-                    (
-                        int(doc_id),
-                        int(a.size),
-                        s,
-                        int(a.min()),
-                        int(a.max()),
-                        (s * 10000) // int(a.size),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_bytes", "byte_sum",
-                    "byte_min", "byte_max", "mean_e4",
-                ],
-            )
-
-    return d.mapInPandas(
-        features,
-        schema="doc_id long, n_bytes long, byte_sum long, "
-        "byte_min long, byte_max long, mean_e4 long",
-    )
+    return d.mapInPandas(byte_features_kernel, schema=BYTE_STATS_SCHEMA)

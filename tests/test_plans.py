@@ -58,6 +58,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "multimodal_decode_stub",
         "multimodal_frame_sample",
         "multimodal_resize_stub",
+        "multimodal_byte_stats",
         "stream_traffic_pipeline",
     }
     for name, spec in ALL.items():
@@ -76,6 +77,7 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
         "multimodal_decode_stub",
         "multimodal_frame_sample",
         "multimodal_resize_stub",
+        "multimodal_byte_stats",
     ]:
         df = ALL[name].builder(spark, sf_smoke)
         nodes = checks.python_eval_nodes(df)

@@ -175,3 +175,27 @@ def test_spread_small_scan_is_conditional(spark):
     wide = spark.range(1000).repartition(cores * 2)
     # already-parallel input passes through untouched (no extra shuffle)
     assert spread_small_scan(wide) is wide
+
+
+def test_byte_stats_kernel_survives_empty_payload(spark):
+    """A zero-length blob must yield NULL stats (the oracle's behavior
+    for an empty byte list), not a numpy reduction-on-empty crash that
+    poisons the whole Arrow batch."""
+    from spark_stream_kudu_spark.operators.multimodal import (
+        BYTE_STATS_SCHEMA,
+        byte_features_kernel,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "ab")], "doc_id long, text string"
+    )
+    d = with_binary_payload(docs).select("doc_id", "payload")
+    rows = d.mapInPandas(byte_features_kernel, schema=BYTE_STATS_SCHEMA).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["n_bytes"] == 0
+    assert by_id[0]["byte_sum"] is None
+    assert by_id[0]["byte_min"] is None
+    assert by_id[0]["mean_e4"] is None
+    assert by_id[1]["n_bytes"] == 2
+    assert by_id[1]["byte_sum"] == ord("a") + ord("b")
