@@ -421,3 +421,35 @@ def test_registry_window_priority_leads_load_order():
         if specs[n].oracle is None and n not in rows_only_by_contract
     ]
     assert missing_oracle == [], missing_oracle
+
+
+def test_q36_sketch_estimates_near_exact(spark, sf_smoke):
+    """q36 is rows-only at the gate (approx by contract), so pin its
+    VALUES here instead: every HLL cardinality within 5% of exact and
+    every approx percentile within the exact p45-p55 / p90-p99 band."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in ALL["q36_approx_sketches"].builder(spark, sf_smoke).collect()
+    }
+    li = load_table(spark, sf_smoke, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+            F.expr("percentile(l_extendedprice, array(0.45, 0.55, 0.90, 0.99))").alias("p"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"]
+        assert abs(a["approx_supps"] - e["supps"]) <= 0.05 * e["supps"]
+        assert e["p"][0] <= a["price_p50"] <= e["p"][1]
+        assert e["p"][2] <= a["price_p95"] <= e["p"][3]
