@@ -135,3 +135,78 @@ def stream_transitions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "stream_transitions_restart_e2e",
+    "streaming",
+    "STATE-STORE RECOVERY, value-checked: the transition miner runs to "
+    "completion on weeks 1-2, the StreamingQuery is STOPPED (process "
+    "keeps no state), then a NEW query restarts from the same "
+    "checkpoint and processes weeks 3-4. Every user's last pre-stop "
+    "event must pair with their first post-restart event — those pairs "
+    "exist only if applyInPandasWithState reloaded its keyed state from "
+    "the checkpoint's state store, which is the production "
+    "failure-recovery contract. Final table equals the batch q71 "
+    "oracle, same as the uninterrupted run.",
+    oracle=_TRANSITIONS_ORACLE,
+)
+def stream_transitions_restart_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    base = new_run_dir("trnr")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    bounds = ["2024-01-08", "2024-01-15", "2024-01-22", None]
+
+    def stage(k: int) -> None:
+        lo = bounds[k - 1] if k > 0 else None
+        hi = bounds[k]
+        part_df = ev
+        if lo is not None:
+            part_df = part_df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            part_df = part_df.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        stage_dir = os.path.join(base, f"stage_{k}")
+        part_df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"batch_{k}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000.0 + 100 * k,) * 2)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            transitions_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(0)
+    stage(1)
+    run_once()  # weeks 1-2, then the query STOPS
+    stage(2)
+    stage(3)
+    run_once()  # NEW query, same checkpoint: state must be reloaded
+    return (
+        spark.read.parquet(out)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
