@@ -181,6 +181,31 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_ann_e2e",
     "stream_rate_limit_e2e",
     "stream_scd2_e2e",
+    # ---- round-3 additions (registered this round, zero driver rows
+    # yet) — queued behind the earlier backlog, ahead of everything
+    # already driver-green, so rounds 4-5 windows drain them in order.
+    "dedup_containment",
+    "dedup_prefix_filter",
+    "dedup_recall_eval",
+    "pipeline_contrastive_triplets",
+    "emb_kmeans_lloyd",
+    "sim_topk_ivf_trained",
+    "text_bpe_merge",
+    "text_pii_redact",
+    "quality_curriculum",
+    "multimodal_byte_stats",
+    "pipeline_shard_export",
+    "mv_incremental_join",
+    "q114_triangle_count",
+    "q115_attribution",
+    "q116_intersect_all",
+    "q117_except_all",
+    "q118_dpp_join",
+    "q119_null_safe_join",
+    "q120_hof_order_jumps",
+    "stream_late_audit_e2e",
+    "stream_attribution_e2e",
+    "stream_transitions_restart_e2e",
 )
 
 
