@@ -1498,3 +1498,63 @@ def q120_hof_order_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("recs").cast("long").alias("n_orders"),
         F.array_max(jumps).alias("max_jump_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q121: event-time lateness audit (how big must the watermark be?)
+# --------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH a AS (
+  SELECT epoch_ms(ts) AS t_ms,
+         max(epoch_ms(ts)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS high_water
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN high_water > t_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(high_water - t_ms) AS BIGINT) AS max_late_ms,
+       floor(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY high_water - t_ms) AS DOUBLE) * 10 + 0.5) / 10 AS p95_late_ms,
+       CAST(sum(CASE WHEN high_water - t_ms > 3600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1h
+FROM a
+"""
+
+
+@register(
+    "q121_lateness_audit",
+    "analytics",
+    "Event-time out-of-orderness audit: replaying the log in arrival "
+    "order (event_id), each event's lateness is the running event-time "
+    "high-water-mark minus its own timestamp — count/p95/max plus how "
+    "many land beyond the 1h watermark the streaming twins use. This is "
+    "the measurement that JUSTIFIES a watermark delay choice (and "
+    "predicts stream_late_audit_e2e's drop count) instead of guessing "
+    "it. Single ordered window pass; at 100 TB run it per arrival "
+    "partition (running max is associative within partitions, and "
+    "cross-partition disorder is bounded by the source's ordering "
+    "guarantee).",
+    oracle=_LATENESS_ORACLE,
+)
+def q121_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = ev.select(
+        F.unix_millis("ts").alias("t_ms"),
+        F.max(F.unix_millis("ts")).over(w).alias("high_water"),
+    )
+    late = (F.col("high_water") - F.col("t_ms")).alias("late_ms")
+    return a.select(late).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0)).alias("n_late"),
+        F.max("late_ms").alias("max_late_ms"),
+        fround(F.expr("percentile(late_ms, 0.95)"), 1).alias("p95_late_ms"),
+        F.sum(F.when(F.col("late_ms") > 3_600_000, 1).otherwise(0)).alias(
+            "n_beyond_1h"
+        ),
+    )

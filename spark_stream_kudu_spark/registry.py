@@ -206,6 +206,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_late_audit_e2e",
     "stream_attribution_e2e",
     "stream_transitions_restart_e2e",
+    "q121_lateness_audit",
 )
 
 
