@@ -374,3 +374,111 @@ def q65_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("volume_e4"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# q122: TPC-H Q10 — returned-item revenue, top customers
+# --------------------------------------------------------------------------
+
+_Q122_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_e4 DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register(
+    "q122_returned_items",
+    "subquery",
+    "TPC-H Q10 shape: customers who returned the most revenue in one "
+    "quarter — lineitem x orders x customer x nation, quarter predicate "
+    "pushed to the orders scan, RETURNFLAG filter pushed to lineitem, "
+    "top-20 with a deterministic (revenue DESC, custkey ASC) tie-break. "
+    "The classic churn-investigation query (reference parity target: "
+    "none — the reference has no joins at all; SURVEY §2.2).",
+    oracle=_Q122_ORACLE,
+)
+def q122_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q123: TPC-H Q16 shape — supplier diversity per part attribute, NOT IN
+# --------------------------------------------------------------------------
+
+_Q123_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "q123_supplier_diversity",
+    "subquery",
+    "TPC-H Q16 shape: how many distinct suppliers ship each qualifying "
+    "(brand, type, size) — attribute anti-predicates (<>, NOT LIKE, IN "
+    "list), a NOT IN blacklist subquery (negative-balance suppliers; "
+    "suppkey is non-null by schema so a broadcast LEFT ANTI join is "
+    "exactly NOT IN — the null-aware plan is only needed for nullable "
+    "keys, which q119 covers), and COUNT(DISTINCT) per group. The "
+    "supplier relation is derived from lineitem's (partkey, suppkey) "
+    "pairs — the fixture's partsupp equivalent.",
+    oracle=_Q123_ORACLE,
+)
+def q123_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    kept = li.join(
+        F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(p), kept["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

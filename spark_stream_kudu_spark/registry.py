@@ -207,6 +207,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_attribution_e2e",
     "stream_transitions_restart_e2e",
     "q121_lateness_audit",
+    "q122_returned_items",
+    "q123_supplier_diversity",
 )
 
 
