@@ -209,6 +209,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q121_lateness_audit",
     "q122_returned_items",
     "q123_supplier_diversity",
+    "stream_hll_e2e",
 )
 
 

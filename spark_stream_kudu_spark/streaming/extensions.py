@@ -898,3 +898,68 @@ def stream_late_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(
         F.col("day_ms") < F.unix_millis(F.to_timestamp(F.lit("2029-12-31")))
     )
+
+
+@register(
+    "stream_hll_e2e",
+    "streaming",
+    "END-TO-END streaming cardinality without identities: each "
+    "micro-batch reduces to ONE HLL sketch per event_type "
+    "(hll_sketch_agg of user_id) and a SketchUnionSink register-max-"
+    "merges it into the keyed store. Union is commutative, associative "
+    "AND idempotent, so the final estimate is bit-identical to the "
+    "one-shot batch sketch for ANY batch slicing — pinned exactly by "
+    "the invariant test (approximate by contract vs true counts, so "
+    "rows-only at the gate; the estimate values still hash-stably "
+    "reproduce). The streaming distinct-users dashboard feed: state is "
+    "|keys| sketches, never user ids.",
+    oracle=None,
+)
+def stream_hll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from spark_stream_kudu_spark.streaming.sinks import SketchUnionSink
+
+    ev = _ev(spark, sf_dir).select("event_id", "event_type", "user_id")
+    base = new_run_dir("hll")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for k in range(4):
+        stage = os.path.join(base, f"stage_{k}")
+        (
+            ev.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+
+    sink = SketchUnionSink(
+        os.path.join(base, "sketches"), key="event_type", sketch_col="sk"
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store = spark.read.parquet(os.path.join(base, "sketches", "data"))
+    return store.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )

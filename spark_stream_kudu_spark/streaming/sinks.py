@@ -192,3 +192,35 @@ class AdditiveRollupSink(UpsertParquetSink):
 
     def _merge(self, current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         return merge_additive(current, batch_df, self.key, self.sum_cols)
+
+
+class SketchUnionSink(UpsertParquetSink):
+    """``foreachBatch`` sink maintaining keyed HLL sketches: each
+    micro-batch's partial sketches are hll_union-merged into the store.
+    Register-wise max is commutative, associative AND idempotent, so the
+    final sketch — and therefore its estimate — is bit-identical for any
+    batch slicing or merge order (stronger than the additive sink, which
+    needs the replay marker to avoid double-counting; the marker is
+    still inherited for IO economy). The streaming cardinality path
+    that never stores identities."""
+
+    def __init__(
+        self,
+        path: str,
+        key: str | list[str],
+        sketch_col: str,
+        num_buckets: int = 4,
+    ):
+        super().__init__(path, key, num_buckets)
+        self.sketch_col = sketch_col
+
+    def _merge(self, current, batch_df):
+        from pyspark.sql import functions as F
+
+        if current is None:
+            base = batch_df
+        else:
+            base = current.select(*batch_df.columns).unionByName(batch_df)
+        return base.groupBy(*self.key).agg(
+            F.hll_union_agg(self.sketch_col).alias(self.sketch_col)
+        )

@@ -414,6 +414,7 @@ def test_registry_window_priority_leads_load_order():
         "q36_approx_sketches",
         "q66_hll_partial_merge",
         "q106_sketch_grains",
+        "stream_hll_e2e",
     }
     missing_oracle = [
         n

@@ -501,3 +501,34 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     assert final.count() == ev.count()
     # every id exactly once: no gaps, no restart duplicates
     assert final.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_hll_equals_batch_sketch_exactly(spark):
+    """HLL union is register-wise max — commutative, associative,
+    idempotent — so the STREAMING estimate must equal the one-shot batch
+    sketch estimate bit-for-bit, not just approximately."""
+    from spark_stream_kudu_spark.registry import load_all
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    streaming = {
+        r["event_type"]: r["approx_users"]
+        for r in load_all()["stream_hll_e2e"].builder(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    batch = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .collect()
+    }
+    assert streaming == batch
+    # and the estimates are sane: within 5% of exact distinct counts
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in streaming.items():
+        assert abs(est - exact[et]) <= 0.05 * exact[et]
