@@ -220,9 +220,10 @@ def load_all() -> dict[str, QuerySpec]:
     Ordering is deliberate: the driver's correctness gate walks the
     registry front-to-back with a bounded window (~50 queries/round), so
     families whose driver-side evidence is thinnest come first. The
-    explicit ``_WINDOW_PRIORITY`` list pins the round-3 window to the 92
-    queries that have never had a driver CORRECTNESS row (rounds 1-2
-    covered 100 of 192); everything already driver-green trails behind
+    explicit ``_WINDOW_PRIORITY`` list (118 names) leads with the 92
+    queries that had no driver CORRECTNESS row after rounds 1-2, then
+    queues the round-3 additions — rounds 3-5 windows drain it in
+    order; everything already driver-green trails behind
     in registration order. Coverage accumulates across rounds.
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401

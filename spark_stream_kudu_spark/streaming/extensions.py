@@ -916,25 +916,13 @@ def stream_late_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def stream_hll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-
     from spark_stream_kudu_spark.streaming.sinks import SketchUnionSink
+    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
     ev = _ev(spark, sf_dir).select("event_id", "event_type", "user_id")
     base = new_run_dir("hll")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
     for k in range(4):
-        stage = os.path.join(base, f"stage_{k}")
-        (
-            ev.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
 
     sink = SketchUnionSink(
         os.path.join(base, "sketches"), key="event_type", sketch_col="sk"

@@ -215,8 +215,6 @@ class SketchUnionSink(UpsertParquetSink):
         self.sketch_col = sketch_col
 
     def _merge(self, current, batch_df):
-        from pyspark.sql import functions as F
-
         if current is None:
             base = batch_df
         else:

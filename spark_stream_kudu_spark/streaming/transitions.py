@@ -152,8 +152,10 @@ def stream_transitions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_TRANSITIONS_ORACLE,
 )
 def stream_transitions_restart_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
+    from spark_stream_kudu_spark.streaming.workdir import (
+        stage_one_slice,
+        time_slice,
+    )
 
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events").select(
@@ -161,7 +163,6 @@ def stream_transitions_restart_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     )
     base = new_run_dir("trnr")
     src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
 
@@ -169,18 +170,7 @@ def stream_transitions_restart_e2e(spark: SparkSession, sf_dir: str) -> DataFram
 
     def stage(k: int) -> None:
         lo = bounds[k - 1] if k > 0 else None
-        hi = bounds[k]
-        part_df = ev
-        if lo is not None:
-            part_df = part_df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            part_df = part_df.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
-        stage_dir = os.path.join(base, f"stage_{k}")
-        part_df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
-        part = glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
-        dest = os.path.join(src, f"batch_{k}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (1_000_000.0 + 100 * k,) * 2)
+        stage_one_slice(time_slice(ev, lo, bounds[k]), base, k)
 
     def run_once() -> None:
         stream = (

@@ -46,6 +46,28 @@ def new_run_dir(prefix: str) -> str:
     return path
 
 
+def stage_one_slice(slice_df, base: str, k: int) -> str:
+    """Stage ONE pre-filtered slice as replay file ``k``: one parquet
+    part written executor-side (no driver collect), moved under
+    ``base/src`` with an mtime that preserves replay order (the file
+    source orders batches by modification time) — the single definition
+    of the staging convention every file-replay e2e query uses.
+
+    Returns the source directory."""
+    import glob
+    import shutil
+
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    stage = os.path.join(base, f"stage_{k}")
+    slice_df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dest = os.path.join(src, f"batch_{k}.parquet")
+    shutil.move(part, dest)
+    os.utime(dest, (1_000_000.0 + 100 * k,) * 2)
+    return src
+
+
 def stage_time_split_batches(df, base: str, bounds: list[str], ts_col: str = "ts") -> str:
     """Stage ``df`` as time-ordered replay files for a file-source stream.
 
@@ -59,13 +81,9 @@ def stage_time_split_batches(df, base: str, bounds: list[str], ts_col: str = "ts
 
     Returns the source directory to pass to ``spark.readStream``.
     """
-    import glob
-    import shutil
-
     from pyspark.sql import functions as F
 
     src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
     lo = None
     for k, hi in enumerate([*bounds, None]):
         part_df = df
@@ -73,11 +91,18 @@ def stage_time_split_batches(df, base: str, bounds: list[str], ts_col: str = "ts
             part_df = part_df.filter(F.col(ts_col) >= F.lit(lo).cast("timestamp"))
         if hi is not None:
             part_df = part_df.filter(F.col(ts_col) < F.lit(hi).cast("timestamp"))
-        stage = os.path.join(base, f"stage_{k}")
-        part_df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dest = os.path.join(src, f"batch_{k}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (1_000_000.0 + 100 * k,) * 2)
+        src = stage_one_slice(part_df, base, k)
         lo = hi
     return src
+
+
+def time_slice(df, lo: str | None, hi: str | None, ts_col: str = "ts"):
+    """Half-open [lo, hi) timestamp slice of ``df`` (None = unbounded)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    if lo is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(lo).cast("timestamp"))
+    if hi is not None:
+        out = out.filter(F.col(ts_col) < F.lit(hi).cast("timestamp"))
+    return out

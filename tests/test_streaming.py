@@ -503,14 +503,14 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     assert final.select("event_id").distinct().count() == ev.count()
 
 
-def test_stream_hll_equals_batch_sketch_exactly(spark):
+def test_stream_hll_equals_batch_sketch_exactly(spark, sf_smoke):
     """HLL union is register-wise max — commutative, associative,
     idempotent — so the STREAMING estimate must equal the one-shot batch
     sketch estimate bit-for-bit, not just approximately."""
     from spark_stream_kudu_spark.registry import load_all
     from spark_stream_kudu_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_smoke
     streaming = {
         r["event_type"]: r["approx_users"]
         for r in load_all()["stream_hll_e2e"].builder(spark, sf).collect()
