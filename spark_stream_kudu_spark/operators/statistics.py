@@ -577,3 +577,83 @@ def q111_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(rb, 6).alias("rate_b"),
         fround(z, 4).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap replicates (confidence intervals at corpus scale)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 16  # replicates
+# Truncated-Poisson(1) weights via thresholds on md5 mod 1000:
+# P(0)=0.368, P(1)=0.368, P(2)=0.264 (mass of >=2 folded into 2).
+_BOOT_P0 = 368
+_BOOT_P1 = 736
+
+
+def _boot_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    h = sql_md5_int32("concat(CAST(doc_id AS VARCHAR), ':', CAST(b AS VARCHAR))")
+    return f"""
+WITH r AS (
+  SELECT d.doc_id, d.n_chars, t.b,
+         CASE WHEN {h} % 1000 < {_BOOT_P0} THEN 0
+              WHEN {h} % 1000 < {_BOOT_P1} THEN 1
+              ELSE 2 END AS w
+  FROM documents d, generate_series(0, {_BOOT_B - 1}) AS t(b)
+)
+SELECT CAST(b AS BIGINT) AS replicate,
+       CAST(sum(w) AS BIGINT) AS n_sampled,
+       CAST(sum(w * n_chars) AS BIGINT) AS chars_total
+FROM r
+GROUP BY b
+"""
+
+
+@register(
+    "stats_bootstrap_replicates",
+    "statistics",
+    f"Poisson-bootstrap replicates: every document contributes a "
+    f"deterministic truncated-Poisson(1) weight to each of {_BOOT_B} "
+    "replicates (portable hash of (doc_id, replicate) — no resampling "
+    "pass, no shared RNG state), giving per-replicate corpus totals "
+    "whose spread is the bootstrap standard error. THE way to put a "
+    "confidence interval on a statistic of data too large to resample: "
+    "one scan, weights computed row-locally, one partially-aggregated "
+    "shuffle of B partials per partition; replicate draws are "
+    "independent of partitioning, so the CI is reproducible anywhere.",
+    oracle=_boot_oracle(),
+)
+def stats_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.select(
+        "doc_id",
+        "n_chars",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BOOT_B - 1)),
+                lambda b: md5_int32(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        b.cast("string"),
+                    )
+                )
+                % 1000,
+            )
+        ).alias("b", "hmod"),
+    ).select(
+        "n_chars",
+        F.col("b").cast("long").alias("replicate"),
+        F.when(F.col("hmod") < _BOOT_P0, 0)
+        .when(F.col("hmod") < _BOOT_P1, 1)
+        .otherwise(2)
+        .alias("w"),
+    )
+    return reps.groupBy("replicate").agg(
+        F.sum("w").alias("n_sampled"),
+        F.sum(F.col("w") * F.col("n_chars")).alias("chars_total"),
+    )
