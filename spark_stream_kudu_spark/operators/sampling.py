@@ -269,3 +269,87 @@ def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PER_STRATUM_N)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact integer quota apportionment (largest-remainder / Hamilton method)
+# --------------------------------------------------------------------------
+
+_QUOTA_BUDGET = 1000  # training-slot budget to apportion across sources
+
+_QUOTA_ORACLE = f"""
+WITH src AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total FROM src),
+q AS (
+  SELECT s.source, s.chars,
+         CAST((s.chars * {_QUOTA_BUDGET}) // t.total AS BIGINT) AS floor_slots,
+         CAST((s.chars * {_QUOTA_BUDGET}) % t.total AS BIGINT) AS remainder
+  FROM src s CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk,
+         CAST({_QUOTA_BUDGET} - sum(floor_slots) OVER () AS BIGINT) AS shortfall
+  FROM q
+)
+SELECT source, chars, floor_slots,
+       CAST(floor_slots + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT)
+         AS slots
+FROM ranked
+"""
+
+
+@register(
+    "sample_quota_allocation",
+    "sampling",
+    f"Exact integer quota apportionment: a budget of {_QUOTA_BUDGET} "
+    "training slots split across sources proportionally to corpus "
+    "bytes by the largest-remainder (Hamilton) method — floor "
+    "allocations plus one extra slot to the largest fractional "
+    "remainders (ties -> source name) until the budget is EXACTLY "
+    "spent. Naive per-source rounding over- or under-spends the "
+    "budget; this never does (sum(slots) == budget is pinned by an "
+    "invariant test). Pure integer arithmetic end to end — the data-"
+    "mixing quota step that must be bit-identical between the planner "
+    "and the sampler.",
+    oracle=_QUOTA_ORACLE,
+)
+def sample_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy(source) shuffle; the |sources|-row allocation then
+    runs in a single-partition window (the corpus never enters it) —
+    the same bounded-small-table pattern as text_vocab/q62."""
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    tot = src.agg(F.sum("chars").alias("total"))
+    q = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        F.expr(f"(chars * {_QUOTA_BUDGET}) div total").alias("floor_slots"),
+        ((F.col("chars") * _QUOTA_BUDGET) % F.col("total")).alias("remainder"),
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    w_all = Window.partitionBy()
+    ranked = q.select(
+        "source",
+        "chars",
+        "floor_slots",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(_QUOTA_BUDGET) - F.sum("floor_slots").over(w_all)).alias(
+            "shortfall"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "chars",
+        "floor_slots",
+        (
+            F.col("floor_slots")
+            + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+        ).alias("slots"),
+    )

@@ -178,3 +178,84 @@ def q74_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gday") != F.col("day")).cast("int").alias("filled"),
         fround(interp, 4).alias("rev_interp"),
     )
+
+
+# --------------------------------------------------------------------------
+# q124: CUSUM change-point statistic (drift detection on daily series)
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x_e4
+  FROM events
+  GROUP BY 1, 2
+),
+ref AS (
+  SELECT event_type,
+         CAST(CAST(sum(x_e4) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS k_e4
+  FROM daily GROUP BY event_type
+),
+cs AS (
+  SELECT d.event_type, d.day, d.x_e4, r.k_e4,
+         CAST(sum(d.x_e4 - r.k_e4) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM daily d JOIN ref r USING (event_type)
+)
+SELECT event_type, day, x_e4,
+       CAST(cum - min(cum) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cusum_e4
+FROM cs
+"""
+
+
+@register(
+    "q124_cusum_changepoint",
+    "series",
+    "One-sided CUSUM drift statistic per (event_type, day): "
+    "S_t = max(0, S_{t-1} + x_t - k) rewritten as the prefix identity "
+    "cumsum - running-min(cumsum) — the recursive reset becomes two "
+    "stock window passes over ONE (event_type, day) partitioning, no "
+    "recursion, no UDF. k is each type's integer mean daily volume; "
+    "a sustained upward level shift makes S_t grow linearly while "
+    "noise keeps it near 0 — the sequential monitoring statistic "
+    "behind drift alarms. Integer 1e4-scaled end to end, so both "
+    "engines agree bit-for-bit.",
+    oracle=_CUSUM_ORACLE,
+)
+def q124_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB: the daily rollup is the only corpus-sized shuffle;
+    the CUSUM windows run over |types| x |days| rows. The same prefix
+    identity runs incrementally in streaming form (per-type running
+    (cum, min_cum) state), composing with the anomaly family."""
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("x_e4")
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.expr("sum(x_e4) div count(*)").alias("k_e4")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = (
+        daily.join(F.broadcast(ref), "event_type")
+        .withColumn("cum", F.sum(F.col("x_e4") - F.col("k_e4")).over(w))
+    )
+    return cs.select(
+        "event_type",
+        "day",
+        "x_e4",
+        (F.col("cum") - F.min("cum").over(w)).alias("cusum_e4"),
+    )

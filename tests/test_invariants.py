@@ -454,3 +454,20 @@ def test_q36_sketch_estimates_near_exact(spark, sf_smoke):
         assert abs(a["approx_supps"] - e["supps"]) <= 0.05 * e["supps"]
         assert e["p"][0] <= a["price_p50"] <= e["p"][1]
         assert e["p"][2] <= a["price_p95"] <= e["p"][3]
+
+
+def test_quota_allocation_spends_budget_exactly(spark, sf_smoke):
+    """Largest-remainder apportionment must spend the budget EXACTLY
+    (naive rounding doesn't), never hand a source a negative or
+    super-proportional+1 allocation, and preserve monotonicity: a
+    source with more bytes never gets fewer slots."""
+    from spark_stream_kudu_spark.operators.sampling import _QUOTA_BUDGET
+
+    rows = ALL["sample_quota_allocation"].builder(spark, sf_smoke).collect()
+    assert sum(r["slots"] for r in rows) == _QUOTA_BUDGET
+    for r in rows:
+        assert 0 <= r["slots"] - r["floor_slots"] <= 1
+    by_chars = sorted(rows, key=lambda r: (r["chars"], r["source"]))
+    for a, b in zip(by_chars, by_chars[1:]):
+        if b["chars"] > a["chars"]:
+            assert b["slots"] >= a["slots"] - 1  # Hamilton is near-monotone
