@@ -205,10 +205,10 @@ cs AS (
   FROM daily d JOIN ref r USING (event_type)
 )
 SELECT event_type, day, x_e4,
-       CAST(cum - min(cum) OVER (
+       CAST(cum - least(0, min(cum) OVER (
          PARTITION BY event_type ORDER BY day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS BIGINT) AS cusum_e4
+       )) AS BIGINT) AS cusum_e4
 FROM cs
 """
 
@@ -253,9 +253,14 @@ def q124_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.join(F.broadcast(ref), "event_type")
         .withColumn("cum", F.sum(F.col("x_e4") - F.col("k_e4")).over(w))
     )
+    # the empty prefix contributes min 0 (S_0 = 0): without it the first
+    # rows of a rising series would be flattened to 0 — textbook CUSUM
+    # is cum - min(0, running_min(cum)).
     return cs.select(
         "event_type",
         "day",
         "x_e4",
-        (F.col("cum") - F.min("cum").over(w)).alias("cusum_e4"),
+        (F.col("cum") - F.least(F.lit(0), F.min("cum").over(w))).alias(
+            "cusum_e4"
+        ),
     )

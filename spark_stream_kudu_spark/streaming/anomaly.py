@@ -30,6 +30,7 @@ from collections.abc import Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spark_stream_kudu_spark.operators.analytics import (
@@ -162,6 +163,145 @@ def stream_zscore_anomaly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(base, "out")
     q = (
         scored.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM — the q124 prefix identity as keyed (cum, min) state
+# --------------------------------------------------------------------------
+
+_CUSUM_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.DateType()),
+        T.StructField("x_e4", T.LongType()),
+        T.StructField("cusum_e4", T.LongType()),
+    ]
+)
+
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("cum", T.LongType()),
+        T.StructField("min_cum", T.LongType()),
+    ]
+)
+
+
+def cusum_stateful(rows: DataFrame, k_by_type: dict[str, int]) -> DataFrame:
+    """Per event_type, carry (cumulative sum, running minimum) across
+    micro-batches and emit the CUSUM statistic for each completed day.
+    The micro-batch's raw rows are rolled up to daily totals INSIDE the
+    keyed function (a streaming pre-aggregation would demand a
+    watermark and delay emission; the weekly staging guarantees whole
+    days per batch). ``k_by_type`` is the calibration constant
+    (historical mean daily volume), broadcast as a plain dict — at
+    scale a separate calibration table joined batch-side."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (etype,) = key
+        k = k_by_type[etype]
+        cum, mn = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks:
+            if state.exists:
+                state.update((cum, mn))
+            return
+        batch = pd.concat(chunks)
+        daily = (
+            batch.groupby("day", sort=True)["v_e4"].sum().astype("int64")
+        )
+        days, xs, stats = [], [], []
+        for day, x in daily.items():
+            cum += int(x) - k
+            mn = min(mn, cum)
+            days.append(day)
+            xs.append(int(x))
+            stats.append(cum - mn)
+        state.update((cum, mn))
+        yield pd.DataFrame(
+            {
+                "event_type": etype,
+                "day": days,
+                "x_e4": xs,
+                "cusum_e4": stats,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return rows.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_cusum_e2e",
+    "streaming",
+    "END-TO-END streaming CUSUM drift monitor: weekly micro-batches "
+    "aggregate to (event_type, day) partials (day boundaries align "
+    "with the weekly splits, so a day never straddles batches), and a "
+    "keyed (cum, min_cum) state — TWO longs per event_type, regardless "
+    "of stream age — emits each day's statistic on arrival. The "
+    "calibration constant k is each type's historical mean daily "
+    "volume, computed batch-side and broadcast. Cross-batch state "
+    "continuity is what the oracle (the batch q124 window identity) "
+    "pins: dropping state between weeks would reset every cum/min "
+    "and diverge.",
+    oracle=__import__(
+        "spark_stream_kudu_spark.operators.series", fromlist=["_CUSUM_ORACLE"]
+    )._CUSUM_ORACLE,
+)
+def stream_cusum_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from spark_stream_kudu_spark.streaming.workdir import (
+        new_run_dir,
+        stage_time_split_batches,
+    )
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # calibration: integer mean daily volume per type (historical pass)
+    daily_all = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("x_e4"))
+    k_by_type = {
+        r["event_type"]: int(r["k_e4"])
+        for r in daily_all.groupBy("event_type")
+        .agg(F.expr("sum(x_e4) div count(*)").alias("k_e4"))
+        .collect()
+    }
+
+    base = new_run_dir("cusum")
+    src = stage_time_split_batches(
+        ev, base, ["2024-01-08", "2024-01-15", "2024-01-22"]
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+        )
+    )
+    stats = cusum_stateful(stream, k_by_type)
+    out = os.path.join(base, "out")
+    q = (
+        stats.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .outputMode("append")
