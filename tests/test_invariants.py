@@ -471,3 +471,27 @@ def test_quota_allocation_spends_budget_exactly(spark, sf_smoke):
     for a, b in zip(by_chars, by_chars[1:]):
         if b["chars"] > a["chars"]:
             assert b["slots"] >= a["slots"] - 1  # Hamilton is near-monotone
+
+
+def test_cusum_window_identity_equals_textbook_recursion(spark, sf_smoke):
+    """The window identity (cum - least(0, running_min)) must equal the
+    textbook recursion S_t = max(0, S_{t-1} + x_t - k) recomputed in
+    plain Python per event_type — the independent pin that caught the
+    missing empty-prefix term (an error both the engine AND its oracle
+    shared, invisible to parity)."""
+    rows = sorted(
+        ALL["q124_cusum_changepoint"].builder(spark, sf_smoke).collect(),
+        key=lambda r: (r["event_type"], r["day"]),
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r)
+    for et, rs in series.items():
+        total = sum(r["x_e4"] for r in rs)
+        k = total // len(rs)
+        s = 0
+        for r in rs:
+            s = max(0, s + r["x_e4"] - k)
+            assert s == r["cusum_e4"], (et, r["day"], s, r["cusum_e4"])
