@@ -753,3 +753,48 @@ def bpe_merge_step(d: DataFrame) -> DataFrame:
         F.sum("n_merges").alias("n_merges"),
         (F.sum("n_tok") - F.sum("n_merges")).alias("tokens_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix against the labeled corpus)
+# --------------------------------------------------------------------------
+
+_LANGID_EVAL_ORACLE = f"""
+WITH p AS ({_langid_sql()})
+SELECT labeled_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor((count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY labeled_lang))
+             * 1000000 + 0.5) / 1000000 AS label_share
+FROM p
+GROUP BY labeled_lang, pred_lang
+"""
+
+
+@register(
+    "text_langid_eval",
+    "text",
+    "Classifier evaluation as a first-class query: the langid "
+    "heuristic's confusion matrix against the corpus's TRUE lang labels "
+    "— per (labeled, predicted) doc counts plus each cell's share of "
+    "its label row (the per-class recall diagonal). The eval composes "
+    "the already-oracle-checked predictor, so a prediction regression "
+    "shows up as matrix drift, not just a silent quality change. One "
+    "groupBy shuffle over the predictor's output.",
+    oracle=_LANGID_EVAL_ORACLE,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pred = text_langid(spark, sf_dir)
+    w = Window.partitionBy("labeled_lang")
+    counts = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return counts.select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        fround(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+        ).alias("label_share"),
+    )

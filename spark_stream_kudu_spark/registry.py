@@ -215,6 +215,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_quota_allocation",
     "q124_cusum_changepoint",
     "stream_cusum_e2e",
+    "text_langid_eval",
 )
 
 
@@ -225,7 +226,7 @@ def load_all() -> dict[str, QuerySpec]:
     Ordering is deliberate: the driver's correctness gate walks the
     registry front-to-back with a bounded window (~50 queries/round), so
     families whose driver-side evidence is thinnest come first. The
-    explicit ``_WINDOW_PRIORITY`` list (123 names) leads with the 92
+    explicit ``_WINDOW_PRIORITY`` list (124 names) leads with the 92
     queries that had no driver CORRECTNESS row after rounds 1-2, then
     queues the round-3 additions — rounds 3-5 windows drain it in
     order; everything already driver-green trails behind
