@@ -1,0 +1,455 @@
+"""Distribution-drift monitoring and affinity mining (round-3 session 4).
+
+A 100 TB training-data pipeline re-ingests sources continuously; the
+operators here answer "did the data change shape?" before a bad batch
+poisons a training run — the monitoring layer the reference's static
+demo pipeline (src/main/python/kafka_to_kudu.py:25-53) has no analog
+for, expressed Spark-first:
+
+- ``q125_psi_drift`` — Population Stability Index of the event value
+  distribution, first half-month (reference) vs second (current), per
+  event type, over fixed-width bins with Laplace smoothing.
+- ``q126_chisq_drift`` — chi-square goodness-of-fit of the current
+  event-type mix against the reference period's proportions.
+- ``q127_ks_drift`` — two-sample Kolmogorov-Smirnov statistic per
+  event type: max ECDF gap via one RANGE-frame cumulative window over
+  the union of both tagged samples.
+- ``q128_brand_affinity`` — market-basket brand-pair mining over
+  lineitem baskets: co-occurrence support + lift vs independence.
+- ``q129_seasonal_naive_eval`` — forecast-accuracy backtest: the
+  seasonal-naive forecast (same weekday last week) evaluated with
+  MAE / MAPE per event type, on exact-integer daily totals.
+
+Determinism contract (the house rule, cf. statistics.py): every
+aggregate that feeds a float expression is an exact integer (counts,
+cents-quantized sums), so both engines run float math once on
+bit-identical operands; transcendental outputs (ln in PSI, the ratio
+sums in MAPE) follow the text_domain_kl precedent — fround(6) absorbs
+accumulation ulps, and the values are never decimal tie points.
+
+Scale notes (100 TB): q125/q126/q127 reduce the event stream to
+|types| x |bins| (or |types| x |values| for KS inside one window
+shuffle) — one partially-aggregated shuffle each, re-aggregatable
+partials. q128 shuffles baskets once on the order key; per-basket pair
+expansion is bounded by (items/order)^2 — classic market-basket, never
+corpus-quadratic — and the brand marginals broadcast. q129 reduces to
+|types| x |days| before its self-join. Nothing moves a fact table
+more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# q125: Population Stability Index (reference vs current period)
+# --------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16"  # first half = reference, second = current
+_PSI_BINS = 10
+_PSI_BIN_CENTS = 5000  # fixed-width 50.00 bins over [0, 500)
+
+_PSI_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS period,
+         least(CAST(floor(value * 100 + 0.5) AS BIGINT) // {_PSI_BIN_CENTS},
+               {_PSI_BINS - 1}) AS bin
+  FROM events
+), counts AS (
+  SELECT event_type, period, bin, count(*) AS c
+  FROM tagged GROUP BY 1, 2, 3
+), grid AS (
+  SELECT t.event_type, b.bin
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) b
+), filled AS (
+  SELECT g.event_type, g.bin,
+         CAST(coalesce(max(c) FILTER (period = 0), 0) AS BIGINT) AS ca,
+         CAST(coalesce(max(c) FILTER (period = 1), 0) AS BIGINT) AS cb
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.bin = c.bin
+  GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM filled GROUP BY 1
+)
+SELECT f.event_type, t.na AS n_ref, t.nb AS n_cur,
+       {sql_fround(
+           "sum(((f.cb + 1.0) / (t.nb + " + str(_PSI_BINS) + ")"
+           " - (f.ca + 1.0) / (t.na + " + str(_PSI_BINS) + "))"
+           " * ln(((f.cb + 1.0) / (t.nb + " + str(_PSI_BINS) + "))"
+           " / ((f.ca + 1.0) / (t.na + " + str(_PSI_BINS) + "))))", 6)} AS psi
+FROM filled f JOIN totals t ON f.event_type = t.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q125_psi_drift",
+    "drift",
+    "Population Stability Index per event type: cents-quantized values "
+    f"land in {_PSI_BINS} fixed-width bins (fixed edges — no data-dependent "
+    "quantile edges, so reference and current bin identically), Laplace +1 "
+    "smoothing keeps empty bins finite, PSI = sum((pb-pa)*ln(pb/pa)) over "
+    "the dense type x bin grid. The event stream reduces to |types|x|bins| "
+    "integer counts in one partially-aggregated shuffle; the PSI fold runs "
+    "over that tiny grid. The reference period's counts are exactly the "
+    "kind of re-aggregatable partial a daily monitoring job persists.",
+    oracle=_PSI_ORACLE,
+)
+def q125_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.least(cents / F.lit(_PSI_BIN_CENTS), F.lit(_PSI_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = tagged.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"))
+    )
+    filled = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("period") == 0, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("ca"),
+            F.coalesce(F.max(F.when(F.col("period") == 1, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    na = F.sum("ca").over(wt)
+    nb = F.sum("cb").over(wt)
+    pa = (F.col("ca") + F.lit(1.0)) / (na + F.lit(_PSI_BINS))
+    pb = (F.col("cb") + F.lit(1.0)) / (nb + F.lit(_PSI_BINS))
+    per_bin = filled.select(
+        "event_type",
+        na.cast("long").alias("n_ref"),
+        nb.cast("long").alias("n_cur"),
+        ((pb - pa) * F.log(pb / pa)).alias("contrib"),
+    )
+    return per_bin.groupBy("event_type", "n_ref", "n_cur").agg(
+        fround(F.sum("contrib"), 6).alias("psi")
+    )
+
+
+# --------------------------------------------------------------------------
+# q126: chi-square goodness-of-fit on the event-type mix
+# --------------------------------------------------------------------------
+
+_CHISQ_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (ts >= TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS cb
+  FROM events GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM counts
+)
+SELECT c.event_type,
+       c.cb AS n_observed,
+       {sql_fround("(c.ca * 1.0 / t.na) * t.nb", 4)} AS n_expected,
+       {sql_fround(
+           "(c.cb - (c.ca * 1.0 / t.na) * t.nb)"
+           " * (c.cb - (c.ca * 1.0 / t.na) * t.nb)"
+           " / ((c.ca * 1.0 / t.na) * t.nb)", 6)} AS chisq_contrib
+FROM counts c CROSS JOIN totals t
+"""
+
+
+@register(
+    "q126_chisq_drift",
+    "drift",
+    "Chi-square goodness-of-fit of the current period's event-type mix "
+    "against the reference period's proportions: expected count = reference "
+    "share x current total, contribution = (O-E)^2/E per category. One "
+    "partially-aggregated count shuffle over |types| groups; the totals row "
+    "is a broadcastable scalar. The per-category contributions are the "
+    "monitoring artifact (which category drifted), and their sum against a "
+    "critical value is the alert bit.",
+    oracle=_CHISQ_ORACLE,
+)
+def q126_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < split, 1)).alias("ca"),
+        F.count(F.when(F.col("ts") >= split, 1)).alias("cb"),
+    )
+    wall = Window.partitionBy()
+    na = F.sum("ca").over(wall)
+    nb = F.sum("cb").over(wall)
+    expected = (F.col("ca") * F.lit(1.0) / na) * nb
+    dev = F.col("cb") - expected
+    return counts.select(
+        "event_type",
+        F.col("cb").alias("n_observed"),
+        fround(expected, 4).alias("n_expected"),
+        fround(dev * dev / expected, 6).alias("chisq_contrib"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q127: two-sample Kolmogorov-Smirnov statistic
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS is_b
+  FROM events
+), cum AS (
+  SELECT event_type, cents,
+         CAST(sum(is_a) OVER (PARTITION BY event_type ORDER BY cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         CAST(sum(is_b) OVER (PARTITION BY event_type ORDER BY cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+         CAST(sum(is_a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(sum(is_b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+  FROM tagged
+)
+SELECT event_type, max(na) AS n_ref, max(nb) AS n_cur,
+       {sql_fround(
+           "max(abs(cum_a * 1.0 / na - cum_b * 1.0 / nb))", 6)} AS ks_stat
+FROM cum GROUP BY 1
+"""
+
+
+@register(
+    "q127_ks_drift",
+    "drift",
+    "Two-sample Kolmogorov-Smirnov statistic per event type: union both "
+    "periods' cents-quantized values with 0/1 sample tags, one RANGE-frame "
+    "cumulative sum per tag gives both ECDFs at every observed value (the "
+    "RANGE frame absorbs ties — both engines see the CDF *after* all equal "
+    "values), KS = max |F_a - F_b|. One window shuffle by event type; at "
+    "scale the per-type value stream would pre-aggregate to (type, cents, "
+    "tag counts) first — same one-shuffle shape, smaller window input.",
+    oracle=_KS_ORACLE,
+)
+def q127_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    tagged = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("is_a"),
+        F.when(F.col("ts") < split, 0).otherwise(1).alias("is_b"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = tagged.select(
+        "event_type",
+        F.sum("is_a").over(wcum).alias("cum_a"),
+        F.sum("is_b").over(wcum).alias("cum_b"),
+        F.sum("is_a").over(wall).alias("na"),
+        F.sum("is_b").over(wall).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.lit(1.0) / F.col("na")
+        - F.col("cum_b") * F.lit(1.0) / F.col("nb")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("na").alias("n_ref"),
+        F.max("nb").alias("n_cur"),
+        fround(F.max(gap), 6).alias("ks_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q128: market-basket brand affinity (support + lift)
+# --------------------------------------------------------------------------
+
+_AFFINITY_MIN_PAIR = 5
+
+_AFFINITY_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), marginals AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n_brand FROM baskets GROUP BY 1
+), total AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM baskets
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {_AFFINITY_MIN_PAIR}
+)
+SELECT p.brand_a, p.brand_b, p.n_pair,
+       {sql_fround(
+           "(p.n_pair * 1.0 * t.n_orders) / (ma.n_brand * 1.0 * mb.n_brand)",
+           6)} AS lift
+FROM pairs p
+JOIN marginals ma ON p.brand_a = ma.brand
+JOIN marginals mb ON p.brand_b = mb.brand
+CROSS JOIN total t
+"""
+
+
+@register(
+    "q128_brand_affinity",
+    "drift",
+    "Market-basket affinity mining: the lineitem x part join (part "
+    "broadcasts) groups into one sorted distinct-brand array per order — "
+    "a single shuffle keyed on the order key — then pairs expand "
+    "basket-locally from the array (bounded by (brands per order)^2, "
+    "classic market-basket, never corpus-quadratic; no self-join, no "
+    f"sort-merge). Support floor {_AFFINITY_MIN_PAIR}; lift = "
+    "P(a,b)/(P(a)P(b)) from integer counts with the |brands|-row "
+    "marginals broadcast back onto the pair table.",
+    oracle=_AFFINITY_ORACLE,
+)
+def q128_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    grouped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .groupBy("okey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
+    )
+    marginals = grouped.select(F.explode("brands").alias("brand")).groupBy(
+        "brand"
+    ).agg(F.count(F.lit(1)).alias("n_brand"))
+    total = grouped.agg(F.count(F.lit(1)).alias("n_orders"))
+    # Basket-local pair expansion: for each i, pair brands[i] with every
+    # later element of the sorted array (brand_a < brand_b by construction).
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    pairs = (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _AFFINITY_MIN_PAIR)
+    )
+    ma = marginals.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    mb = marginals.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .join(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            fround(
+                (F.col("n_pair") * F.lit(1.0) * F.col("n_orders"))
+                / (F.col("n_a") * F.lit(1.0) * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q129: seasonal-naive forecast backtest (MAE / MAPE)
+# --------------------------------------------------------------------------
+
+_SEASON_DAYS = 7
+
+_FORECAST_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT cur.event_type, cur.d, cur.cents AS actual, prev.cents AS forecast
+  FROM daily cur JOIN daily prev
+    ON cur.event_type = prev.event_type AND cur.d = prev.d + {_SEASON_DAYS}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       {sql_fround("sum(abs(actual - forecast)) / count(*) / 100.0", 4)} AS mae,
+       {sql_fround("sum(abs(actual - forecast) * 1.0 / actual) / count(*)", 6)}
+         AS mape
+FROM joined GROUP BY 1
+"""
+
+
+@register(
+    "q129_seasonal_naive_eval",
+    "drift",
+    "Forecast-accuracy backtest: the seasonal-naive forecast (same weekday "
+    f"last week, lag {_SEASON_DAYS} days) for per-type daily totals, scored "
+    "with MAE and MAPE. Daily totals are cents-quantized BIGINTs — exact "
+    "under any distributed merge order — so the calendar self-join (an "
+    "equi-join on (type, day-7); missing days simply don't match, in both "
+    "engines) compares identical integers, and only the final MAE/MAPE "
+    "division is float. The event stream reduces to |types| x |days| rows "
+    "in one partially-aggregated shuffle before any join; at 100 TB the "
+    "daily table is the persisted monitoring artifact and the backtest "
+    "never rescans the raw stream.",
+    oracle=_FORECAST_ORACLE,
+)
+def q129_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    cur = daily.select(
+        "event_type", "d", F.col("cents").alias("actual")
+    )
+    prev = daily.select(
+        F.col("event_type").alias("et_p"),
+        (F.col("d") + F.lit(_SEASON_DAYS)).alias("d_p"),
+        F.col("cents").alias("forecast"),
+    )
+    joined = cur.join(
+        prev, (cur.event_type == prev.et_p) & (cur.d == prev.d_p)
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        fround(F.sum(err) / F.count(F.lit(1)) / F.lit(100.0), 4).alias("mae"),
+        fround(
+            F.sum(err * F.lit(1.0) / F.col("actual")) / F.count(F.lit(1)), 6
+        ).alias("mape"),
+    )

@@ -216,6 +216,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q124_cusum_changepoint",
     "stream_cusum_e2e",
     "text_langid_eval",
+    "q125_psi_drift",
+    "q126_chisq_drift",
+    "q127_ks_drift",
+    "q128_brand_affinity",
+    "q129_seasonal_naive_eval",
 )
 
 
@@ -233,6 +238,7 @@ def load_all() -> dict[str, QuerySpec]:
     in registration order. Coverage accumulates across rounds.
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
+    import spark_stream_kudu_spark.operators.drift  # noqa: F401
     import spark_stream_kudu_spark.streaming.anomaly  # noqa: F401
     import spark_stream_kudu_spark.operators.series  # noqa: F401
     import spark_stream_kudu_spark.operators.curation  # noqa: F401

@@ -1,0 +1,180 @@
+"""Semantic and plan tests for the drift-monitoring / affinity operators
+(operators/drift.py): PSI, chi-square, KS, brand affinity, seasonal-naive
+backtest. Each statistic is additionally pinned against a from-scratch
+plain-Python computation over the raw fixture — independent of both the
+Spark implementation and the DuckDB oracle SQL.
+"""
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.plans import checks
+from spark_stream_kudu_spark.registry import load_all
+
+ALL = load_all()
+
+SPLIT_MS = 1705363200000  # 2024-01-16 00:00:00 UTC in epoch ms
+
+
+@pytest.fixture(scope="module")
+def raw_events(sf_smoke):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT event_type, epoch_ms(ts) AS t_ms,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CAST(ts AS DATE) AS day
+            FROM '{sf_smoke}/events.parquet'"""
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_psi_matches_textbook_recursion(spark, sf_smoke, raw_events):
+    """PSI per type == the textbook sum over a dense 10-bin grid with
+    Laplace +1 smoothing, computed in plain Python from the raw rows."""
+    bins = 10
+    ca: dict = defaultdict(Counter)
+    cb: dict = defaultdict(Counter)
+    for et, t_ms, cents, _day in raw_events:
+        b = min(cents // 5000, bins - 1)
+        (ca if t_ms < SPLIT_MS else cb)[et][b] += 1
+    expected = {}
+    for et in set(ca) | set(cb):
+        na = sum(ca[et].values())
+        nb = sum(cb[et].values())
+        psi = 0.0
+        for b in range(bins):
+            pa = (ca[et][b] + 1.0) / (na + bins)
+            pb = (cb[et][b] + 1.0) / (nb + bins)
+            psi += (pb - pa) * math.log(pb / pa)
+        expected[et] = (na, nb, math.floor(psi * 1e6 + 0.5) / 1e6)
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in ALL["q125_psi_drift"].builder(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_chisq_contributions_sum_to_statistic(spark, sf_smoke, raw_events):
+    """Chi-square contributions match (O-E)^2/E computed in plain Python,
+    and expected counts sum to the current-period total."""
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for et, t_ms, _cents, _day in raw_events:
+        (ca if t_ms < SPLIT_MS else cb)[et] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    rows = ALL["q126_chisq_drift"].builder(spark, sf_smoke).collect()
+    assert {r["event_type"] for r in rows} == set(ca) | set(cb)
+    for r in rows:
+        e = (ca[r["event_type"]] / na) * nb
+        contrib = (cb[r["event_type"]] - e) ** 2 / e
+        assert r["n_observed"] == cb[r["event_type"]]
+        assert r["n_expected"] == pytest.approx(e, abs=1e-4)
+        assert r["chisq_contrib"] == pytest.approx(contrib, abs=1e-6)
+    assert sum(r["n_expected"] for r in rows) == pytest.approx(nb, abs=1e-2)
+
+
+def test_ks_matches_ecdf_scan(spark, sf_smoke, raw_events):
+    """KS per type == max |F_a - F_b| from a plain-Python ECDF sweep."""
+    a: dict = defaultdict(list)
+    b: dict = defaultdict(list)
+    for et, t_ms, cents, _day in raw_events:
+        (a if t_ms < SPLIT_MS else b)[et].append(cents)
+    expected = {}
+    for et in set(a) | set(b):
+        sa, sb = sorted(a[et]), sorted(b[et])
+        na, nb = len(sa), len(sb)
+        d = 0.0
+        for v in sorted(set(sa) | set(sb)):
+            fa = sum(1 for x in sa if x <= v) / na
+            fb = sum(1 for x in sb if x <= v) / nb
+            d = max(d, abs(fa - fb))
+        expected[et] = (na, nb, math.floor(d * 1e6 + 0.5) / 1e6)
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["ks_stat"])
+        for r in ALL["q127_ks_drift"].builder(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_ks_bounds_and_nonvacuous(spark, sf_smoke):
+    """0 <= KS <= 1, and the two halves genuinely differ somewhere
+    (a KS of exactly 0 everywhere would make the drift check vacuous)."""
+    rows = ALL["q127_ks_drift"].builder(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ks_stat"] <= 1.0
+    assert any(r["ks_stat"] > 0 for r in rows)
+
+
+def test_affinity_lift_identity(spark, sf_smoke):
+    """lift * P(a) * P(b) == P(a,b) exactly (integer cross-check), and
+    the pair support respects the floor."""
+    df = ALL["q128_brand_affinity"].builder(spark, sf_smoke)
+    rows = df.collect()
+    assert rows
+    con = duckdb.connect()
+    marg = dict(
+        con.sql(
+            f"""SELECT brand, count(*) FROM (
+                  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+                  FROM '{sf_smoke}/lineitem.parquet'
+                  JOIN '{sf_smoke}/part.parquet' ON l_partkey = p_partkey)
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    n_orders = con.sql(
+        f"SELECT count(DISTINCT l_orderkey) FROM '{sf_smoke}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+    for r in rows:
+        assert r["n_pair"] >= 5
+        assert r["brand_a"] < r["brand_b"]
+        lift = (r["n_pair"] * n_orders) / (marg[r["brand_a"]] * marg[r["brand_b"]])
+        assert r["lift"] == pytest.approx(lift, abs=1e-6)
+
+
+def test_affinity_broadcasts_dims(spark, sf_smoke):
+    """part and the marginals join as broadcasts; the only shuffle keys
+    are the order key and the pair key."""
+    df = ALL["q128_brand_affinity"].builder(spark, sf_smoke)
+    assert checks.uses_broadcast_join(df)
+    assert not checks.python_eval_nodes(df)
+
+
+def test_seasonal_naive_alignment(spark, sf_smoke, raw_events):
+    """The backtest compares day d against day d-7 of the same type:
+    recompute MAE from plain-Python daily totals."""
+    import datetime
+
+    daily: dict = defaultdict(int)
+    for et, _t_ms, cents, day in raw_events:
+        d = (day - datetime.date(2024, 1, 1)).days
+        daily[(et, d)] += cents
+    per_type_err: dict = defaultdict(list)
+    for (et, d), cents in daily.items():
+        prev = daily.get((et, d - 7))
+        if prev is not None:
+            per_type_err[et].append(abs(cents - prev))
+    rows = ALL["q129_seasonal_naive_eval"].builder(spark, sf_smoke).collect()
+    got = {r["event_type"]: (r["n_days"], r["mae"]) for r in rows}
+    for et, errs in per_type_err.items():
+        mae = math.floor(sum(errs) / len(errs) / 100.0 * 1e4 + 0.5) / 1e4
+        assert got[et] == (len(errs), mae)
+
+
+def test_drift_queries_stay_jvm_side(spark, sf_smoke):
+    """No Python eval nodes in any drift-family plan — everything runs
+    in whole-stage codegen."""
+    for name in (
+        "q125_psi_drift",
+        "q126_chisq_drift",
+        "q127_ks_drift",
+        "q129_seasonal_naive_eval",
+    ):
+        df = ALL[name].builder(spark, sf_smoke)
+        assert not checks.python_eval_nodes(df), name
