@@ -112,8 +112,18 @@ GROUP BY 1, 2, 3
 )
 def q125_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    counts = psi_tag_columns(ev).groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return psi_from_counts(counts)
+
+
+def psi_tag_columns(df: DataFrame) -> DataFrame:
+    """Project a raw events frame to (event_type, period, bin) with the
+    canonical split/bin rules — shared by the batch query and the
+    streaming twin's per-batch partials so the two can never diverge."""
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    tagged = ev.select(
+    return df.select(
         "event_type",
         F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 0)
         .otherwise(1)
@@ -122,13 +132,20 @@ def q125_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin"),
     )
-    counts = tagged.groupBy("event_type", "period", "bin").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """Finalize PSI from a (event_type, period, bin, c) count table —
+    the re-aggregatable partial both the batch query and the streaming
+    sink produce. Densifies to the full type x bin grid (empty bins
+    still contribute through the Laplace smoothing), then folds."""
     grid = (
-        ev.select("event_type")
+        counts.select("event_type")
         .distinct()
-        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
     )
     filled = (
         grid.join(counts, ["event_type", "bin"], "left")

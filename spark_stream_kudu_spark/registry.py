@@ -221,6 +221,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q127_ks_drift",
     "q128_brand_affinity",
     "q129_seasonal_naive_eval",
+    "stream_psi_drift_e2e",
 )
 
 
@@ -239,6 +240,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
     import spark_stream_kudu_spark.operators.drift  # noqa: F401
+    import spark_stream_kudu_spark.streaming.drift  # noqa: F401
     import spark_stream_kudu_spark.streaming.anomaly  # noqa: F401
     import spark_stream_kudu_spark.operators.series  # noqa: F401
     import spark_stream_kudu_spark.operators.curation  # noqa: F401

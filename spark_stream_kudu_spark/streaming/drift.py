@@ -1,0 +1,105 @@
+"""Streaming drift monitoring — the streaming lift of ``q125_psi_drift``.
+
+The batch PSI reduces the event stream to a (event_type, period, bin)
+count grid before any float math; those counts are additive, so the
+operator lifts directly onto the incremental-rollup pattern
+(streaming/extensions.py's AdditiveRollupSink): each micro-batch
+aggregates to count partials, the sink SUM-merges them into the keyed
+store, and PSI finalizes at read time over the tiny stored grid with
+the *same* finalize code the batch query uses (operators/drift.py
+``psi_from_counts``). Additive merge is commutative/associative and the
+replay marker makes it idempotent, so the final PSI is independent of
+batch slicing — which is exactly what the shared batch oracle checks.
+
+This is the production shape of a drift monitor at 100 TB: the store
+holds |types| x |bins| x 2 integers regardless of stream age, the
+reference half freezes once its period passes, and every new batch
+touches only its own partial counts — raw events are never rescanned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_stream_kudu_spark.operators.drift import (
+    _PSI_ORACLE,
+    psi_from_counts,
+    psi_tag_columns,
+)
+from spark_stream_kudu_spark.registry import register
+from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.streaming.workdir import new_run_dir
+
+
+@register(
+    "stream_psi_drift_e2e",
+    "streaming",
+    "END-TO-END streaming drift monitor: events replayed as 4 parquet "
+    "micro-batches; each batch reduces to (event_type, period, bin) count "
+    "partials — the same canonical tagging expression as batch q125 — that "
+    "an AdditiveRollupSink SUM-merges into the keyed store; PSI finalizes "
+    "at read time over the stored grid with the batch query's own finalize "
+    "code. Counts are additive and the replay marker makes the merge "
+    "idempotent, so the result is batch-slicing-independent and equals the "
+    "one-shot batch PSI, which the shared oracle checks value-for-value. "
+    "Store size is |types| x |bins| x 2 longs regardless of stream age.",
+    oracle=_PSI_ORACLE,
+)
+def stream_psi_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    base = new_run_dir("psi")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    # 4 replay files = 4 micro-batches (maxFilesPerTrigger=1), written
+    # executor-side, staged under stable names. Hash-split (not
+    # time-split) on purpose: additive counts must not care which batch
+    # a row lands in, and this slicing exercises exactly that.
+    for k in range(4):
+        stage = os.path.join(base, f"stage_{k}")
+        (
+            ev.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "counts"),
+        key=["event_type", "period", "bin"],
+        sum_cols=["c"],
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            psi_tag_columns(batch_df)
+            .groupBy("event_type", "period", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = sink.read(spark).select("event_type", "period", "bin", "c")
+    return psi_from_counts(counts)

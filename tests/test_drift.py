@@ -167,6 +167,20 @@ def test_seasonal_naive_alignment(spark, sf_smoke, raw_events):
         assert got[et] == (len(errs), mae)
 
 
+def test_stream_psi_equals_batch(spark, sf_smoke):
+    """The streaming PSI monitor (hash-sliced 4-batch replay through the
+    additive count store) produces exactly the batch q125 rows — the
+    batch-slicing-independence the additive-merge design guarantees."""
+    batch = {
+        tuple(r) for r in ALL["q125_psi_drift"].builder(spark, sf_smoke).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in ALL["stream_psi_drift_e2e"].builder(spark, sf_smoke).collect()
+    }
+    assert streamed == batch
+
+
 def test_drift_queries_stay_jvm_side(spark, sf_smoke):
     """No Python eval nodes in any drift-family plan — everything runs
     in whole-stage codegen."""
