@@ -482,3 +482,114 @@ def q123_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# q130: TPC-H Q14 shape — promotion revenue share
+# --------------------------------------------------------------------------
+
+_Q130_ORACLE = f"""
+SELECT
+  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+       ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+       AS BIGINT) AS total_rev_e4,
+  {sql_fround(
+      "100.0 * sum(CASE WHEN p.p_type = 'PROMO' "
+      "THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) "
+      "ELSE 0 END) / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))",
+      6)} AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@register(
+    "q130_promo_revenue",
+    "subquery",
+    "TPC-H Q14 shape: promotion revenue share for one quarter — the "
+    "conditional-numerator / unconditional-denominator ratio computed in "
+    "ONE aggregation pass (no second scan for the denominator), with the "
+    "shipdate window pushed to the lineitem scan and part broadcast. "
+    "Revenue quantizes to e4 integers before summing, so the final "
+    "percentage divides two exact BIGINTs — identical doubles in both "
+    "engines (the q82 market-share discipline).",
+    oracle=_Q130_ORACLE,
+)
+def q130_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_rev_e4"
+            ),
+            F.sum(rev).alias("total_rev_e4"),
+        )
+    )
+    return agg.select(
+        "promo_rev_e4",
+        "total_rev_e4",
+        fround(
+            F.lit(100.0) * F.col("promo_rev_e4") / F.col("total_rev_e4"), 6
+        ).alias("promo_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q131: TPC-H Q12 shape — late-shipment counts by priority class
+# --------------------------------------------------------------------------
+
+_Q131_LATE_DAYS = 90
+
+_Q131_ORACLE = f"""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL {_Q131_LATE_DAYS} DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register(
+    "q131_late_priority",
+    "subquery",
+    f"TPC-H Q12 shape: for lineitems shipped more than {_Q131_LATE_DAYS} "
+    "days after their order date (the late-shipment predicate joins the "
+    "two facts' date columns), count high-priority (1-URGENT/2-HIGH) vs "
+    "lower-priority lines per return flag — the conditional-sum pivot Q12 "
+    "uses for shipmode, adapted to the fixture's columns. Fact-to-fact "
+    "equi-join on the order key with the residual date predicate applied "
+    "at join time; one partially-aggregated shuffle over 3 groups.",
+    oracle=_Q131_ORACLE,
+)
+def q131_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q131_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -798,3 +798,130 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
         ).alias("label_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-round BPE encoding (the trainer loop composed end-to-end)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled-CTE oracle for ``rounds`` BPE merge rounds (the pagerank
+    convention: fixed iteration count, one CTE chain per round). Each
+    round re-tokenizes the delimited string, picks the top pair
+    (count DESC, pair ASC), and applies the non-overlapping replace;
+    every merge shrinks the string by exactly one char, so
+    tokens_after = tokens_before - total length delta."""
+    parts = [
+        f"""WITH s0 AS (
+  SELECT doc_id, source,
+         CAST(len(t) AS BIGINT) AS n0,
+         '|' || array_to_string(t, '||') || '|' AS s
+  FROM (SELECT doc_id, source, {sql_tokens('text')} AS t FROM documents)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""", p{r} AS (
+  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i + 1])) AS pair
+  FROM (SELECT str_split(substr(s, 2, length(s) - 2), '||') AS tk
+        FROM {prev} WHERE length(s) > 2)
+  WHERE len(tk) >= 2
+), t{r} AS (
+  SELECT pair FROM p{r} GROUP BY pair
+  ORDER BY count(*) DESC, pair ASC LIMIT 1
+), s{r} AS (
+  SELECT doc_id, source, n0,
+         replace(s,
+           '|' || split_part((SELECT pair FROM t{r}), ' ', 1) || '||'
+               || split_part((SELECT pair FROM t{r}), ' ', 2) || '|',
+           '|' || split_part((SELECT pair FROM t{r}), ' ', 1) || '_'
+               || split_part((SELECT pair FROM t{r}), ' ', 2) || '|') AS s
+  FROM {prev}
+)"""
+        )
+    merge_cols = ",\n       ".join(
+        f"(SELECT pair FROM t{r}) AS merge_{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+SELECT f.source,
+       {merge_cols},
+       CAST(sum(f.n0) AS BIGINT) AS tokens_before,
+       CAST(sum(length(z.s) - length(f.s)) AS BIGINT) AS n_merges,
+       CAST(sum(f.n0) - sum(length(z.s) - length(f.s)) AS BIGINT) AS tokens_after
+FROM s{rounds} f JOIN s0 z USING (doc_id)
+GROUP BY f.source"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_encode",
+    "text",
+    f"BPE encoding with {_BPE_ROUNDS} training rounds composed end-to-end "
+    "(the loop text_bpe_merge is the unit of): each round counts adjacent "
+    "pairs over the CURRENT merged token stream (re-split from the "
+    "delimited string), broadcasts the top pair (ties -> lexicographically "
+    "first), and applies the greedy non-overlapping corpus-wide replace. "
+    "Per-round cost is one partially-aggregated pair-count shuffle + a "
+    "1-row driver collect (the k-means/pagerank decision-collect pattern) "
+    "+ a scan-local rewrite; tokens_after falls out of the exact "
+    "one-char-per-merge length delta, no final re-tokenization. Output "
+    "per source: the merge table (vocabulary additions) and token "
+    "compression achieved.",
+    oracle=_bpe_oracle_sql(_BPE_ROUNDS),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    state = tok.select(
+        "doc_id",
+        "source",
+        F.size("t").cast("long").alias("n0"),
+        F.concat(F.lit("|"), F.concat_ws("||", F.col("t")), F.lit("|")).alias("s"),
+    )
+    len0 = F.length("s").alias("len0")
+    state = state.select("doc_id", "source", "n0", "s", len0)
+
+    merges: list[str] = []
+    for _ in range(_BPE_ROUNDS):
+        tk = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\|\|")
+        pair_arr = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            state.filter(F.length("s") > 2)
+            .select(F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        a, b = top[0]["pair"].split(" ")
+        merges.append(top[0]["pair"])
+        state = state.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}_{b}|"))
+        )
+
+    n_merges = (F.col("len0") - F.length("s")).cast("long")
+    out = state.groupBy("source").agg(
+        F.sum("n0").alias("tokens_before"),
+        F.sum(n_merges).alias("n_merges"),
+        (F.sum("n0") - F.sum(n_merges)).alias("tokens_after"),
+    )
+    sel = [F.col("source")]
+    sel += [F.lit(m).alias(f"merge_{i + 1}") for i, m in enumerate(merges)]
+    sel += [F.col("tokens_before"), F.col("n_merges"), F.col("tokens_after")]
+    return out.select(*sel)

@@ -222,6 +222,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q128_brand_affinity",
     "q129_seasonal_naive_eval",
     "stream_psi_drift_e2e",
+    "q130_promo_revenue",
+    "q131_late_priority",
+    "text_bpe_encode",
 )
 
 

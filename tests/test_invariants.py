@@ -495,3 +495,87 @@ def test_cusum_window_identity_equals_textbook_recursion(spark, sf_smoke):
         for r in rs:
             s = max(0, s + r["x_e4"] - k)
             assert s == r["cusum_e4"], (et, r["day"], s, r["cusum_e4"])
+
+
+def test_bpe_encode_matches_pure_python_trainer(spark, sf_smoke):
+    """The 3-round BPE loop (text_bpe_encode) equals a from-scratch
+    plain-Python trainer on the raw fixture: same merge table in the
+    same order, same per-source token compression. Python's str.replace
+    shares the greedy non-overlapping left-to-right semantics, so this
+    pins the whole loop, not just one round."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from spark_stream_kudu_spark.operators.text import _BPE_ROUNDS
+    from spark_stream_kudu_spark.registry import load_all
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"SELECT doc_id, source, lower(trim(text)) FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    docs = {
+        doc_id: (src, "|" + "||".join(re.split(r"\s+", txt)) + "|")
+        for doc_id, src, txt in raw
+    }
+    n0 = {doc_id: s.count("||") + 1 for doc_id, (_, s) in docs.items()}
+    merges = []
+    for _ in range(_BPE_ROUNDS):
+        pc: Counter = Counter()
+        for _, (_, s) in docs.items():
+            tk = s[1:-1].split("||")
+            for x, y in zip(tk, tk[1:]):
+                pc[f"{x} {y}"] += 1
+        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(top)
+        a, b = top.split(" ")
+        docs = {
+            d: (src, s.replace(f"|{a}||{b}|", f"|{a}_{b}|"))
+            for d, (src, s) in docs.items()
+        }
+    per_source: dict = defaultdict(lambda: [0, 0])
+    for doc_id, (src, s) in docs.items():
+        before = n0[doc_id]
+        after = s.count("||") + 1 if len(s) > 2 else 0
+        per_source[src][0] += before
+        per_source[src][1] += after
+    rows = load_all()["text_bpe_encode"].builder(spark, sf_smoke).collect()
+    for r in rows:
+        for i, m in enumerate(merges):
+            assert r[f"merge_{i + 1}"] == m
+        b, a = per_source[r["source"]]
+        assert (r["tokens_before"], r["tokens_after"]) == (b, a), r["source"]
+        assert r["n_merges"] == b - a
+
+
+def test_promo_and_late_shapes_are_consistent(spark, sf_smoke):
+    """q130: promo revenue is a subset of total and the pct matches the
+    exact integer ratio. q131: every late line is counted exactly once
+    across the high/low split."""
+    from spark_stream_kudu_spark.registry import load_all
+
+    ALL = load_all()
+    [r] = ALL["q130_promo_revenue"].builder(spark, sf_smoke).collect()
+    assert 0 < r["promo_rev_e4"] < r["total_rev_e4"]
+    import math
+
+    expect = math.floor(
+        100.0 * r["promo_rev_e4"] / r["total_rev_e4"] * 1e6 + 0.5
+    ) / 1e6
+    assert r["promo_pct"] == expect
+
+    rows = ALL["q131_late_priority"].builder(spark, sf_smoke).collect()
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+    total = sum(r["high_line_count"] + r["low_line_count"] for r in rows)
+    import duckdb
+
+    con = duckdb.connect()
+    [(late,)] = con.sql(
+        f"""SELECT count(*) FROM '{sf_smoke}/lineitem.parquet' l
+            JOIN '{sf_smoke}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY"""
+    ).fetchall()
+    con.close()
+    assert total == late
