@@ -749,3 +749,83 @@ def q109_daily_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.groupBy("user_id", "day_no").agg(
         F.sum(covered).alias("covered_ms")
     )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join (next event at-or-after each probe)
+# --------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, min(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_ms(p.ts) AS purchase_ms,
+       v.view_event_id,
+       epoch_ms(v.ts) AS view_ms
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+"""
+
+
+@register(
+    "q132_asof_forward",
+    "join",
+    "FORWARD as-of join: each purchase matched to the earliest view "
+    "at-or-after it per user (the post-event next-touch lookup — q38's "
+    "mirror). Same one-exchange union shape, but the carry runs forward: "
+    "first(ignorenulls) over (current row .. unbounded following), with "
+    "purchases sorted before same-timestamp views so the at-or-after "
+    "inclusive bound holds and ties resolve to the min view event_id via "
+    "the sort key — no inequality theta-join, no pre-dedupe shuffle.",
+    oracle=_ASOF_FWD_ORACLE,
+)
+def q132_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # side=0 sorts purchase rows before view rows at equal ts (inclusive
+    # v.ts >= p.ts), and same-(user, ts) views order by event_id
+    # ascending so the forward-first picks the min id — the tie rule —
+    # inside the single user_id exchange.
+    p = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    v = views.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("view_event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = p.unionByName(v)
+    return (
+        u.withColumn("nv_id", F.first("view_event_id", ignorenulls=True).over(w))
+        .withColumn("nv_ts", F.first("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_millis("ts").alias("purchase_ms"),
+            F.col("nv_id").alias("view_event_id"),
+            F.unix_millis("nv_ts").alias("view_ms"),
+        )
+    )

@@ -225,6 +225,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q130_promo_revenue",
     "q131_late_priority",
     "text_bpe_encode",
+    "q132_asof_forward",
 )
 
 

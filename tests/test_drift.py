@@ -192,3 +192,36 @@ def test_drift_queries_stay_jvm_side(spark, sf_smoke):
     ):
         df = ALL[name].builder(spark, sf_smoke)
         assert not checks.python_eval_nodes(df), name
+
+
+def test_psi_identity_is_zero(spark):
+    """PSI of a distribution against itself is exactly 0: feed a frame
+    whose two halves are value-identical (same rows mirrored across the
+    split) and assert psi == 0.0 for every type."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for et in ("a", "b"):
+        for v in (10.0, 120.5, 333.25, 499.99, 10.0):
+            for half_day in (1, 20):  # one copy each side of Jan 16
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, half_day), 0, et, v, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from spark_stream_kudu_spark.operators.drift import (
+        psi_from_counts,
+        psi_tag_columns,
+    )
+    from pyspark.sql import functions as F
+
+    counts = psi_tag_columns(df).groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = {r["event_type"]: r for r in psi_from_counts(counts).collect()}
+    for et in ("a", "b"):
+        assert out[et]["n_ref"] == out[et]["n_cur"] == 5
+        assert out[et]["psi"] == 0.0

@@ -579,3 +579,38 @@ def test_promo_and_late_shapes_are_consistent(spark, sf_smoke):
     ).fetchall()
     con.close()
     assert total == late
+
+
+def test_forward_asof_is_next_view_at_or_after(spark, sf_smoke):
+    """q132: every matched view is the user's earliest view with
+    view_ms >= purchase_ms (min event_id on ties), checked against a
+    plain-Python scan of the raw fixture."""
+    import duckdb
+
+    from spark_stream_kudu_spark.registry import load_all
+
+    con = duckdb.connect()
+    views = con.sql(
+        f"""SELECT user_id, epoch_ms(ts), event_id
+            FROM '{sf_smoke}/events.parquet' WHERE event_type = 'view'"""
+    ).fetchall()
+    con.close()
+    by_user: dict = {}
+    for uid, ms, eid in views:
+        by_user.setdefault(uid, []).append((ms, eid))
+    rows = load_all()["q132_asof_forward"].builder(spark, sf_smoke).collect()
+    assert rows
+    n_matched = 0
+    for r in rows:
+        cand = [
+            (ms, eid)
+            for ms, eid in by_user.get(r["user_id"], [])
+            if ms >= r["purchase_ms"]
+        ]
+        if not cand:
+            assert r["view_event_id"] is None and r["view_ms"] is None
+            continue
+        ms, eid = min(cand)
+        assert (r["view_ms"], r["view_event_id"]) == (ms, eid)
+        n_matched += 1
+    assert n_matched > 0
