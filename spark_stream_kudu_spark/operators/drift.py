@@ -470,3 +470,78 @@ def q129_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err * F.lit(1.0) / F.col("actual")) / F.count(F.lit(1)), 6
         ).alias("mape"),
     )
+
+
+# --------------------------------------------------------------------------
+# q133: exponentially-decayed leaderboard (dyadic weights, pure integer)
+# --------------------------------------------------------------------------
+
+_DECAY_ASOF = "2024-01-31"  # scoring instant (end of the fixture month)
+_DECAY_HALFLIFE_DAYS = 7
+_DECAY_MAX_K = 4  # floor(30 / 7) — weights span 2^0 .. 2^-4
+_DECAY_TOPK = 20
+
+_DECAY_ORACLE = f"""
+WITH scored AS (
+  SELECT user_id,
+         CAST(sum(
+           CAST(1 AS BIGINT) << CAST({_DECAY_MAX_K} - least(
+             date_diff('day', CAST(ts AS DATE), DATE '{_DECAY_ASOF}')
+               // {_DECAY_HALFLIFE_DAYS},
+             {_DECAY_MAX_K}) AS INT)
+         ) AS BIGINT) AS score_q,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events, score_q,
+       score_q / {2 ** _DECAY_MAX_K}.0 AS decayed_score
+FROM scored
+ORDER BY score_q DESC, user_id ASC
+LIMIT {_DECAY_TOPK}
+"""
+
+
+@register(
+    "q133_decayed_leaderboard",
+    "drift",
+    f"Exponentially time-decayed activity leaderboard: each event weighs "
+    f"2^-k where k = floor(age_days / {_DECAY_HALFLIFE_DAYS}) half-lives at "
+    f"the scoring instant, capped at {_DECAY_MAX_K}. The decay weights are "
+    f"dyadic rationals, so scores accumulate as EXACT integers in units of "
+    f"2^-{_DECAY_MAX_K} (score_q) — merge-order-invariant like every "
+    "integer partial in this engine, with the float score derived only at "
+    "presentation (an exact power-of-two division, bit-identical in both "
+    "engines). One partially-aggregated shuffle over |users| groups + the "
+    f"top-{_DECAY_TOPK} sort with a deterministic (score, user_id) "
+    "tie-break. The recency-weighted trending pattern without any "
+    "transcendental exp() in the aggregate.",
+    oracle=_DECAY_ORACLE,
+)
+def q133_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    age_days = F.datediff(
+        F.lit(_DECAY_ASOF).cast("date"), F.col("ts").cast("date")
+    )
+    k = F.least(
+        F.floor(age_days / F.lit(_DECAY_HALFLIFE_DAYS)), F.lit(_DECAY_MAX_K)
+    )
+    shifted = ev.select(
+        "user_id", (F.lit(_DECAY_MAX_K) - k).cast("int").alias("shift")
+    )
+    weight_q = F.expr("shiftleft(CAST(1 AS BIGINT), shift)")
+    scored = shifted.groupBy("user_id").agg(
+        F.sum(weight_q).alias("score_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        scored.select(
+            "user_id",
+            "n_events",
+            "score_q",
+            (F.col("score_q") / F.lit(float(2 ** _DECAY_MAX_K))).alias(
+                "decayed_score"
+            ),
+        )
+        .orderBy(F.desc("score_q"), F.asc("user_id"))
+        .limit(_DECAY_TOPK)
+    )

@@ -657,3 +657,79 @@ def stats_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("n_sampled"),
         F.sum(F.col("w") * F.col("n_chars")).alias("chars_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# q134: weighted median (exact lower weighted median per group)
+# --------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH items AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), ordered AS (
+  SELECT l_returnflag, price_cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(w) OVER (PARTITION BY l_returnflag) AS total_w
+  FROM items
+)
+SELECT l_returnflag,
+       CAST(max(total_w) AS BIGINT) AS total_weight,
+       CAST(min(price_cents) AS BIGINT) AS median_cents,
+       min(price_cents) / 100.0 AS weighted_median
+FROM ordered
+WHERE cum_w * 2 >= total_w
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q134_weighted_median",
+    "statistics",
+    "Exact weighted median (lower): per return flag, the smallest price "
+    "whose running quantity-weight reaches half the group's total — one "
+    "RANGE-frame cumulative window (ties absorbed identically in both "
+    "engines: the frame includes ALL rows at the same price, so the "
+    "cumulative weight at a price point is well-defined regardless of "
+    "intra-price row order), then a min over the qualifying suffix. All "
+    "arithmetic is exact integers (price cents, integral quantity "
+    "weights); the only float is the final exact /100 presentation "
+    "division. One window shuffle by group; at scale the items would "
+    "pre-aggregate to (group, price, sum w) first — same shape, smaller "
+    "window input.",
+    oracle=_WMEDIAN_ORACLE,
+)
+def q134_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    ordered = items.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(wcum).alias("cum_w"),
+        F.sum("w").over(wall).alias("total_w"),
+    )
+    return (
+        ordered.filter(F.col("cum_w") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("total_w").alias("total_weight"),
+            F.min("price_cents").alias("median_cents"),
+            (F.min("price_cents") / F.lit(100.0)).alias("weighted_median"),
+        )
+    )

@@ -226,6 +226,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q131_late_priority",
     "text_bpe_encode",
     "q132_asof_forward",
+    "q133_decayed_leaderboard",
+    "q134_weighted_median",
 )
 
 

@@ -225,3 +225,67 @@ def test_psi_identity_is_zero(spark):
     for et in ("a", "b"):
         assert out[et]["n_ref"] == out[et]["n_cur"] == 5
         assert out[et]["psi"] == 0.0
+
+
+def test_decayed_leaderboard_matches_python(spark, sf_smoke):
+    """Decayed scores equal a plain-Python recomputation (integer
+    2^(K-k) weights), and the top-k ordering respects the
+    (score DESC, user_id ASC) tie-break."""
+    import datetime
+
+    from spark_stream_kudu_spark.operators.drift import (
+        _DECAY_ASOF,
+        _DECAY_HALFLIFE_DAYS,
+        _DECAY_MAX_K,
+        _DECAY_TOPK,
+    )
+
+    con = duckdb.connect()
+    evs = con.sql(
+        f"SELECT user_id, CAST(ts AS DATE) FROM '{sf_smoke}/events.parquet'"
+    ).fetchall()
+    con.close()
+    asof = datetime.date.fromisoformat(_DECAY_ASOF)
+    scores: dict = defaultdict(lambda: [0, 0])
+    for uid, day in evs:
+        k = min((asof - day).days // _DECAY_HALFLIFE_DAYS, _DECAY_MAX_K)
+        scores[uid][0] += 1 << (_DECAY_MAX_K - k)
+        scores[uid][1] += 1
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_DECAY_TOPK]
+    rows = ALL["q133_decayed_leaderboard"].builder(spark, sf_smoke).collect()
+    assert [(r["user_id"], r["score_q"], r["n_events"]) for r in rows] == [
+        (uid, sq, n) for uid, (sq, n) in expect
+    ]
+    for r in rows:
+        assert r["decayed_score"] == r["score_q"] / (1 << _DECAY_MAX_K)
+
+
+def test_weighted_median_matches_python(spark, sf_smoke):
+    """The lower weighted median equals a plain-Python sort + cumulative
+    weight scan per group."""
+    con = duckdb.connect()
+    items = con.sql(
+        f"""SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                   CAST(l_quantity AS BIGINT)
+            FROM '{sf_smoke}/lineitem.parquet'"""
+    ).fetchall()
+    con.close()
+    groups: dict = defaultdict(list)
+    for rf, cents, w in items:
+        groups[rf].append((cents, w))
+    expect = {}
+    for rf, rows_ in groups.items():
+        rows_.sort()
+        total = sum(w for _, w in rows_)
+        cum = 0
+        for cents, w in rows_:
+            cum += w
+            if cum * 2 >= total:
+                expect[rf] = (total, cents)
+                break
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["median_cents"])
+        for r in ALL["q134_weighted_median"].builder(spark, sf_smoke).collect()
+    }
+    assert got == expect
