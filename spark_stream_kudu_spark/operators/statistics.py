@@ -733,3 +733,144 @@ def q134_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("price_cents") / F.lit(100.0)).alias("weighted_median"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q135/q136: revenue concentration — Pareto deciles and Gini coefficient
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, rev_cents,
+         row_number() OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS rk,
+         count(*) OVER () AS n,
+         sum(rev_cents) OVER () AS total
+  FROM cust
+), cum AS (
+  SELECT ((rk - 1) * 10 // n) + 1 AS decile, rev_cents, total,
+         sum(rev_cents) OVER (ORDER BY rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM ranked
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS decile_rev_cents,
+       CAST(max(cum_rev) AS BIGINT) AS cum_rev_cents,
+       floor(max(cum_rev) * 1.0 / max(total) * 1000000 + 0.5) / 1000000
+         AS cum_share
+FROM cum GROUP BY 1
+"""
+
+
+@register(
+    "q135_pareto_curve",
+    "statistics",
+    "Revenue concentration (Pareto/ABC audit): customers ranked by exact "
+    "cents revenue descending (custkey tie-break), bucketed into rank "
+    "deciles, with each decile's revenue and the cumulative share at its "
+    "boundary — the 80/20 curve as a declared query. All integers until "
+    "the final share division of two exact BIGINTs. Aggregate-then-rank: "
+    "the customer rollup is one partially-aggregated shuffle; the global "
+    "rank window runs over |customers| rows, never raw orders — at 100 TB "
+    "the rank input is the persisted per-customer rollup.",
+    oracle=_PARETO_ORACLE,
+)
+def q135_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    wrank = Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev_cents").over(wall).alias("total"),
+    )
+    wcum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = ranked.select(
+        (((F.col("rk") - 1) * 10) / F.col("n")).cast("long").alias("decile_0"),
+        "rev_cents",
+        "total",
+        F.sum("rev_cents").over(wcum).alias("cum_rev"),
+    ).select(
+        (F.col("decile_0") + 1).alias("decile"), "rev_cents", "total", "cum_rev"
+    )
+    return cum.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("decile_rev_cents"),
+        F.max("cum_rev").alias("cum_rev_cents"),
+        fround(F.max("cum_rev") * F.lit(1.0) / F.max("total"), 6).alias("cum_share"),
+    )
+
+
+_GINI_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rev_cents,
+         row_number() OVER (ORDER BY rev_cents ASC, o_custkey ASC) AS i,
+         count(*) OVER () AS n
+  FROM cust
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+       floor((2.0 * sum(CAST(i AS BIGINT) * rev_cents)
+              / (max(n) * 1.0 * sum(rev_cents))
+              - (max(n) + 1.0) / max(n)) * 1000000 + 0.5) / 1000000 AS gini
+FROM ranked
+"""
+
+
+@register(
+    "q136_gini",
+    "statistics",
+    "Gini coefficient of customer revenue: G = 2*sum(i*x_i)/(n*sum(x)) "
+    "- (n+1)/n over ascending-sorted exact cents (custkey tie-break — "
+    "ties contribute identically under any stable rank assignment since "
+    "equal x share the bracket sum). The rank-weighted sum accumulates "
+    "as exact integers; float math happens once at finalize on identical "
+    "operands. Aggregate-then-rank like the Pareto curve: the global "
+    "sort window sees |customers| rollup rows, never raw orders.",
+    oracle=_GINI_ORACLE,
+)
+def q136_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    wrank = Window.orderBy(F.asc("rev_cents"), F.asc("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = cust.select(
+        "rev_cents",
+        F.row_number().over(wrank).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    nmax = F.max("n")
+    total = F.sum("rev_cents")
+    gini = (
+        F.lit(2.0) * F.sum(F.col("i") * F.col("rev_cents"))
+        / (nmax * F.lit(1.0) * total)
+        - (nmax + F.lit(1.0)) / nmax
+    )
+    return ranked.agg(
+        nmax.alias("n_customers"),
+        total.alias("total_cents"),
+        fround(gini, 6).alias("gini"),
+    )

@@ -228,6 +228,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q132_asof_forward",
     "q133_decayed_leaderboard",
     "q134_weighted_median",
+    "q135_pareto_curve",
+    "q136_gini",
 )
 
 

@@ -289,3 +289,53 @@ def test_weighted_median_matches_python(spark, sf_smoke):
         for r in ALL["q134_weighted_median"].builder(spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_pareto_and_gini_match_python(spark, sf_smoke):
+    """Pareto cumulative shares and the Gini coefficient equal a
+    plain-Python recomputation from per-customer exact cents totals —
+    and the two queries agree with each other (decile revenues sum to
+    the Gini query's total)."""
+    con = duckdb.connect()
+    cust = con.sql(
+        f"""SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT)
+            FROM '{sf_smoke}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    n = len(cust)
+    total = sum(c for _, c in cust)
+
+    desc = sorted(cust, key=lambda kv: (-kv[1], kv[0]))
+    cum = 0
+    decile_rev: dict = defaultdict(int)
+    decile_cum: dict = {}
+    decile_n: dict = defaultdict(int)
+    for rk0, (_, c) in enumerate(desc):
+        d = (rk0 * 10) // n + 1
+        cum += c
+        decile_rev[d] += c
+        decile_cum[d] = cum
+        decile_n[d] += 1
+    rows = ALL["q135_pareto_curve"].builder(spark, sf_smoke).collect()
+    got = {
+        r["decile"]: (r["n_customers"], r["decile_rev_cents"], r["cum_rev_cents"])
+        for r in rows
+    }
+    assert got == {
+        d: (decile_n[d], decile_rev[d], decile_cum[d]) for d in decile_rev
+    }
+    for r in rows:
+        assert r["cum_share"] == math.floor(
+            got[r["decile"]][2] / total * 1e6 + 0.5
+        ) / 1e6
+    # top decile must dominate (concentration is real, not vacuous)
+    assert got[1][1] > total / 10
+
+    asc = sorted(cust, key=lambda kv: (kv[1], kv[0]))
+    sxi = sum((i + 1) * c for i, (_, c) in enumerate(asc))
+    gini = 2.0 * sxi / (n * 1.0 * total) - (n + 1.0) / n
+    [g] = ALL["q136_gini"].builder(spark, sf_smoke).collect()
+    assert g["n_customers"] == n and g["total_cents"] == total
+    assert g["gini"] == math.floor(gini * 1e6 + 0.5) / 1e6
+    assert 0.0 <= g["gini"] < 1.0
