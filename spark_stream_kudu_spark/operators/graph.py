@@ -250,3 +250,130 @@ def q114_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_tri)
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# q137: synchronous weighted label propagation (community detection)
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    """Unrolled-CTE oracle for ``_LP_ROUNDS`` synchronous LPA rounds over
+    the same customer<->supplier graph as q86. Per round every node
+    adopts the label with the max edge-weight sum among its neighbors'
+    CURRENT labels (ties -> min label) — the argmax is a window rank
+    with a total (weight DESC, label ASC) order, deterministic in both
+    engines."""
+    cte = [
+        f"""edges0 AS (
+  SELECT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+)""",
+        """edges AS (
+  SELECT src, dst, w FROM edges0
+  UNION ALL
+  SELECT dst, src, w FROM edges0
+)""",
+        f"""l0 AS (
+  SELECT c_custkey AS node, CAST(c_nationkey AS BIGINT) AS label
+  FROM customer WHERE c_custkey IN (SELECT src FROM edges0)
+  UNION ALL
+  SELECT DISTINCT s.s_suppkey + {_SUPP_OFFSET} AS node,
+         CAST(s.s_nationkey AS BIGINT) AS label
+  FROM supplier s WHERE s.s_suppkey + {_SUPP_OFFSET} IN (SELECT dst FROM edges0)
+)""",
+    ]
+    for i in range(_LP_ROUNDS):
+        cte.append(
+            f"""l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, r.label,
+           row_number() OVER (PARTITION BY e.dst
+             ORDER BY sum(e.w) DESC, r.label ASC) AS rk
+    FROM edges e JOIN l{i} r ON r.node = e.src
+    GROUP BY e.dst, r.label
+  ) WHERE rk = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM l{_LP_ROUNDS} GROUP BY label"""
+    )
+
+
+@register(
+    "q137_label_propagation",
+    "graph",
+    f"Synchronous weighted label propagation ({_LP_ROUNDS} rounds) over "
+    "the q86 customer<->supplier graph, seeded with nation labels: every "
+    "round each node adopts the label with the maximum edge-weight sum "
+    "among its neighbors' current labels (ties -> min label — the argmax "
+    "is a window rank under a TOTAL order, so the sync update is "
+    "deterministic in both engines; async LPA is not even run-to-run "
+    "stable). Community detection as the third iterative graph family "
+    "beside min-label components and PageRank. Per round: one edges x "
+    "labels broadcast join + one (node, label) weight-sum shuffle + one "
+    "per-node window rank over at most |labels-per-node| rows; lineage "
+    "cut per round via the shared helper. Output is the community size "
+    "table (per-label node counts + id range).",
+    oracle=_lp_oracle(),
+)
+def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    c_nodes = edges.select(F.col("dst").alias("node")).distinct()
+    seeds_c = cust.select(
+        F.col("c_custkey").alias("node"), F.col("c_nationkey").cast("long").alias("label")
+    )
+    seeds_s = supp.select(
+        (F.col("s_suppkey") + _SUPP_OFFSET).alias("node"),
+        F.col("s_nationkey").cast("long").alias("label"),
+    )
+    labels = c_nodes.join(seeds_c.unionByName(seeds_s), "node")
+    reliable = configure_reliable_checkpoints(spark)
+    wrk = Window.partitionBy("node").orderBy(F.desc("ws"), F.asc("label"))
+    for i in range(_LP_ROUNDS):
+        votes = (
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "src_n")),
+                edges["src"] == F.col("src_n"),
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("ws"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(wrk))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+        labels = cut_lineage(labels, i, reliable)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -230,6 +230,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q134_weighted_median",
     "q135_pareto_curve",
     "q136_gini",
+    "q137_label_propagation",
 )
 
 

@@ -614,3 +614,61 @@ def test_forward_asof_is_next_view_at_or_after(spark, sf_smoke):
         assert (r["view_ms"], r["view_event_id"]) == (ms, eid)
         n_matched += 1
     assert n_matched > 0
+
+
+def test_label_propagation_matches_python(spark, sf_smoke):
+    """3 synchronous LPA rounds in plain Python (same graph, same
+    max-weight/min-label rule) produce the same community table."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from spark_stream_kudu_spark.operators.graph import _LP_ROUNDS, _SUPP_OFFSET
+    from spark_stream_kudu_spark.registry import load_all
+
+    con = duckdb.connect()
+    e0 = con.sql(
+        f"""SELECT o.o_custkey, l.l_suppkey + {_SUPP_OFFSET}, count(*)
+            FROM '{sf_smoke}/lineitem.parquet' l
+            JOIN '{sf_smoke}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    cn = dict(
+        con.sql(
+            f"SELECT c_custkey, c_nationkey FROM '{sf_smoke}/customer.parquet'"
+        ).fetchall()
+    )
+    sn = dict(
+        con.sql(
+            f"SELECT s_suppkey, s_nationkey FROM '{sf_smoke}/supplier.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    edges: dict = defaultdict(list)  # dst -> [(src, w)]
+    nodes = set()
+    for c, s, w in e0:
+        edges[s].append((c, w))
+        edges[c].append((s, w))
+        nodes.update((c, s))
+    labels = {
+        n: (cn[n] if n < _SUPP_OFFSET else sn[n - _SUPP_OFFSET]) for n in nodes
+    }
+    for _ in range(_LP_ROUNDS):
+        nxt = {}
+        for n in nodes:
+            ws: dict = defaultdict(int)
+            for src, w in edges[n]:
+                ws[labels[src]] += w
+            nxt[n] = min(ws.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    expect: dict = defaultdict(lambda: [0, None, None])
+    for n, lb in labels.items():
+        e = expect[lb]
+        e[0] += 1
+        e[1] = n if e[1] is None else min(e[1], n)
+        e[2] = n if e[2] is None else max(e[2], n)
+    rows = load_all()["q137_label_propagation"].builder(spark, sf_smoke).collect()
+    got = {
+        r["community"]: [r["n_nodes"], r["min_node"], r["max_node"]] for r in rows
+    }
+    assert got == dict(expect)
