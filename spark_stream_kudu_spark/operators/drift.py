@@ -272,14 +272,7 @@ FROM cum GROUP BY 1
     oracle=_KS_ORACLE,
 )
 def q127_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
-    tagged = ev.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-        F.when(F.col("ts") < split, 1).otherwise(0).alias("is_a"),
-        F.when(F.col("ts") < split, 0).otherwise(1).alias("is_b"),
-    )
+    tagged = ks_tag_columns(_events(spark, sf_dir))
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("cents")
@@ -292,6 +285,47 @@ def q127_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_b").over(wcum).alias("cum_b"),
         F.sum("is_a").over(wall).alias("na"),
         F.sum("is_b").over(wall).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.lit(1.0) / F.col("na")
+        - F.col("cum_b") * F.lit(1.0) / F.col("nb")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("na").alias("n_ref"),
+        F.max("nb").alias("n_cur"),
+        fround(F.max(gap), 6).alias("ks_stat"),
+    )
+
+
+def ks_tag_columns(df: DataFrame) -> DataFrame:
+    """Project a raw events frame to (event_type, cents, is_a, is_b) with
+    the canonical split/quantization rules — shared by the batch query
+    and the streaming twin's per-batch partials."""
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return df.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("is_a"),
+        F.when(F.col("ts") < split, 0).otherwise(1).alias("is_b"),
+    )
+
+
+def ks_from_value_counts(counts: DataFrame) -> DataFrame:
+    """Finalize KS from a (event_type, cents, a, b) value histogram —
+    the pre-aggregated scale form (ECDFs only change at distinct
+    values, so this is value-identical to the per-row finalize)."""
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("a").over(wcum).alias("cum_a"),
+        F.sum("b").over(wcum).alias("cum_b"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum("b").over(wall).alias("nb"),
     )
     gap = F.abs(
         F.col("cum_a") * F.lit(1.0) / F.col("na")

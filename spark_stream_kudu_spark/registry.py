@@ -231,6 +231,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q135_pareto_curve",
     "q136_gini",
     "q137_label_propagation",
+    "stream_ks_drift_e2e",
 )
 
 

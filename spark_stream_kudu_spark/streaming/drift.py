@@ -1,4 +1,5 @@
-"""Streaming drift monitoring — the streaming lift of ``q125_psi_drift``.
+"""Streaming drift monitoring — the streaming lifts of ``q125_psi_drift``
+and ``q127_ks_drift``.
 
 The batch PSI reduces the event stream to a (event_type, period, bin)
 count grid before any float math; those counts are additive, so the
@@ -25,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.operators.drift import (
+    _KS_ORACLE,
     _PSI_ORACLE,
+    ks_from_value_counts,
+    ks_tag_columns,
     psi_from_counts,
     psi_tag_columns,
 )
@@ -103,3 +107,79 @@ def stream_psi_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     counts = sink.read(spark).select("event_type", "period", "bin", "c")
     return psi_from_counts(counts)
+
+
+# --------------------------------------------------------------------------
+# Streaming KS — the q127 pre-aggregation path, maintained incrementally
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_ks_drift_e2e",
+    "streaming",
+    "END-TO-END streaming Kolmogorov-Smirnov monitor: each micro-batch "
+    "reduces to (event_type, cents, a, b) tag-count partials that the "
+    "AdditiveRollupSink SUM-merges into the keyed store — exactly the "
+    "'pre-aggregate to (type, cents, tag counts) first' scale path the "
+    "batch q127 docstring prescribes — and the RANGE-frame ECDF finalize "
+    "runs at read time over the stored value histogram instead of raw "
+    "events (ECDFs only change at distinct values, so the histogram form "
+    "is value-identical to the batch row form). Store size is bounded by "
+    "the value domain (|types| x |distinct cents|), independent of stream "
+    "age; counts are additive so the result is batch-slicing-independent "
+    "and equals the one-shot batch KS, which the shared oracle checks "
+    "value-for-value.",
+    oracle=_KS_ORACLE,
+)
+def stream_ks_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = new_run_dir("ks")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for k in range(4):
+        stage = os.path.join(base, f"stage_{k}")
+        (
+            ev.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "counts"),
+        key=["event_type", "cents"],
+        sum_cols=["a", "b"],
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            ks_tag_columns(batch_df)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("is_a").alias("a"), F.sum("is_b").alias("b"))
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = sink.read(spark).select("event_type", "cents", "a", "b")
+    return ks_from_value_counts(counts)

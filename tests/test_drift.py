@@ -339,3 +339,16 @@ def test_pareto_and_gini_match_python(spark, sf_smoke):
     assert g["n_customers"] == n and g["total_cents"] == total
     assert g["gini"] == math.floor(gini * 1e6 + 0.5) / 1e6
     assert 0.0 <= g["gini"] < 1.0
+
+
+def test_stream_ks_equals_batch(spark, sf_smoke):
+    """The streaming KS monitor (hash-sliced replay through the additive
+    value-histogram store) produces exactly the batch q127 rows."""
+    batch = {
+        tuple(r) for r in ALL["q127_ks_drift"].builder(spark, sf_smoke).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in ALL["stream_ks_drift_e2e"].builder(spark, sf_smoke).collect()
+    }
+    assert streamed == batch
