@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -37,3 +39,93 @@ def q36_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcts.getItem(0).alias("price_p50"),
         pcts.getItem(1).alias("price_p95"),
     )
+
+
+# --------------------------------------------------------------------------
+# q138: Misra-Gries heavy hitters — bounded-state candidates + exact verify
+# --------------------------------------------------------------------------
+
+_MG_K = 30  # counter budget; guarantees capture of items with freq > n/k
+
+_MG_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({sql_tokens('text')}) AS item FROM documents
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT k.item,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(max(t.n) AS BIGINT) AS n_total,
+       floor(count(*) * 1.0 / max(t.n) * 1000000 + 0.5) / 1000000 AS share
+FROM tok k CROSS JOIN tot t
+GROUP BY k.item
+HAVING count(*) * {_MG_K} > max(t.n)
+"""
+
+
+@register(
+    "q138_heavy_hitters_mg",
+    "aggregation",
+    f"Heavy hitters via Misra-Gries candidates + exact verify over the "
+    f"corpus token stream: an Arrow mapInPandas kernel maintains ONE "
+    f"{_MG_K}-counter MG summary per partition (bounded state regardless "
+    "of partition size or key-domain cardinality — the custom-aggregation "
+    "tier below built-in functions), and the pigeonhole guarantee makes "
+    "the survivor union a COMPLETE candidate set for any token with "
+    "global frequency > n/k under ANY partitioning. The tiny candidate "
+    "set broadcasts into an exact filtered count, so the final output is "
+    "EXACT and oracle-checkable — MG's approximation error never reaches "
+    "the result, only the candidate pruning. Two scans (candidates, "
+    "verify) with one |candidates|-group shuffle; at 100 TB state stays "
+    "O(k) per task even when the token domain is billions.",
+    oracle=_MG_ORACLE,
+)
+def q138_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+
+    candidates = toks.mapInPandas(
+        mg_summarize, T.StructType([T.StructField("item", T.StringType())])
+    ).distinct()
+
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    cand = candidates.withColumnRenamed("item", "cand")
+    verified = (
+        toks.join(F.broadcast(cand), toks["item"] == cand["cand"], "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        verified.join(F.broadcast(total))
+        .filter(F.col("cnt") * _MG_K > F.col("n"))
+        .select(
+            "item",
+            "cnt",
+            F.col("n").alias("n_total"),
+            fround(F.col("cnt") * F.lit(1.0) / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+def mg_summarize(batches):
+    """One Misra-Gries summary per partition over an ``item`` column:
+    k counters; an unseen item either claims a free counter or triggers
+    the decrement-all step. Survivors are a superset of every item with
+    partition frequency > n_partition/k (classic MG bound)."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for item in pdf["item"]:
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < _MG_K:
+                counters[item] = 1
+            else:
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+    if counters:
+        yield pd.DataFrame({"item": sorted(counters)})

@@ -232,6 +232,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q136_gini",
     "q137_label_propagation",
     "stream_ks_drift_e2e",
+    "q138_heavy_hitters_mg",
 )
 
 

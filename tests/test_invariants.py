@@ -672,3 +672,64 @@ def test_label_propagation_matches_python(spark, sf_smoke):
         r["community"]: [r["n_nodes"], r["min_node"], r["max_node"]] for r in rows
     }
     assert got == dict(expect)
+
+
+def test_misra_gries_kernel_bound_and_completeness():
+    """The MG kernel (pure function, no Spark needed): state never
+    exceeds k counters, and every item with frequency > n/k survives —
+    exercised on adversarial data that forces heavy eviction, plus a
+    seeded random stream."""
+    import random
+
+    import pandas as pd
+
+    from spark_stream_kudu_spark.operators.sketches import _MG_K, mg_summarize
+
+    # Adversarial: one hot item buried in a flood of singletons.
+    stream = ["hot"] * 500 + [f"u{i}" for i in range(5000)]
+    random.Random(7).shuffle(stream)
+    out = list(mg_summarize(iter([pd.DataFrame({"item": stream[:3000]}),
+                                  pd.DataFrame({"item": stream[3000:]})])))
+    survivors = set(out[0]["item"]) if out else set()
+    assert len(survivors) <= _MG_K
+    assert "hot" in survivors  # freq 500/5500 >> 1/30
+
+    # Seeded random Zipf-ish stream: verify the guarantee holds exactly.
+    rng = random.Random(42)
+    items = [f"t{min(int(rng.paretovariate(1.0)), 60)}" for _ in range(20000)]
+    from collections import Counter
+
+    freq = Counter(items)
+    n = len(items)
+    must_survive = {i for i, c in freq.items() if c * _MG_K > n}
+    out = list(mg_summarize(iter([pd.DataFrame({"item": items})])))
+    survivors = set(out[0]["item"]) if out else set()
+    assert len(survivors) <= _MG_K
+    assert must_survive <= survivors
+
+
+def test_mg_query_matches_exact_python(spark, sf_smoke):
+    """q138's final output equals the exact heavy-hitter set computed in
+    plain Python (MG is candidates-only; the result is exact)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from spark_stream_kudu_spark.operators.sketches import _MG_K
+    from spark_stream_kudu_spark.registry import load_all
+
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT lower(trim(text)) FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    freq: Counter = Counter()
+    for (txt,) in texts:
+        freq.update(re.split(r"\s+", txt))
+    n = sum(freq.values())
+    expect = {i: c for i, c in freq.items() if c * _MG_K > n}
+    rows = load_all()["q138_heavy_hitters_mg"].builder(spark, sf_smoke).collect()
+    assert {r["item"]: r["cnt"] for r in rows} == expect
+    for r in rows:
+        assert r["n_total"] == n
