@@ -218,6 +218,13 @@ def q126_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("ts") < split, 1)).alias("ca"),
         F.count(F.when(F.col("ts") >= split, 1)).alias("cb"),
     )
+    return chisq_from_counts(counts)
+
+
+def chisq_from_counts(counts: DataFrame) -> DataFrame:
+    """Finalize the chi-square contributions from a (event_type, ca, cb)
+    category-count table — the re-aggregatable partial both the batch
+    query and the streaming twin's additive store produce."""
     wall = Window.partitionBy()
     na = F.sum("ca").over(wall)
     nb = F.sum("cb").over(wall)
@@ -578,4 +585,103 @@ def q133_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_q"), F.asc("user_id"))
         .limit(_DECAY_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q139: autocorrelation function of daily totals (lags 1..7)
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag
+), pairs AS (
+  SELECT cur.event_type, l.lag,
+         CAST(prev.cents AS DECIMAL(38,0)) AS x,
+         CAST(cur.cents AS DECIMAL(38,0)) AS y
+  FROM daily cur
+  JOIN lags l ON true
+  JOIN daily prev
+    ON prev.event_type = cur.event_type AND cur.d = prev.d + l.lag
+), moments AS (
+  SELECT event_type, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+       {sql_fround(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+           "   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS acf
+FROM moments
+"""
+
+
+@register(
+    "q139_autocorrelation",
+    "drift",
+    f"Autocorrelation function of per-type daily totals at lags "
+    f"1..{_ACF_MAX_LAG} — the seasonality diagnostic that justifies "
+    "q129's seasonal-naive lag choice (a weekly cycle shows as an ACF "
+    "peak at lag 7). Daily totals are cents-exact BIGINTs; each lag's "
+    "Pearson correlation finalizes from DECIMAL(38,0) moments over the "
+    "lag-joined pairs (the q75 discipline: exact integer sufficient "
+    "statistics, float once at the end). The event stream reduces to "
+    "|types| x |days| rows before the lag expansion, so the "
+    f"{_ACF_MAX_LAG}-way join touches only the tiny daily table.",
+    oracle=_ACF_ORACLE,
+)
+def q139_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    dec = "decimal(38,0)"
+    cur = daily.select(
+        "event_type", "d", F.col("cents").cast(dec).alias("y")
+    ).withColumn("lag", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))))
+    prev = daily.select(
+        F.col("event_type").alias("et_p"),
+        F.col("d").alias("d_p"),
+        F.col("cents").cast(dec).alias("x"),
+    )
+    pairs = cur.join(
+        prev,
+        (cur.event_type == prev.et_p) & (cur.d == prev.d_p + cur.lag),
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - sxd * syd
+    varx_n = nd * F.col("sxx").cast("double") - sxd * sxd
+    vary_n = nd * F.col("syy").cast("double") - syd * syd
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        fround(cov_n / F.sqrt(varx_n * vary_n), 6).alias("acf"),
     )

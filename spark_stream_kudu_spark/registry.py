@@ -233,6 +233,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q137_label_propagation",
     "stream_ks_drift_e2e",
     "q138_heavy_hitters_mg",
+    "stream_chisq_drift_e2e",
+    "q139_autocorrelation",
 )
 
 

@@ -26,8 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.operators.drift import (
+    _CHISQ_ORACLE,
+    _DRIFT_SPLIT,
     _KS_ORACLE,
     _PSI_ORACLE,
+    chisq_from_counts,
     ks_from_value_counts,
     ks_tag_columns,
     psi_from_counts,
@@ -183,3 +186,68 @@ def stream_ks_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     counts = sink.read(spark).select("event_type", "cents", "a", "b")
     return ks_from_value_counts(counts)
+
+
+# --------------------------------------------------------------------------
+# Streaming chi-square — category counts maintained incrementally
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_chisq_drift_e2e",
+    "streaming",
+    "END-TO-END streaming chi-square monitor, completing the drift trio "
+    "(PSI, KS, chi-square) in streaming form: each micro-batch reduces to "
+    "(event_type, ca, cb) period-count partials SUM-merged into the keyed "
+    "store; the goodness-of-fit finalize runs at read time over |types| "
+    "stored rows via the batch query's own code. The cheapest of the "
+    "three monitors — state is two longs per category.",
+    oracle=_CHISQ_ORACLE,
+)
+def stream_chisq_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    base = new_run_dir("chs")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for k in range(4):
+        stage = os.path.join(base, f"stage_{k}")
+        (
+            ev.filter(F.col("event_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "counts"), key=["event_type"], sum_cols=["ca", "cb"]
+    )
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.when(F.col("ts") < split, 1)).alias("ca"),
+            F.count(F.when(F.col("ts") >= split, 1)).alias("cb"),
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return chisq_from_counts(sink.read(spark).select("event_type", "ca", "cb"))

@@ -352,3 +352,47 @@ def test_stream_ks_equals_batch(spark, sf_smoke):
         for r in ALL["stream_ks_drift_e2e"].builder(spark, sf_smoke).collect()
     }
     assert streamed == batch
+
+
+def test_stream_chisq_equals_batch(spark, sf_smoke):
+    """The streaming chi-square monitor produces exactly the batch q126
+    rows — drift trio slicing-independence, third instance."""
+    batch = {
+        tuple(r) for r in ALL["q126_chisq_drift"].builder(spark, sf_smoke).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in ALL["stream_chisq_drift_e2e"].builder(spark, sf_smoke).collect()
+    }
+    assert streamed == batch
+
+
+def test_acf_matches_python_and_bounds(spark, sf_smoke, raw_events):
+    """ACF at each lag equals a plain-Python Pearson correlation over
+    the lag-joined daily totals, and every value lies in [-1, 1]."""
+    import datetime
+
+    daily: dict = defaultdict(int)
+    for et, _t_ms, cents, day in raw_events:
+        d = (day - datetime.date(2024, 1, 1)).days
+        daily[(et, d)] += cents
+    rows = ALL["q139_autocorrelation"].builder(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        pairs = [
+            (daily[(r["event_type"], d - r["lag"])], cents)
+            for (et, d), cents in daily.items()
+            if et == r["event_type"] and (et, d - r["lag"]) in daily
+        ]
+        n = len(pairs)
+        assert r["n_pairs"] == n
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        acf = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert r["acf"] == math.floor(acf * 1e6 + 0.5) / 1e6
