@@ -264,3 +264,124 @@ def q124_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_e4"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q140: Holt double-exponential smoothing (level + trend forecast)
+# --------------------------------------------------------------------------
+
+# Dyadic smoothing constants: every recursion step is the same short
+# sequence of IEEE-double operations in both engines, so the fold is
+# bit-identical end to end (and with power-of-two constants the early
+# iterates are exactly representable).
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+), rec AS (
+  SELECT event_type, 1 AS i,
+         CAST(cents AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i,
+         {_HOLT_ALPHA} * s.cents + {1 - _HOLT_ALPHA} * (r.level + r.trend),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * s.cents
+             + {1 - _HOLT_ALPHA} * (r.level + r.trend)) - r.level)
+           + {1 - _HOLT_BETA} * r.trend
+  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+), last AS (
+  SELECT event_type, CAST(max(i) AS BIGINT) AS n_obs FROM seq GROUP BY 1
+)
+SELECT r.event_type, l.n_obs,
+       {sql_fround("r.level / 100.0", 4)} AS level_dollars,
+       {sql_fround("r.trend / 100.0", 4)} AS trend_dollars,
+       {sql_fround("(r.level + r.trend) / 100.0", 4)} AS forecast_dollars
+FROM rec r JOIN last l ON r.event_type = l.event_type AND r.i = l.n_obs
+"""
+
+
+@register(
+    "q140_holt_forecast",
+    "timeseries",
+    f"Holt double-exponential smoothing (alpha={_HOLT_ALPHA}, "
+    f"beta={_HOLT_BETA}) over per-type daily totals: coupled level+trend "
+    "recursion that neither SQL windows nor a single higher-order fold "
+    "can express — the grouped-map applyInPandas tier (one Arrow kernel "
+    "per series key, sorted fold, two floats of state). The oracle runs "
+    "the SAME recursion as a recursive CTE; dyadic smoothing constants "
+    "make every step the same short IEEE sequence in both engines, so "
+    "the fold is bit-identical without integer scaling. Output: final "
+    "level/trend and the one-step-ahead forecast per type. The stream "
+    "reduces to |types| x |days| rows before the kernel; per-series "
+    "state is O(1) — the operator lifts to applyInPandasWithState with "
+    "the same two floats.",
+    oracle=_HOLT_ORACLE,
+)
+def q140_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("level_dollars", T.DoubleType()),
+            T.StructField("trend_dollars", T.DoubleType()),
+            T.StructField("forecast_dollars", T.DoubleType()),
+        ]
+    )
+
+    def holt(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("d")
+        xs = [float(c) for c in pdf["cents"]]
+        level, trend = holt_fold(xs)
+
+        def fr4(v):
+            return math.floor(v / 100.0 * 1e4 + 0.5) / 1e4
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_obs": [len(xs)],
+                "level_dollars": [fr4(level)],
+                "trend_dollars": [fr4(trend)],
+                "forecast_dollars": [fr4(level + trend)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(holt, out_schema)
+
+
+def holt_fold(xs: list[float]) -> tuple[float, float]:
+    """The Holt recursion as a pure fold — seeded (x0, 0), then the
+    textbook coupled update. Exactly the operation sequence the oracle's
+    recursive CTE runs, so both engines produce bit-identical doubles."""
+    level, trend = xs[0], 0.0
+    for x in xs[1:]:
+        new_level = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (level + trend)
+        trend = _HOLT_BETA * (new_level - level) + (1 - _HOLT_BETA) * trend
+        level = new_level
+    return level, trend

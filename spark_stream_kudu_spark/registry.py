@@ -235,6 +235,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q138_heavy_hitters_mg",
     "stream_chisq_drift_e2e",
     "q139_autocorrelation",
+    "q140_holt_forecast",
 )
 
 

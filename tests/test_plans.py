@@ -61,6 +61,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "multimodal_byte_stats",
         "stream_traffic_pipeline",
         "q138_heavy_hitters_mg",
+        "q140_holt_forecast",
     }
     for name, spec in ALL.items():
         if name in allowed_python:
@@ -80,6 +81,7 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
         "multimodal_resize_stub",
         "multimodal_byte_stats",
         "q138_heavy_hitters_mg",
+        "q140_holt_forecast",
     ]:
         df = ALL[name].builder(spark, sf_smoke)
         nodes = checks.python_eval_nodes(df)

@@ -241,3 +241,52 @@ def test_stream_scd2_has_cross_week_intervals(spark, sf_smoke):
     # Intervals are half-open and strictly ordered per user.
     assert out.filter(F.col("valid_to_ms") <= F.col("valid_from_ms")).count() == 0
     out.unpersist()
+
+
+def test_holt_fold_properties():
+    """Holt recursion invariants, independent of any engine: a constant
+    series keeps level == x and trend == 0; a perfectly linear series
+    converges so the one-step forecast approaches the next true value;
+    and the fold is insensitive to list container type."""
+    from spark_stream_kudu_spark.operators.series import holt_fold
+
+    level, trend = holt_fold([42.0] * 30)
+    assert level == 42.0 and trend == 0.0
+
+    xs = [100.0 + 7.0 * t for t in range(60)]
+    level, trend = holt_fold(xs)
+    forecast = level + trend
+    true_next = 100.0 + 7.0 * 60
+    assert abs(forecast - true_next) < 1.0  # converged to the trend
+    assert abs(trend - 7.0) < 0.1
+
+
+def test_holt_query_matches_pure_fold(spark, sf_smoke):
+    """q140's output equals the pure fold applied to the per-type daily
+    totals recomputed independently via DuckDB."""
+    import math
+
+    import duckdb
+
+    from spark_stream_kudu_spark.operators.series import holt_fold
+    from spark_stream_kudu_spark.registry import load_all
+
+    con = duckdb.connect()
+    rows_ = con.sql(
+        f"""SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM '{sf_smoke}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    con.close()
+    series: dict = {}
+    for et, _d, cents in rows_:
+        series.setdefault(et, []).append(float(cents))
+    got = {
+        r["event_type"]: (r["n_obs"], r["level_dollars"], r["trend_dollars"])
+        for r in load_all()["q140_holt_forecast"].builder(spark, sf_smoke).collect()
+    }
+    for et, xs in series.items():
+        level, trend = holt_fold(xs)
+        fr4 = lambda v: math.floor(v / 100.0 * 1e4 + 0.5) / 1e4
+        assert got[et] == (len(xs), fr4(level), fr4(trend))
