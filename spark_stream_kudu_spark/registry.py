@@ -236,6 +236,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_chisq_drift_e2e",
     "q139_autocorrelation",
     "q140_holt_forecast",
+    "stream_holt_e2e",
 )
 
 

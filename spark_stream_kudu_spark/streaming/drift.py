@@ -36,6 +36,7 @@ from spark_stream_kudu_spark.operators.drift import (
     psi_from_counts,
     psi_tag_columns,
 )
+from spark_stream_kudu_spark.operators.series import _HOLT_ORACLE
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -251,3 +252,142 @@ def stream_chisq_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return chisq_from_counts(sink.read(spark).select("event_type", "ca", "cb"))
+
+
+# --------------------------------------------------------------------------
+# Streaming Holt — the q140 recursion as keyed (level, trend) state
+# --------------------------------------------------------------------------
+
+def holt_stateful(events: DataFrame) -> DataFrame:
+    """Fold a *streaming* events frame (``ts``, ``event_type``,
+    ``cents``) through the Holt recursion per event_type: state is
+    (level, trend, n_obs, seeded) — two floats and a counter regardless
+    of stream age. Requires time-ordered micro-batches split on day
+    boundaries (each day's rows arrive in one batch) so the per-batch
+    daily rollup folds in day order, exactly like the batch query."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spark_stream_kudu_spark.operators.series import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("n_obs", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks:
+            return
+        batch = pd.concat(chunks)
+        daily = (
+            batch.groupby("d", sort=True)["cents"].sum().reset_index()
+        )
+        if state.exists:
+            level, trend, n_obs = state.get
+        else:
+            level, trend, n_obs = None, 0.0, 0
+        for cents in daily["cents"]:
+            x = float(cents)
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                new_level = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (level + trend)
+                trend = _HOLT_BETA * (new_level - level) + (1 - _HOLT_BETA) * trend
+                level = new_level
+            n_obs += 1
+        state.update((level, trend, n_obs))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_obs": [n_obs],
+                "level": [level],
+                "trend": [trend],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_holt_e2e",
+    "streaming",
+    "END-TO-END streaming Holt forecaster — the batch q140 docstring's "
+    "'lifts to applyInPandasWithState with the same two floats' claim "
+    "delivered: events replayed as day-aligned weekly micro-batches, each "
+    "batch's daily totals folded into keyed (level, trend, n_obs) state "
+    "spanning batch boundaries; the final per-type row (max n_obs at "
+    "read-back) equals the one-shot batch recursion bit-for-bit, checked "
+    "by the same recursive-CTE oracle. Dropped state would restart the "
+    "recursion mid-stream and fail the value check — cross-batch "
+    "continuity is what the oracle pins.",
+    oracle=_HOLT_ORACLE,
+)
+def stream_holt_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_stream_kudu_spark.streaming.workdir import stage_time_split_batches
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    base = new_run_dir("holt")
+    src = stage_time_split_batches(
+        ev, base, ["2024-01-08", "2024-01-15", "2024-01-22"]
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    folded = holt_stateful(stream)
+    out = os.path.join(base, "out")
+    q = (
+        folded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_obs"))
+    final = rows.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    scale = F.lit(10000.0)
+    fr4 = lambda c: F.floor(c / F.lit(100.0) * scale + F.lit(0.5)) / scale
+    return final.select(
+        "event_type",
+        "n_obs",
+        fr4(F.col("level")).alias("level_dollars"),
+        fr4(F.col("trend")).alias("trend_dollars"),
+        fr4(F.col("level") + F.col("trend")).alias("forecast_dollars"),
+    )

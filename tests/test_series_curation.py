@@ -290,3 +290,19 @@ def test_holt_query_matches_pure_fold(spark, sf_smoke):
         level, trend = holt_fold(xs)
         fr4 = lambda v: math.floor(v / 100.0 * 1e4 + 0.5) / 1e4
         assert got[et] == (len(xs), fr4(level), fr4(trend))
+
+
+def test_stream_holt_equals_batch(spark, sf_smoke):
+    """The streaming Holt forecaster (day-aligned weekly replay through
+    keyed (level, trend) state) produces exactly the batch q140 rows —
+    cross-batch state continuity pinned bit-for-bit."""
+    from spark_stream_kudu_spark.registry import load_all
+
+    ALL = load_all()
+    batch = {
+        tuple(r) for r in ALL["q140_holt_forecast"].builder(spark, sf_smoke).collect()
+    }
+    streamed = {
+        tuple(r) for r in ALL["stream_holt_e2e"].builder(spark, sf_smoke).collect()
+    }
+    assert streamed == batch
