@@ -685,3 +685,181 @@ def q139_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         fround(cov_n / F.sqrt(varx_n * vary_n), 6).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# q141: cross-correlation (lead-lag) between event-type daily series
+# --------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})) AS lag
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         CAST(a.cents AS DECIMAL(38,0)) AS x,
+         CAST(b.cents AS DECIMAL(38,0)) AS y
+  FROM daily a
+  JOIN lags l ON true
+  JOIN daily b
+    ON b.event_type > a.event_type AND b.d = a.d + l.lag
+), moments AS (
+  SELECT type_a, type_b, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, lag, CAST(n AS BIGINT) AS n_pairs,
+       {sql_fround(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           "   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+           "   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS xcorr
+FROM moments
+"""
+
+
+@register(
+    "q141_cross_correlation",
+    "drift",
+    f"Lead-lag cross-correlation between every unordered pair of "
+    f"event-type daily series at lags -{_XCORR_MAX_LAG}..{_XCORR_MAX_LAG}: "
+    "corr(a_t, b_(t+lag)) tells which series LEADS which (the peak lag's "
+    "sign) — the causal-screening diagnostic beside q139's "
+    "within-series ACF. Same discipline: cents-exact daily totals, "
+    "DECIMAL(38,0) moments per (pair, lag), one float finalize. The "
+    "lag-pair join touches only the |types| x |days| rollup.",
+    oracle=_XCORR_ORACLE,
+)
+def q141_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    dec = "decimal(38,0)"
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "d",
+        F.col("cents").cast(dec).alias("x"),
+    ).withColumn(
+        "lag", F.explode(F.sequence(F.lit(-_XCORR_MAX_LAG), F.lit(_XCORR_MAX_LAG)))
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("d_b"),
+        F.col("cents").cast(dec).alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (b.type_b > a.type_a) & (b.d_b == a.d + a.lag),
+    )
+    m = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - sxd * syd
+    varx_n = nd * F.col("sxx").cast("double") - sxd * sxd
+    vary_n = nd * F.col("syy").cast("double") - syd * syd
+    return m.select(
+        "type_a",
+        "type_b",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        fround(cov_n / F.sqrt(varx_n * vary_n), 6).alias("xcorr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q142: mutual information between event type and user-activity decile
+# --------------------------------------------------------------------------
+
+_MI_DECILES = 10
+
+_MI_ORACLE = f"""
+WITH user_counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY 1
+), deciled AS (
+  SELECT user_id,
+         ntile({_MI_DECILES}) OVER (ORDER BY n_ev DESC, user_id ASC) AS decile
+  FROM user_counts
+), cells AS (
+  SELECT d.decile, e.event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events e JOIN deciled d ON d.user_id = e.user_id
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+marg_d AS (SELECT decile, CAST(sum(c) AS BIGINT) AS cd FROM cells GROUP BY 1),
+marg_t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1)
+SELECT CAST(max(t.n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       {sql_fround(
+           "sum((cl.c * 1.0 / t.n) * ln((cl.c * 1.0 * t.n)"
+           " / (md.cd * 1.0 * mt.ct)))", 6)} AS mi_nats
+FROM cells cl
+JOIN marg_d md ON md.decile = cl.decile
+JOIN marg_t mt ON mt.event_type = cl.event_type
+CROSS JOIN tot t
+"""
+
+
+@register(
+    "q142_mutual_information",
+    "drift",
+    "Mutual information between user-activity decile and event type — "
+    "the dependence screen that catches associations a correlation "
+    "misses (MI sees any deviation from independence, not just linear). "
+    f"Users rank into {_MI_DECILES} deciles by event count (ntile under "
+    "a TOTAL (count DESC, user_id) order — deterministic), the "
+    "contingency cells aggregate once, and MI = sum p_ij ln(p_ij/(p_i "
+    "p_j)) folds over |deciles| x |types| integer cells with broadcast "
+    "marginals. At 100 TB the stream reduces to per-user counts, then "
+    "to the tiny contingency table; MI == 0 iff independent.",
+    oracle=_MI_ORACLE,
+)
+def q142_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    user_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    wd = Window.orderBy(F.desc("n_ev"), F.asc("user_id"))
+    deciled = user_counts.select(
+        "user_id", F.ntile(_MI_DECILES).over(wd).alias("decile")
+    )
+    cells = (
+        ev.join(F.broadcast(deciled), "user_id")
+        .groupBy("decile", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wall = Window.partitionBy()
+    wd2 = Window.partitionBy("decile")
+    wt2 = Window.partitionBy("event_type")
+    n = F.sum("c").over(wall)
+    cd = F.sum("c").over(wd2)
+    ct = F.sum("c").over(wt2)
+    contrib = (F.col("c") * F.lit(1.0) / n) * F.log(
+        (F.col("c") * F.lit(1.0) * n) / (cd * F.lit(1.0) * ct)
+    )
+    scored = cells.select(n.alias("n_all"), contrib.alias("mi_c"))
+    return scored.agg(
+        F.max("n_all").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        fround(F.sum("mi_c"), 6).alias("mi_nats"),
+    )

@@ -237,6 +237,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q139_autocorrelation",
     "q140_holt_forecast",
     "stream_holt_e2e",
+    "q141_cross_correlation",
+    "q142_mutual_information",
 )
 
 

@@ -396,3 +396,73 @@ def test_acf_matches_python_and_bounds(spark, sf_smoke, raw_events):
             (n * sxx - sx * sx) * (n * syy - sy * sy)
         )
         assert r["acf"] == math.floor(acf * 1e6 + 0.5) / 1e6
+
+
+def test_xcorr_matches_python(spark, sf_smoke, raw_events):
+    """Cross-correlation at each (pair, lag) equals a plain-Python
+    Pearson over the lag-joined daily totals; zero-lag values are
+    symmetric in the pair by construction."""
+    import datetime
+
+    daily: dict = defaultdict(int)
+    for et, _t_ms, cents, day in raw_events:
+        d = (day - datetime.date(2024, 1, 1)).days
+        daily[(et, d)] += cents
+    rows = ALL["q141_cross_correlation"].builder(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        pairs = [
+            (cents, daily[(r["type_b"], d + r["lag"])])
+            for (et, d), cents in daily.items()
+            if et == r["type_a"] and (r["type_b"], d + r["lag"]) in daily
+        ]
+        n = len(pairs)
+        assert r["n_pairs"] == n
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        xc = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert r["xcorr"] == math.floor(xc * 1e6 + 0.5) / 1e6
+
+
+def test_mutual_information_matches_python_and_nonneg(spark, sf_smoke):
+    """MI equals the plain-Python contingency computation (same decile
+    rule) and is non-negative (information inequality)."""
+    con = duckdb.connect()
+    evs = con.sql(
+        f"SELECT user_id, event_type FROM '{sf_smoke}/events.parquet'"
+    ).fetchall()
+    con.close()
+    uc: Counter = Counter(u for u, _ in evs)
+    ranked = sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_users = len(ranked)
+    decile_of: dict = {}
+    # ntile semantics: first (n_users % 10) tiles get ceil size
+    base, extra = divmod(n_users, 10)
+    idx = 0
+    for tile in range(1, 11):
+        size = base + (1 if tile <= extra else 0)
+        for uid, _ in ranked[idx : idx + size]:
+            decile_of[uid] = tile
+        idx += size
+    cells: Counter = Counter((decile_of[u], t) for u, t in evs)
+    n = sum(cells.values())
+    md: Counter = Counter()
+    mt: Counter = Counter()
+    for (d, t), c in cells.items():
+        md[d] += c
+        mt[t] += c
+    mi = sum(
+        (c / n) * math.log((c * n) / (md[d] * mt[t]))
+        for (d, t), c in cells.items()
+    )
+    [r] = ALL["q142_mutual_information"].builder(spark, sf_smoke).collect()
+    assert r["n_events"] == n
+    assert r["n_cells"] == len(cells)
+    assert r["mi_nats"] == math.floor(mi * 1e6 + 0.5) / 1e6
+    assert r["mi_nats"] >= 0.0
