@@ -863,3 +863,109 @@ def q142_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         fround(F.sum("mi_c"), 6).alias("mi_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# q143: time-series motif discovery (matrix-profile-lite)
+# --------------------------------------------------------------------------
+
+_MOTIF_W = 7  # window length (days)
+
+_MOTIF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), lists AS (
+  SELECT event_type, list(cents ORDER BY d) AS xs FROM daily GROUP BY 1
+), pos AS (
+  SELECT event_type, xs,
+         unnest(generate_series(1, len(xs) - {2 * _MOTIF_W} + 1)) AS i
+  FROM lists
+), pairs AS (
+  SELECT event_type, i, unnest(generate_series(i + {_MOTIF_W}, len(xs) - {_MOTIF_W} + 1)) AS j, xs
+  FROM pos
+), scored AS (
+  SELECT event_type, i, j,
+         CAST(list_sum(list_transform(generate_series(0, {_MOTIF_W - 1}),
+              k -> (xs[i + k] - xs[j + k]) * (xs[i + k] - xs[j + k])))
+              AS BIGINT) AS dist
+  FROM pairs
+), ranked AS (
+  SELECT event_type, i, j, dist,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY dist ASC, i ASC, j ASC) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(i AS BIGINT) AS pos_a, CAST(j AS BIGINT) AS pos_b, dist
+FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "q143_motif_discovery",
+    "drift",
+    f"Time-series motif discovery (matrix-profile-lite): per event type, "
+    f"the closest pair of non-overlapping {_MOTIF_W}-day windows of the "
+    "daily-total series under exact integer squared distance — the "
+    "repeated-pattern detector behind seasonality mining and anomaly "
+    "templates. The series reduces to one sorted cents array per type "
+    "(|days| elements); window-pair scoring is row-local array "
+    "arithmetic over O(|days|^2) positions of a 30-element array, and "
+    "the argmin resolves ties deterministically by (dist, i, j). At "
+    "100 TB the daily rollup is the only input — the quadratic lives "
+    "on a per-series array that fits in a register file, never on rows.",
+    oracle=_MOTIF_ORACLE,
+)
+def q143_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    lists = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("pairs_arr")
+    ).select(
+        "event_type",
+        F.expr("transform(pairs_arr, p -> p.cents)").alias("xs"),
+    )
+    w = _MOTIF_W
+    pos = lists.select(
+        "event_type",
+        "xs",
+        F.explode(F.expr(f"sequence(1, size(xs) - {2 * w} + 1)")).alias("i"),
+    )
+    pairs = pos.select(
+        "event_type",
+        "xs",
+        "i",
+        F.explode(F.expr(f"sequence(i + {w}, size(xs) - {w} + 1)")).alias("j"),
+    )
+    # element_at is 1-based like DuckDB's list indexing (bare xs[i] in
+    # Spark SQL is 0-based — a cross-engine off-by-one trap).
+    dist = F.expr(
+        f"aggregate(sequence(0, {w - 1}), CAST(0 AS BIGINT), "
+        "(acc, k) -> acc + "
+        "(element_at(xs, CAST(i + k AS INT)) - element_at(xs, CAST(j + k AS INT)))"
+        " * (element_at(xs, CAST(i + k AS INT)) - element_at(xs, CAST(j + k AS INT))))"
+    )
+    scored = pairs.select("event_type", "i", "j", dist.alias("dist"))
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.asc("dist"), F.asc("i"), F.asc("j")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("pos_a"),
+            F.col("j").cast("long").alias("pos_b"),
+            "dist",
+        )
+    )

@@ -239,6 +239,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_holt_e2e",
     "q141_cross_correlation",
     "q142_mutual_information",
+    "q143_motif_discovery",
 )
 
 

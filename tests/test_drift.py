@@ -466,3 +466,34 @@ def test_mutual_information_matches_python_and_nonneg(spark, sf_smoke):
     assert r["n_cells"] == len(cells)
     assert r["mi_nats"] == math.floor(mi * 1e6 + 0.5) / 1e6
     assert r["mi_nats"] >= 0.0
+
+
+def test_motif_matches_python(spark, sf_smoke, raw_events):
+    """The motif (closest non-overlapping 7-day window pair) equals a
+    plain-Python exhaustive scan over the daily series."""
+    import datetime
+
+    daily: dict = defaultdict(int)
+    for et, _t_ms, cents, day in raw_events:
+        d = (day - datetime.date(2024, 1, 1)).days
+        daily[(et, d)] += cents
+    series: dict = defaultdict(list)
+    for (et, d), cents in sorted(daily.items()):
+        series[et].append(cents)
+    w = 7
+    expect = {}
+    for et, xs in series.items():
+        best = None
+        n = len(xs)
+        for i in range(0, n - 2 * w + 1):
+            for j in range(i + w, n - w + 1):
+                dist = sum((xs[i + k] - xs[j + k]) ** 2 for k in range(w))
+                cand = (dist, i + 1, j + 1)  # 1-based like the query
+                if best is None or cand < best:
+                    best = cand
+        expect[et] = best
+    got = {
+        r["event_type"]: (r["dist"], r["pos_a"], r["pos_b"])
+        for r in ALL["q143_motif_discovery"].builder(spark, sf_smoke).collect()
+    }
+    assert got == expect
