@@ -175,3 +175,99 @@ def test_prefix_filter_complete_for_any_corpus(sess, texts):
     }
     want = _naive_jaccard_pairs(rows, SHINGLE_N, 0.5)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Drift finalizers: property-fuzzed against textbook formulas
+# --------------------------------------------------------------------------
+
+_CELL = st.integers(min_value=0, max_value=50)
+_GRID = st.dictionaries(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 1), st.integers(0, 9)),
+    _CELL,
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(grid=_GRID)
+def test_psi_finalize_matches_textbook_for_any_grid(sess, grid):
+    """psi_from_counts == the textbook dense-grid Laplace PSI for ANY
+    sparse (type, period, bin) count table hypothesis can produce."""
+    import math
+    from collections import defaultdict
+
+    from spark_stream_kudu_spark.operators.drift import psi_from_counts
+
+    rows = [(et, p, b, c) for (et, p, b), c in grid.items()]
+    df = sess.createDataFrame(
+        rows, "event_type string, period int, bin long, c long"
+    )
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in psi_from_counts(df).collect()
+    }
+    ca: dict = defaultdict(lambda: defaultdict(int))
+    cb: dict = defaultdict(lambda: defaultdict(int))
+    for (et, p, b), c in grid.items():
+        (ca if p == 0 else cb)[et][b] += c
+    for et in {k[0] for k in grid}:
+        na = sum(ca[et].values())
+        nb = sum(cb[et].values())
+        psi = 0.0
+        for b in range(10):
+            pa = (ca[et][b] + 1.0) / (na + 10)
+            pb = (cb[et][b] + 1.0) / (nb + 10)
+            psi += (pb - pa) * math.log(pb / pa)
+        assert got[et] == (na, nb, math.floor(psi * 1e6 + 0.5) / 1e6)
+
+
+_HISTO = st.dictionaries(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30)),
+    st.tuples(st.integers(0, 20), st.integers(0, 20)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(h=_HISTO)
+def test_ks_finalize_matches_ecdf_for_any_histogram(sess, h):
+    """ks_from_value_counts == a direct ECDF sweep for ANY value
+    histogram, provided each side of each type has mass (the operator's
+    precondition — empty sides divide by zero in any KS)."""
+    import math
+    from collections import defaultdict
+
+    from spark_stream_kudu_spark.operators.drift import ks_from_value_counts
+
+    per_type: dict = defaultdict(dict)
+    for (et, v), (a, b) in h.items():
+        per_type[et][v] = (a, b)
+    per_type = {
+        et: vs
+        for et, vs in per_type.items()
+        if sum(a for a, _ in vs.values()) > 0 and sum(b for _, b in vs.values()) > 0
+    }
+    if not per_type:
+        return
+    rows = [
+        (et, v, a, b) for et, vs in per_type.items() for v, (a, b) in vs.items()
+    ]
+    df = sess.createDataFrame(rows, "event_type string, cents long, a long, b long")
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["ks_stat"])
+        for r in ks_from_value_counts(df).collect()
+    }
+    for et, vs in per_type.items():
+        na = sum(a for a, _ in vs.values())
+        nb = sum(b for _, b in vs.values())
+        cum_a = cum_b = 0
+        d = 0.0
+        for v in sorted(vs):
+            a, b = vs[v]
+            cum_a += a
+            cum_b += b
+            d = max(d, abs(cum_a * 1.0 / na - cum_b * 1.0 / nb))
+        assert got[et] == (na, nb, math.floor(d * 1e6 + 0.5) / 1e6)
