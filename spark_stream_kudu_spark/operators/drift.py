@@ -969,3 +969,68 @@ def q143_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q144: RFM segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+
+_RFM_ASOF = "2024-01-31"
+_RFM_TILES = 5
+
+_RFM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(max(ts) AS DATE), DATE '{_RFM_ASOF}') AS rec_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT user_id, cents,
+         ntile({_RFM_TILES}) OVER (ORDER BY rec_days ASC, user_id ASC) AS r_score,
+         ntile({_RFM_TILES}) OVER (ORDER BY freq DESC, user_id ASC) AS f_score,
+         ntile({_RFM_TILES}) OVER (ORDER BY cents DESC, user_id ASC) AS m_score
+  FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "q144_rfm_segmentation",
+    "drift",
+    f"RFM segmentation: per-user recency (days since last event at a "
+    "fixed scoring instant), frequency, and monetary value scored into "
+    f"{_RFM_TILES} quintiles by ntile under TOTAL orders (metric + "
+    "user_id tiebreak — deterministic in both engines), then segment "
+    "cells aggregated with exact cents totals. The classic customer-"
+    "value grid as a declared query: the stream reduces to |users| "
+    "rollup rows; the three rank windows and the final cell rollup "
+    "never touch raw events again.",
+    oracle=_RFM_ORACLE,
+)
+def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_RFM_ASOF).cast("date"), F.max("ts").cast("date")
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+    )
+    wr = Window.orderBy(F.asc("rec_days"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    scored = per_user.select(
+        "cents",
+        F.ntile(_RFM_TILES).over(wr).alias("r_score"),
+        F.ntile(_RFM_TILES).over(wf).alias("f_score"),
+        F.ntile(_RFM_TILES).over(wm).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("segment_cents"),
+    )

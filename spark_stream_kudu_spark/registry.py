@@ -240,6 +240,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q141_cross_correlation",
     "q142_mutual_information",
     "q143_motif_discovery",
+    "q144_rfm_segmentation",
 )
 
 

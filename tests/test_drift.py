@@ -497,3 +497,23 @@ def test_motif_matches_python(spark, sf_smoke, raw_events):
         for r in ALL["q143_motif_discovery"].builder(spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_rfm_conserves_users_and_money(spark, sf_smoke):
+    """RFM cells partition the user base exactly: user counts sum to
+    |users|, segment cents sum to the exact corpus total, and every
+    score is a valid quintile."""
+    rows = ALL["q144_rfm_segmentation"].builder(spark, sf_smoke).collect()
+    assert rows
+    con = duckdb.connect()
+    [(n_users, total_cents)] = con.sql(
+        f"""SELECT count(DISTINCT user_id),
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            FROM '{sf_smoke}/events.parquet'"""
+    ).fetchall()
+    con.close()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert sum(r["segment_cents"] for r in rows) == total_cents
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
