@@ -1034,3 +1034,135 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").alias("segment_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q145: Zipf-exponent fit over the corpus vocabulary
+# --------------------------------------------------------------------------
+
+from spark_stream_kudu_spark.functions.textutil import sql_tokens as _sql_tokens
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_sql_tokens('text')}) AS t FROM documents
+), vocab AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1
+), ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, t ASC) AS rank
+  FROM vocab
+), logs AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM ranked
+), moments AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM logs
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_distinct,
+       {sql_fround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS zipf_slope,
+       {sql_fround("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n",
+                   6)} AS zipf_intercept
+FROM moments
+"""
+
+
+@register(
+    "q145_zipf_fit",
+    "drift",
+    "Zipf-exponent fit: least-squares slope of ln(freq) on ln(rank) over "
+    "the corpus vocabulary — the power-law diagnostic a tokenizer/vocab "
+    "budget decision reads (natural corpora slope toward -1; this "
+    "synthetic corpus is flatter, which is exactly what the query "
+    "reveals). Ranks come from a TOTAL (freq DESC, token) order; the "
+    "log-moment sums follow the text_domain_kl transcendental precedent "
+    "(fround absorbs accumulation ulps). One vocab shuffle; the "
+    "regression runs over |vocab| rows, never the corpus.",
+    oracle=_ZIPF_ORACLE,
+)
+def q145_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.textutil import tokens
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wr = Window.orderBy(F.desc("freq"), F.asc("t"))
+    logs = vocab.select(
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_tokens_distinct"),
+        fround(slope, 6).alias("zipf_slope"),
+        fround((F.col("sy") - slope * F.col("sx")) / n, 6).alias("zipf_intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q146: Fano factor (burstiness) of daily event counts
+# --------------------------------------------------------------------------
+
+_FANO_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), moments AS (
+  SELECT event_type, count(*) AS d,
+         CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(d AS BIGINT) AS n_days, s AS n_events,
+       floor(((ss * 1.0 * d - s * 1.0 * s) / (d * 1.0 * (d - 1)))
+             / (s * 1.0 / d) * 1000000 + 0.5) / 1000000 AS fano
+FROM moments
+"""
+
+
+@register(
+    "q146_fano_factor",
+    "drift",
+    "Fano factor (variance-to-mean ratio) of daily event counts per "
+    "type — the burstiness screen: ~1 for a Poisson arrival process, "
+    ">1 for bursty/overdispersed traffic, <1 for regular. Sample "
+    "variance and mean finalize from exact integer count moments "
+    "(sum, sum of squares) in one partially-aggregated shuffle over "
+    "|types| x |days| rows.",
+    oracle=_FANO_ORACLE,
+)
+def q146_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    dd = F.col("d").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    var = (ssd * dd - sd * sd) / (dd * (dd - 1))
+    mean = sd / dd
+    return m.select(
+        "event_type",
+        F.col("d").alias("n_days"),
+        F.col("s").alias("n_events"),
+        fround(var / mean, 6).alias("fano"),
+    )

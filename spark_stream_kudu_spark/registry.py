@@ -241,6 +241,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q142_mutual_information",
     "q143_motif_discovery",
     "q144_rfm_segmentation",
+    "q145_zipf_fit",
+    "q146_fano_factor",
 )
 
 

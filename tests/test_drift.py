@@ -517,3 +517,52 @@ def test_rfm_conserves_users_and_money(spark, sf_smoke):
     for r in rows:
         for c in ("r_score", "f_score", "m_score"):
             assert 1 <= r[c] <= 5
+
+
+def test_zipf_and_fano_match_python(spark, sf_smoke, raw_events):
+    """Zipf slope/intercept equal a plain-Python log-log least squares
+    over the vocabulary, and the Fano factor equals variance/mean of
+    daily counts — both from independently recomputed inputs."""
+    import datetime
+    import re
+
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT lower(trim(text)) FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    freq: Counter = Counter()
+    for (txt,) in texts:
+        freq.update(re.split(r"\s+", txt))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    [r] = ALL["q145_zipf_fit"].builder(spark, sf_smoke).collect()
+    assert r["n_tokens_distinct"] == n
+    assert r["zipf_slope"] == math.floor(slope * 1e6 + 0.5) / 1e6
+    assert r["zipf_intercept"] == math.floor(intercept * 1e6 + 0.5) / 1e6
+    assert r["zipf_slope"] < 0  # frequency falls with rank
+
+    daily: Counter = Counter()
+    for et, _t_ms, _cents, day in raw_events:
+        daily[(et, day)] += 1
+    per_type: dict = defaultdict(list)
+    for (et, _day), c in daily.items():
+        per_type[et].append(c)
+    got = {
+        r["event_type"]: (r["n_days"], r["n_events"], r["fano"])
+        for r in ALL["q146_fano_factor"].builder(spark, sf_smoke).collect()
+    }
+    for et, counts in per_type.items():
+        d = len(counts)
+        s = sum(counts)
+        ss = sum(c * c for c in counts)
+        var = (ss * d - s * s) / (d * (d - 1))
+        fano = var / (s / d)
+        assert got[et] == (d, s, math.floor(fano * 1e6 + 0.5) / 1e6)
