@@ -1,4 +1,5 @@
-"""Distribution-drift monitoring and affinity mining (round-3 session 4).
+"""Distribution-drift monitoring, affinity mining, and series
+diagnostics (round-3 sessions 4+).
 
 A 100 TB training-data pipeline re-ingests sources continuously; the
 operators here answer "did the data change shape?" before a bad batch
@@ -6,35 +7,39 @@ poisons a training run — the monitoring layer the reference's static
 demo pipeline (src/main/python/kafka_to_kudu.py:25-53) has no analog
 for, expressed Spark-first:
 
-- ``q125_psi_drift`` — Population Stability Index of the event value
-  distribution, first half-month (reference) vs second (current), per
-  event type, over fixed-width bins with Laplace smoothing.
-- ``q126_chisq_drift`` — chi-square goodness-of-fit of the current
-  event-type mix against the reference period's proportions.
-- ``q127_ks_drift`` — two-sample Kolmogorov-Smirnov statistic per
-  event type: max ECDF gap via one RANGE-frame cumulative window over
-  the union of both tagged samples.
-- ``q128_brand_affinity`` — market-basket brand-pair mining over
-  lineitem baskets: co-occurrence support + lift vs independence.
-- ``q129_seasonal_naive_eval`` — forecast-accuracy backtest: the
-  seasonal-naive forecast (same weekday last week) evaluated with
-  MAE / MAPE per event type, on exact-integer daily totals.
+- Drift monitors: ``q125_psi_drift`` (PSI over fixed-edge bins with
+  Laplace smoothing), ``q126_chisq_drift`` (categorical
+  goodness-of-fit), ``q127_ks_drift`` (two-sample KS via one
+  RANGE-frame ECDF window) — each with a streaming twin in
+  streaming/drift.py sharing its tagging + finalize helpers.
+- Affinity / value analytics: ``q128_brand_affinity`` (market-basket
+  lift with basket-local pair expansion), ``q133_decayed_leaderboard``
+  (exact dyadic half-life weights), ``q144_rfm_segmentation``
+  (recency/frequency/monetary quintiles).
+- Series diagnostics: ``q129_seasonal_naive_eval`` (forecast
+  backtest), ``q139_autocorrelation`` and ``q141_cross_correlation``
+  (within- and cross-series structure from DECIMAL(38,0) exact
+  moments), ``q142_mutual_information`` (non-linear dependence),
+  ``q143_motif_discovery`` (closest window pair, exact integer
+  distances), ``q145_zipf_fit`` (vocabulary power-law), and
+  ``q146_fano_factor`` (daily-count burstiness).
 
 Determinism contract (the house rule, cf. statistics.py): every
 aggregate that feeds a float expression is an exact integer (counts,
 cents-quantized sums), so both engines run float math once on
-bit-identical operands; transcendental outputs (ln in PSI, the ratio
-sums in MAPE) follow the text_domain_kl precedent — fround(6) absorbs
-accumulation ulps, and the values are never decimal tie points.
+bit-identical operands; transcendental outputs (ln in PSI/MI/Zipf, the
+ratio sums in MAPE) follow the text_domain_kl precedent — fround(6)
+absorbs accumulation ulps, and the values are never decimal tie
+points. Every query here is additionally pinned against a from-scratch
+plain-Python computation in tests/test_drift.py.
 
-Scale notes (100 TB): q125/q126/q127 reduce the event stream to
-|types| x |bins| (or |types| x |values| for KS inside one window
-shuffle) — one partially-aggregated shuffle each, re-aggregatable
-partials. q128 shuffles baskets once on the order key; per-basket pair
-expansion is bounded by (items/order)^2 — classic market-basket, never
-corpus-quadratic — and the brand marginals broadcast. q129 reduces to
-|types| x |days| before its self-join. Nothing moves a fact table
-more than once.
+Scale notes (100 TB): every operator reduces the fact stream to a tiny
+rollup (|types| x |bins| counts, |types| x |days| cents totals,
+per-user aggregates, or the |vocab| table) in one partially-aggregated
+shuffle before any expensive step; the quadratics (motif windows,
+basket pairs) live on row-local arrays bounded by series length or
+basket size, never on row counts. Nothing moves a fact table more
+than once.
 """
 
 from __future__ import annotations
