@@ -21,8 +21,10 @@ for, expressed Spark-first:
   (within- and cross-series structure from DECIMAL(38,0) exact
   moments), ``q142_mutual_information`` (non-linear dependence),
   ``q143_motif_discovery`` (closest window pair, exact integer
-  distances), ``q145_zipf_fit`` (vocabulary power-law), and
-  ``q146_fano_factor`` (daily-count burstiness).
+  distances), ``q145_zipf_fit`` (vocabulary power-law),
+  ``q146_fano_factor`` (daily-count burstiness),
+  ``q147_vocab_drift`` (set-based vocabulary churn + Jaccard), and
+  ``q148_behavior_entropy`` (per-user Shannon diversity).
 
 Determinism contract (the house rule, cf. statistics.py): every
 aggregate that feeds a float expression is an exact integer (counts,
@@ -1170,4 +1172,116 @@ def q146_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_days"),
         F.col("s").alias("n_events"),
         fround(var / mean, 6).alias("fano"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q147: vocabulary drift (set-based, reference vs current period... of
+# the documents corpus split by doc_id parity as the two "crawls")
+# --------------------------------------------------------------------------
+
+_VOCABDRIFT_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT unnest({_sql_tokens('text')}) AS t
+  FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT DISTINCT unnest({_sql_tokens('text')}) AS t
+  FROM documents WHERE doc_id % 2 = 1
+), f AS (
+  SELECT coalesce(a.t, b.t) AS t,
+         (a.t IS NOT NULL) AS in_a, (b.t IS NOT NULL) AS in_b
+  FROM a FULL OUTER JOIN b ON a.t = b.t
+)
+SELECT CAST(count(*) FILTER (in_a AND in_b) AS BIGINT) AS n_shared,
+       CAST(count(*) FILTER (in_a AND NOT in_b) AS BIGINT) AS n_retired,
+       CAST(count(*) FILTER (in_b AND NOT in_a) AS BIGINT) AS n_new,
+       floor(count(*) FILTER (in_a AND in_b) * 1.0 / count(*)
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM f
+"""
+
+
+@register(
+    "q147_vocab_drift",
+    "drift",
+    "Set-based vocabulary drift between two corpus slices (doc_id-parity "
+    "halves standing in for consecutive crawls): shared / retired / new "
+    "token counts and the Jaccard overlap of the vocabularies — the "
+    "SET complement to the distributional drift monitors (a vocabulary "
+    "can keep its distribution while churning its members, and vice "
+    "versa). Two distinct-token aggregations + one full-outer join on "
+    "the |vocab|-sized sets; the corpus is scanned once per slice and "
+    "never joined row-to-row.",
+    oracle=_VOCABDRIFT_ORACLE,
+)
+def q147_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.textutil import tokens
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    def vocab(parity: int):
+        return (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .select(F.explode(tokens(F.col("text"))).alias("t"))
+            .distinct()
+        )
+    a = vocab(0).withColumnRenamed("t", "ta")
+    b = vocab(1).withColumnRenamed("t", "tb")
+    f = a.join(b, a.ta == b.tb, "full_outer").select(
+        F.col("ta").isNotNull().alias("in_a"),
+        F.col("tb").isNotNull().alias("in_b"),
+    )
+    shared = F.count(F.when(F.col("in_a") & F.col("in_b"), 1))
+    return f.agg(
+        shared.alias("n_shared"),
+        F.count(F.when(F.col("in_a") & ~F.col("in_b"), 1)).alias("n_retired"),
+        F.count(F.when(F.col("in_b") & ~F.col("in_a"), 1)).alias("n_new"),
+        fround(shared * F.lit(1.0) / F.count(F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q148: per-user behavioral entropy
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH cells AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+)
+SELECT c.user_id, max(t.n) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       floor(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n))
+             * 1000000 + 0.5) / 1000000 AS entropy_nats
+FROM cells c JOIN totals t ON t.user_id = c.user_id
+GROUP BY c.user_id
+"""
+
+
+@register(
+    "q148_behavior_entropy",
+    "drift",
+    "Per-user behavioral entropy: Shannon entropy of each user's "
+    "event-type distribution (0 = single-action bots, ln|types| = "
+    "uniform explorers) — the per-entity diversity feature a "
+    "segmentation or bot screen consumes. One (user, type) count "
+    "shuffle; per-user totals join back on the same key; the ln fold "
+    "runs over |users| x |types| integer cells.",
+    oracle=_ENTROPY_ORACLE,
+)
+def q148_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("user_id")
+    n = F.sum("c").over(wt)
+    p = F.col("c") * F.lit(1.0) / n
+    scored = cells.select(
+        "user_id", n.alias("n_u"), (p * F.log(p)).alias("plogp")
+    )
+    return scored.groupBy("user_id").agg(
+        F.max("n_u").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        fround(-F.sum("plogp"), 6).alias("entropy_nats"),
     )

@@ -243,6 +243,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q144_rfm_segmentation",
     "q145_zipf_fit",
     "q146_fano_factor",
+    "q147_vocab_drift",
+    "q148_behavior_entropy",
 )
 
 

@@ -566,3 +566,45 @@ def test_zipf_and_fano_match_python(spark, sf_smoke, raw_events):
         var = (ss * d - s * s) / (d * (d - 1))
         fano = var / (s / d)
         assert got[et] == (d, s, math.floor(fano * 1e6 + 0.5) / 1e6)
+
+
+def test_vocab_drift_and_entropy_match_python(spark, sf_smoke):
+    """Vocabulary drift counts equal a plain-Python set computation, and
+    per-user entropy equals the textbook Shannon formula (bounded by
+    ln of the user's type count)."""
+    import re
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lower(trim(text)) FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    evs = con.sql(
+        f"SELECT user_id, event_type FROM '{sf_smoke}/events.parquet'"
+    ).fetchall()
+    con.close()
+
+    va: set = set()
+    vb: set = set()
+    for doc_id, txt in docs:
+        (va if doc_id % 2 == 0 else vb).update(re.split(r"\s+", txt))
+    [r] = ALL["q147_vocab_drift"].builder(spark, sf_smoke).collect()
+    assert r["n_shared"] == len(va & vb)
+    assert r["n_retired"] == len(va - vb)
+    assert r["n_new"] == len(vb - va)
+    assert r["jaccard"] == math.floor(
+        len(va & vb) / len(va | vb) * 1e6 + 0.5
+    ) / 1e6
+
+    cells: Counter = Counter(evs)
+    per_user: dict = defaultdict(dict)
+    for (u, t), c in cells.items():
+        per_user[u][t] = c
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["entropy_nats"])
+        for r in ALL["q148_behavior_entropy"].builder(spark, sf_smoke).collect()
+    }
+    for u, tc in per_user.items():
+        n = sum(tc.values())
+        ent = -sum((c / n) * math.log(c / n) for c in tc.values())
+        assert got[u] == (n, len(tc), math.floor(ent * 1e6 + 0.5) / 1e6)
+        assert got[u][2] <= math.log(len(tc)) + 1e-9
