@@ -1285,3 +1285,132 @@ def q148_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         fround(-F.sum("plogp"), 6).alias("entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# q149: exact inter-event gap percentiles (latency-report shape)
+# --------------------------------------------------------------------------
+
+_GAPPCT_ORACLE = """
+WITH ordered AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+             OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+  FROM events
+), gaps AS (
+  SELECT event_type, CAST(gap_ms AS BIGINT) AS gap_ms
+  FROM ordered WHERE gap_ms IS NOT NULL
+), cum AS (
+  SELECT event_type, gap_ms,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY gap_ms
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM gaps
+)
+SELECT event_type, max(n) AS n_gaps,
+       CAST(min(CASE WHEN cum_n * 100 >= n * 50 THEN gap_ms END) AS BIGINT)
+         AS p50_ms,
+       CAST(min(CASE WHEN cum_n * 100 >= n * 90 THEN gap_ms END) AS BIGINT)
+         AS p90_ms,
+       CAST(min(CASE WHEN cum_n * 100 >= n * 99 THEN gap_ms END) AS BIGINT)
+         AS p99_ms
+FROM cum GROUP BY event_type
+"""
+
+
+@register(
+    "q149_gap_percentiles",
+    "drift",
+    "Exact inter-arrival percentile report per event type (the latency-"
+    "SLO shape): consecutive-event gaps in integer milliseconds ((ts, "
+    "event_id)-ordered lag), then p50/p90/p99 as the smallest gap whose "
+    "RANGE-frame cumulative count reaches the quantile threshold — the "
+    "q134 lower-quantile selection rule generalized to three quantiles "
+    "in ONE pass (conditional mins over the cumulative column, no "
+    "re-sort per quantile). Two window shuffles on the same key; all "
+    "integer arithmetic, no approx_percentile error bars.",
+    oracle=_GAPPCT_ORACLE,
+)
+def q149_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    worder = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(worder)).alias(
+                "gap_ms"
+            ),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_ms")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = gaps.select(
+        "event_type",
+        "gap_ms",
+        F.count(F.lit(1)).over(wcum).alias("cum_n"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def pct(q: int):
+        return F.min(
+            F.when(F.col("cum_n") * 100 >= F.col("n") * q, F.col("gap_ms"))
+        ).alias(f"p{q}_ms")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"), pct(50), pct(90), pct(99)
+    )
+
+
+# --------------------------------------------------------------------------
+# q150: new-vs-returning daily users (growth accounting)
+# --------------------------------------------------------------------------
+
+_NEWRET_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT CAST(e.ts AS DATE) AS day, e.user_id, f.first_day
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT day,
+       CAST(count(*) FILTER (day = first_day) AS BIGINT) AS n_new,
+       CAST(count(*) FILTER (day > first_day) AS BIGINT) AS n_returning,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM active GROUP BY day
+"""
+
+
+@register(
+    "q150_new_vs_returning",
+    "drift",
+    "Growth accounting: per day, how many active users are NEW (first "
+    "ever event that day) vs RETURNING — the first-touch daily split "
+    "every growth dashboard leads with. One per-user min(ts) rollup "
+    "joined back onto the distinct (day, user) activity set; both "
+    "shuffles key on user_id, and the |users|-sized first-seen table "
+    "broadcasts at dimension scale. The batch form of the stream_first_"
+    "seen keyed-state dedup.",
+    oracle=_NEWRET_ORACLE,
+)
+def q150_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    active = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .join(F.broadcast(first_seen), "user_id")
+    )
+    return active.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias("n_new"),
+        F.count(F.when(F.col("day") > F.col("first_day"), 1)).alias("n_returning"),
+        F.count(F.lit(1)).alias("n_active"),
+    )

@@ -245,6 +245,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q146_fano_factor",
     "q147_vocab_drift",
     "q148_behavior_entropy",
+    "q149_gap_percentiles",
+    "q150_new_vs_returning",
 )
 
 

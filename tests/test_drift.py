@@ -608,3 +608,53 @@ def test_vocab_drift_and_entropy_match_python(spark, sf_smoke):
         ent = -sum((c / n) * math.log(c / n) for c in tc.values())
         assert got[u] == (n, len(tc), math.floor(ent * 1e6 + 0.5) / 1e6)
         assert got[u][2] <= math.log(len(tc)) + 1e-9
+
+
+def test_gap_percentiles_and_growth_match_python(spark, sf_smoke):
+    """q149's exact lower quantiles and q150's daily new/returning split
+    both equal plain-Python recomputations from the raw fixture."""
+    con = duckdb.connect()
+    evs = con.sql(
+        f"""SELECT event_type, epoch_ms(ts), event_id, user_id, CAST(ts AS DATE)
+            FROM '{sf_smoke}/events.parquet' ORDER BY ts, event_id"""
+    ).fetchall()
+    con.close()
+
+    gaps: dict = defaultdict(list)
+    last: dict = {}
+    for et, ms, eid, _u, _day in evs:
+        if et in last:
+            gaps[et].append(ms - last[et])
+        last[et] = ms
+    got = {
+        r["event_type"]: r
+        for r in ALL["q149_gap_percentiles"].builder(spark, sf_smoke).collect()
+    }
+    for et, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        r = got[et]
+        assert r["n_gaps"] == n
+        for q in (50, 90, 99):
+            # smallest gap whose cumulative count reaches ceil(q% of n)
+            idx = -(-n * q // 100) - 1
+            assert r[f"p{q}_ms"] == gs[idx], (et, q)
+
+    first_day: dict = {}
+    active: set = set()
+    for _et, _ms, _eid, u, day in evs:
+        if u not in first_day:
+            first_day[u] = day
+        active.add((day, u))
+    per_day: dict = defaultdict(lambda: [0, 0])
+    for day, u in active:
+        per_day[day][0 if day == first_day[u] else 1] += 1
+    got2 = {
+        r["day"]: (r["n_new"], r["n_returning"], r["n_active"])
+        for r in ALL["q150_new_vs_returning"].builder(spark, sf_smoke).collect()
+    }
+    assert got2 == {
+        d: (new, ret, new + ret) for d, (new, ret) in per_day.items()
+    }
+    # every user is new exactly once across the month
+    assert sum(v[0] for v in got2.values()) == len(first_day)
