@@ -1414,3 +1414,142 @@ def q150_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("day") > F.col("first_day"), 1)).alias("n_returning"),
         F.count(F.lit(1)).alias("n_active"),
     )
+
+
+# --------------------------------------------------------------------------
+# q151: integer-exact peak detection over daily series
+# --------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), ctx AS (
+  SELECT event_type, d, cents,
+         lag(cents)  OVER (PARTITION BY event_type ORDER BY d) AS prev,
+         lead(cents) OVER (PARTITION BY event_type ORDER BY d) AS next,
+         CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+)
+SELECT event_type, CAST(d AS BIGINT) AS d, cents
+FROM ctx
+WHERE prev IS NOT NULL AND next IS NOT NULL
+  AND cents > prev AND cents > next
+  AND cents * n > s
+ORDER BY event_type, d
+"""
+
+
+@register(
+    "q151_peak_detection",
+    "drift",
+    "Integer-exact peak detection over per-type daily totals: a day is a "
+    "peak iff it strictly exceeds both neighbors AND the series mean — "
+    "with the mean test cross-multiplied (cents * n > sum) so the whole "
+    "predicate is BIGINT comparisons, no float mean, no epsilon. One "
+    "window shuffle carrying lag/lead and the per-type running totals; "
+    "the spike shortlist an alerting pipeline pages on, computed from "
+    "the same |types| x |days| rollup as the other series diagnostics.",
+    oracle=_PEAK_ORACLE,
+)
+def q151_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        ),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    worder = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    ctx = daily.select(
+        "event_type",
+        F.col("d").cast("long").alias("d"),
+        "cents",
+        F.lag("cents").over(worder).alias("prev"),
+        F.lead("cents").over(worder).alias("next"),
+        F.sum("cents").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return (
+        ctx.filter(
+            F.col("prev").isNotNull()
+            & F.col("next").isNotNull()
+            & (F.col("cents") > F.col("prev"))
+            & (F.col("cents") > F.col("next"))
+            & (F.col("cents") * F.col("n") > F.col("s"))
+        )
+        .select("event_type", "d", "cents")
+        .orderBy("event_type", "d")
+    )
+
+
+# --------------------------------------------------------------------------
+# q152: weekday seasonality index
+# --------------------------------------------------------------------------
+
+_WEEKDAY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), tagged AS (
+  SELECT event_type, isodow(day) AS weekday, cents FROM daily
+), agg AS (
+  SELECT event_type, weekday,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS wd_cents
+  FROM tagged GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(sum(wd_cents) AS BIGINT) AS all_cents,
+         CAST(sum(n_days) AS BIGINT) AS all_days
+  FROM agg GROUP BY 1
+)
+SELECT a.event_type, CAST(a.weekday AS BIGINT) AS weekday, a.n_days,
+       floor((a.wd_cents * 1.0 / a.n_days)
+             / (t.all_cents * 1.0 / t.all_days) * 1000000 + 0.5) / 1000000
+         AS seasonal_index
+FROM agg a JOIN tot t ON t.event_type = a.event_type
+"""
+
+
+@register(
+    "q152_weekday_index",
+    "drift",
+    "Weekday seasonality index: per (type, ISO weekday), the ratio of "
+    "the weekday's mean daily total to the series' overall mean daily "
+    "total (1.0 = no weekday effect) — the multiplicative S component a "
+    "classical decomposition divides out, and the factor a capacity "
+    "planner staffs by. Both means are ratios of exact integers, so the "
+    "final division operates on identical doubles in both engines. Two "
+    "tiny aggregations over the daily rollup.",
+    oracle=_WEEKDAY_ORACLE,
+)
+def q152_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    agg = daily.groupBy(
+        "event_type", F.dayofweek(F.date_sub("day", 1)).cast("long").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("wd_cents"),
+    )
+    wall = Window.partitionBy("event_type")
+    all_cents = F.sum("wd_cents").over(wall)
+    all_days = F.sum("n_days").over(wall)
+    idx = (F.col("wd_cents") * F.lit(1.0) / F.col("n_days")) / (
+        all_cents * F.lit(1.0) / all_days
+    )
+    return agg.select(
+        "event_type", "weekday", "n_days", fround(idx, 6).alias("seasonal_index")
+    )

@@ -247,6 +247,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q148_behavior_entropy",
     "q149_gap_percentiles",
     "q150_new_vs_returning",
+    "q151_peak_detection",
+    "q152_weekday_index",
 )
 
 

@@ -658,3 +658,47 @@ def test_gap_percentiles_and_growth_match_python(spark, sf_smoke):
     }
     # every user is new exactly once across the month
     assert sum(v[0] for v in got2.values()) == len(first_day)
+
+
+def test_peaks_and_weekday_index_match_python(spark, sf_smoke, raw_events):
+    """Peak rows equal a plain-Python neighbor+mean scan (integer
+    cross-multiplied), and the weekday indexes weight-average to 1."""
+    import datetime
+
+    daily: dict = defaultdict(int)
+    for et, _t_ms, cents, day in raw_events:
+        d = (day - datetime.date(2024, 1, 1)).days
+        daily[(et, d)] += cents
+    series: dict = defaultdict(dict)
+    for (et, d), cents in daily.items():
+        series[et][d] = cents
+    expect = set()
+    for et, by_day in series.items():
+        days = sorted(by_day)
+        s = sum(by_day.values())
+        n = len(days)
+        for k in range(1, len(days) - 1):
+            d = days[k]
+            c = by_day[d]
+            if (
+                c > by_day[days[k - 1]]
+                and c > by_day[days[k + 1]]
+                and c * n > s
+            ):
+                expect.add((et, d, c))
+    got = {
+        (r["event_type"], r["d"], r["cents"])
+        for r in ALL["q151_peak_detection"].builder(spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+    rows = ALL["q152_weekday_index"].builder(spark, sf_smoke).collect()
+    per_type: dict = defaultdict(list)
+    for r in rows:
+        assert 1 <= r["weekday"] <= 7
+        per_type[r["event_type"]].append((r["n_days"], r["seasonal_index"]))
+    for et, items in per_type.items():
+        total_days = sum(n for n, _ in items)
+        # day-weighted mean of indexes == 1 (each index is wd_mean/all_mean)
+        weighted = sum(n * ix for n, ix in items) / total_days
+        assert abs(weighted - 1.0) < 1e-4
