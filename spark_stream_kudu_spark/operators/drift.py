@@ -1553,3 +1553,161 @@ def q152_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "weekday", "n_days", fround(idx, 6).alias("seasonal_index")
     )
+
+
+# --------------------------------------------------------------------------
+# q153: cohort LTV curve (cumulative revenue by signup-week cohort age)
+# --------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) // 7
+           AS cohort_week
+  FROM events GROUP BY 1
+), rev AS (
+  SELECT f.cohort_week,
+         date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+           - f.cohort_week AS age_week,
+         CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+  GROUP BY 1, 2
+), sized AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+  FROM first_seen GROUP BY 1
+)
+SELECT r.cohort_week, r.age_week, s.n_users,
+       CAST(sum(r2.cents) AS BIGINT) AS cum_cents,
+       floor(sum(r2.cents) * 1.0 / s.n_users / 100.0 * 10000 + 0.5) / 10000
+         AS ltv_dollars_per_user
+FROM rev r
+JOIN rev r2 ON r2.cohort_week = r.cohort_week AND r2.age_week <= r.age_week
+JOIN sized s ON s.cohort_week = r.cohort_week
+GROUP BY r.cohort_week, r.age_week, s.n_users
+"""
+
+
+@register(
+    "q153_cohort_ltv",
+    "drift",
+    "Cohort LTV curve: users grouped by signup week (first event), "
+    "revenue accumulated by cohort age in weeks, reported as cumulative "
+    "dollars per cohort member — the lifetime-value ramp a payback-"
+    "period decision reads, the revenue companion to q54's retention "
+    "counts. Exact cents throughout; the per-(cohort, age) rollup is "
+    "tiny, so the cumulative step (a triangular self-join in the "
+    "oracle, one window pass in the engine) never touches raw events.",
+    oracle=_LTV_ORACLE,
+)
+def q153_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    week = lambda c: F.floor(
+        F.datediff(c.cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    first_seen = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    rev = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("age_week"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    sized = first_seen.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_week", "age_week", F.sum("cents").over(wcum).alias("cum_cents")
+    )
+    scale = F.lit(10000.0)
+    return cum.join(F.broadcast(sized), "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        "n_users",
+        "cum_cents",
+        (
+            F.floor(
+                F.col("cum_cents") * F.lit(1.0) / F.col("n_users") / F.lit(100.0)
+                * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("ltv_dollars_per_user"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q154: stickiness (average DAU over WAU per week)
+# --------------------------------------------------------------------------
+
+_STICKY_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,
+         user_id
+  FROM events
+), dau AS (
+  SELECT week, day, CAST(count(*) AS BIGINT) AS dau
+  FROM act GROUP BY 1, 2
+), wk AS (
+  SELECT week,
+         CAST(sum(dau) AS BIGINT) AS active_user_days,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY 1
+), wau AS (
+  SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM act GROUP BY 1
+)
+SELECT k.week, k.n_days, w.wau,
+       floor((k.active_user_days * 1.0 / k.n_days) / w.wau
+             * 1000000 + 0.5) / 1000000 AS stickiness
+FROM wk k JOIN wau w ON w.week = k.week
+"""
+
+
+@register(
+    "q154_stickiness",
+    "drift",
+    "Stickiness (DAU/WAU): per week, the average daily active users "
+    "divided by the week's distinct actives — 1/7 means users show up "
+    "once a week, 1.0 means every active user comes every day; the "
+    "engagement-frequency metric beside q150's new/returning split. "
+    "Both numerator and denominator are exact integers from one "
+    "distinct (day, user) activity set; the final division runs on "
+    "identical doubles in both engines.",
+    oracle=_STICKY_ORACLE,
+)
+def q154_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+        )
+        .cast("long")
+        .alias("week"),
+        "user_id",
+    ).distinct()
+    dau = act.groupBy("week", "day").agg(F.count(F.lit(1)).alias("dau"))
+    wk = dau.groupBy("week").agg(
+        F.sum("dau").alias("active_user_days"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wau = act.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    return wk.join(F.broadcast(wau), "week").select(
+        "week",
+        "n_days",
+        "wau",
+        fround(
+            (F.col("active_user_days") * F.lit(1.0) / F.col("n_days"))
+            / F.col("wau"),
+            6,
+        ).alias("stickiness"),
+    )

@@ -249,6 +249,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q150_new_vs_returning",
     "q151_peak_detection",
     "q152_weekday_index",
+    "q153_cohort_ltv",
+    "q154_stickiness",
 )
 
 

@@ -702,3 +702,30 @@ def test_peaks_and_weekday_index_match_python(spark, sf_smoke, raw_events):
         # day-weighted mean of indexes == 1 (each index is wd_mean/all_mean)
         weighted = sum(n * ix for n, ix in items) / total_days
         assert abs(weighted - 1.0) < 1e-4
+
+
+def test_ltv_monotone_and_stickiness_bounds(spark, sf_smoke):
+    """LTV curves are non-decreasing in cohort age (cumulative money
+    can't shrink) and reconcile to the exact corpus total; stickiness
+    lies in (1/7, 1] with exact integer inputs."""
+    rows = ALL["q153_cohort_ltv"].builder(spark, sf_smoke).collect()
+    assert rows
+    per_cohort: dict = defaultdict(list)
+    for r in rows:
+        per_cohort[r["cohort_week"]].append((r["age_week"], r["cum_cents"]))
+    final_total = 0
+    for _c, curve in per_cohort.items():
+        curve.sort()
+        for (a1, c1), (a2, c2) in zip(curve, curve[1:]):
+            assert a1 < a2 and c1 <= c2
+        final_total += curve[-1][1]
+    con = duckdb.connect()
+    [(total,)] = con.sql(
+        f"""SELECT sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            FROM '{sf_smoke}/events.parquet'"""
+    ).fetchall()
+    con.close()
+    assert final_total == total
+
+    for r in ALL["q154_stickiness"].builder(spark, sf_smoke).collect():
+        assert 1.0 / r["n_days"] - 1e-9 <= r["stickiness"] <= 1.0
