@@ -1711,3 +1711,115 @@ def q154_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stickiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# q155: ABC-XYZ inventory classification (integer-exact thresholds)
+# --------------------------------------------------------------------------
+
+_ABC_A_PCT = 80  # cumulative revenue share boundary for class A
+_ABC_B_PCT = 95  # ... and for class B
+_XYZ_YEARS = 7  # demand observed over 1995..2001 (missing years = 0)
+
+_ABCXYZ_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT)) AS BIGINT) AS rev_e4,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+), yearly AS (
+  SELECT l_partkey, year(l_shipdate) AS y,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), moments AS (
+  SELECT l_partkey,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS ss
+  FROM yearly GROUP BY 1
+), ranked AS (
+  SELECT p.l_partkey, p.qty, m.s, m.ss,
+         sum(p.rev_e4) OVER (ORDER BY p.rev_e4 DESC, p.l_partkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(p.rev_e4) OVER () AS total_rev
+  FROM per_part p JOIN moments m ON m.l_partkey = p.l_partkey
+), classed AS (
+  SELECT CASE WHEN cum_rev * 100 <= total_rev * {_ABC_A_PCT} THEN 'A'
+              WHEN cum_rev * 100 <= total_rev * {_ABC_B_PCT} THEN 'B'
+              ELSE 'C' END AS abc_class,
+         -- CV^2 = (n*SS - S^2) / S^2 over n={_XYZ_YEARS} demand years
+         -- (missing years contribute 0 to S and SS); thresholds 0.25
+         -- and 1.0 cross-multiply to pure integer comparisons.
+         CASE WHEN ({_XYZ_YEARS} * ss - s * s) * 4 <= s * s THEN 'X'
+              WHEN {_XYZ_YEARS} * ss - s * s <= s * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         qty
+  FROM ranked
+)
+SELECT abc_class, xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(qty) AS BIGINT) AS total_qty
+FROM classed GROUP BY 1, 2
+"""
+
+
+@register(
+    "q155_abc_xyz",
+    "drift",
+    "ABC-XYZ inventory classification: parts ranked into A/B/C by "
+    f"cumulative revenue share ({_ABC_A_PCT}/{_ABC_B_PCT}% boundaries, "
+    "deterministic rank tiebreak) and into X/Y/Z by demand variability — "
+    "the squared coefficient of variation of yearly quantities "
+    "(missing years = zero demand) with the 0.25 / 1.0 thresholds "
+    "CROSS-MULTIPLIED into pure BIGINT comparisons, so the entire "
+    "classification is integer-exact with no float CV and no epsilon. "
+    "The planning grid (count + volume per cell) every inventory policy "
+    "starts from. Aggregate-then-rank: the global cumulative window "
+    "sees only the |parts| rollup.",
+    oracle=_ABCXYZ_ORACLE,
+)
+def q155_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev).alias("rev_e4"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    yearly = li.groupBy("l_partkey", F.year("l_shipdate").alias("y")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    moments = yearly.groupBy("l_partkey").agg(
+        F.sum("q").alias("s"), F.sum(F.col("q") * F.col("q")).alias("ss")
+    )
+    wcum = Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ranked = per_part.join(moments, "l_partkey").select(
+        "qty",
+        "s",
+        "ss",
+        F.sum("rev_e4").over(wcum).alias("cum_rev"),
+        F.sum("rev_e4").over(wall).alias("total_rev"),
+    )
+    disp = F.lit(_XYZ_YEARS) * F.col("ss") - F.col("s") * F.col("s")
+    classed = ranked.select(
+        F.when(
+            F.col("cum_rev") * 100 <= F.col("total_rev") * _ABC_A_PCT, "A"
+        )
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * _ABC_B_PCT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(disp * 4 <= F.col("s") * F.col("s"), "X")
+        .when(disp <= F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "qty",
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("qty").alias("total_qty"),
+    )

@@ -251,6 +251,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q152_weekday_index",
     "q153_cohort_ltv",
     "q154_stickiness",
+    "q155_abc_xyz",
 )
 
 

