@@ -65,75 +65,18 @@ def register(
 
 
 # Explicit front-of-registry ordering for the driver's bounded
-# correctness window (~50 queries/round). Round-3 rotation: every name
-# here has had ZERO driver CORRECTNESS rows across rounds 1-2 (plus
-# q36_approx_sketches, whose r01 row was an ERR and whose fix was never
-# re-checked). The dedup / similarity / text-core / multimodal /
-# sampling / traffic-parity families lead, per the round-2 verdict.
-# Names not listed keep registration order behind these; queries with
-# green rows from r01/r02 trail at the very back.
+# correctness window (~50 queries/round). Round-4 rotation: rounds 1-3
+# accumulated green driver rows for 148 queries; the names here are the
+# 112 that still have NO driver CORRECTNESS row (plus q36/q106, whose
+# only rows were `no_oracle` err shapes before this round's
+# exact-anchor restructure made them hash-checkable). Front-50 order
+# follows the round-3 verdict: (a) the round-1-flagged temporal/layout
+# carryovers, (b) the core streaming e2e twins, (c) q114-q131, (d) the
+# newly oracle-checkable sketch pair, (e) roundtrip sources + sampling
+# core. The remaining backlog queues directly behind so the round-5
+# window drains it in order; everything already driver-green trails in
+# registration order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r01 ERR whose fix never re-entered a window
-    "q36_approx_sketches",
-    # dedup family (13) — zero driver rows ever
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_rplsh",
-    "dedup_verified_pairs",
-    "dedup_clusters",
-    "dedup_cluster_stats",
-    "pipeline_corpus_clean",
-    # similarity family (12) — only sim_topk_quantized has a row
-    "sim_topk_bruteforce",
-    "sim_topk_pandas",
-    "sim_topk_ivf",
-    "sim_topk_rplsh",
-    "sim_topk_rplsh_multi",
-    "emb_label_centroids",
-    "emb_knn_classify",
-    "emb_pq_codes",
-    "sim_topk_pq_adc",
-    "sim_topk_ivf_adc",
-    "sim_recall_eval",
-    "sim_recall_eval_full",
-    # text core (11) — zero driver rows ever
-    "text_tfidf",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_rolling_hash",
-    "text_regex_scan",
-    "text_edit_distance",
-    "text_domain_kl",
-    "text_normalize",
-    "text_chunking",
-    "text_contamination",
-    # multimodal (4) — zero driver rows ever
-    "multimodal_meta",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    # sampling stragglers (2); sample_domain_mix carries the oracle
-    # BIGINT-cast fix for its r02 repr-only hash mismatch
-    "sample_cluster_split",
-    "sample_domain_mix",
-    # the reference's own pipeline (kafka_to_kudu parity) — never had
-    # a driver row (7)
-    "traffic_parse_csv",
-    "q29_traffic_parity",
-    "q30_tumbling_window",
-    "q31_sliding_window",
-    "q32_session_window",
-    "streaming_upsert_merge",
-    "stream_traffic_pipeline",
-    # ---- 50 above; below queues for the window's tail / round 4 ----
-    # temporal family — zero driver rows ever
     "q38_asof_join",
     "q39_range_join",
     "q40_correlated_subquery",
@@ -141,39 +84,55 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q52_sessionize",
     "q53_event_funnel",
     "q54_cohort_retention",
+    "q55_bucketed_join",
+    "q58_partitioned_scan",
     "q59_multires_rollup",
     "q64_running_distinct",
     "q64b_running_distinct_bounded",
-    # layout + roundtrip sources
-    "q55_bucketed_join",
-    "q58_partitioned_scan",
+    "q66_hll_partial_merge",
+    "q67_string_agg",
+    "q80_snapshot_diff",
     "q85_zorder_scan",
     "q96_ivf_partitioned_scan",
+    "stream_first_seen",
+    "stream_interval_join_e2e",
+    "stream_watermark_dedup_e2e",
+    "stream_session_window_e2e",
+    "stream_rollup_incremental_e2e",
+    "q114_triangle_count",
+    "q115_attribution",
+    "q116_intersect_all",
+    "q117_except_all",
+    "q118_dpp_join",
+    "q119_null_safe_join",
+    "q120_hof_order_jumps",
+    "q121_lateness_audit",
+    "q122_returned_items",
+    "q123_supplier_diversity",
+    "q124_cusum_changepoint",
+    "q125_psi_drift",
+    "q126_chisq_drift",
+    "q127_ks_drift",
+    "q128_brand_affinity",
+    "q129_seasonal_naive_eval",
+    "q130_promo_revenue",
+    "q131_late_priority",
+    "q36_approx_sketches",
+    "q106_sketch_grains",
     "q101_json_roundtrip",
     "q102_csv_roundtrip",
-    # sampling core
+    "q108_interval_coalesce",
+    "q109_daily_coverage",
     "sample_hash_bernoulli",
     "split_train_test",
     "sample_stratified",
     "sample_fixed_per_stratum",
-    # pipeline batch ops
-    "q80_snapshot_diff",
     "pipeline_incremental_ingest",
     "pipeline_sequence_examples",
     "pipeline_targeted_deletion",
     "pipeline_rate_limit",
     "pipeline_cdc_apply",
     "pipeline_sequence_pack",
-    # sketches / extensions stragglers
-    "q66_hll_partial_merge",
-    "q67_string_agg",
-    "q106_sketch_grains",
-    # streaming e2e — three of these shapes went driver-green in r02
-    "stream_first_seen",
-    "stream_interval_join_e2e",
-    "stream_watermark_dedup_e2e",
-    "stream_session_window_e2e",
-    "stream_rollup_incremental_e2e",
     "stream_enrich_static_e2e",
     "stream_trending_e2e",
     "stream_outer_interval_join_e2e",
@@ -181,9 +140,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_ann_e2e",
     "stream_rate_limit_e2e",
     "stream_scd2_e2e",
-    # ---- round-3 additions (registered this round, zero driver rows
-    # yet) — queued behind the earlier backlog, ahead of everything
-    # already driver-green, so rounds 4-5 windows drain them in order.
     "dedup_containment",
     "dedup_prefix_filter",
     "dedup_recall_eval",
@@ -196,34 +152,16 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_byte_stats",
     "pipeline_shard_export",
     "mv_incremental_join",
-    "q114_triangle_count",
-    "q115_attribution",
-    "q116_intersect_all",
-    "q117_except_all",
-    "q118_dpp_join",
-    "q119_null_safe_join",
-    "q120_hof_order_jumps",
     "stream_late_audit_e2e",
     "stream_attribution_e2e",
     "stream_transitions_restart_e2e",
-    "q121_lateness_audit",
-    "q122_returned_items",
-    "q123_supplier_diversity",
     "stream_hll_e2e",
     "stream_session_ttl_e2e",
     "stats_bootstrap_replicates",
     "sample_quota_allocation",
-    "q124_cusum_changepoint",
     "stream_cusum_e2e",
     "text_langid_eval",
-    "q125_psi_drift",
-    "q126_chisq_drift",
-    "q127_ks_drift",
-    "q128_brand_affinity",
-    "q129_seasonal_naive_eval",
     "stream_psi_drift_e2e",
-    "q130_promo_revenue",
-    "q131_late_priority",
     "text_bpe_encode",
     "q132_asof_forward",
     "q133_decayed_leaderboard",
@@ -262,11 +200,12 @@ def load_all() -> dict[str, QuerySpec]:
     Ordering is deliberate: the driver's correctness gate walks the
     registry front-to-back with a bounded window (~50 queries/round), so
     families whose driver-side evidence is thinnest come first. The
-    explicit ``_WINDOW_PRIORITY`` list (124 names) leads with the 92
-    queries that had no driver CORRECTNESS row after rounds 1-2, then
-    queues the round-3 additions — rounds 3-5 windows drain it in
-    order; everything already driver-green trails behind
-    in registration order. Coverage accumulates across rounds.
+    explicit ``_WINDOW_PRIORITY`` list holds every query still lacking a
+    driver CORRECTNESS row after rounds 1-3 (112 queries, plus the two
+    sketch queries whose rows were ``no_oracle`` err shapes until this
+    round's restructure) — the round-4 window drains the front 50, the
+    round-5 window the rest; everything already driver-green trails
+    behind in registration order. Coverage accumulates across rounds.
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
     import spark_stream_kudu_spark.operators.drift  # noqa: F401
