@@ -191,29 +191,46 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q66_hll_partial_merge",
     "aggregation",
     "Explicit sketch partial/merge: per-nation HLL sketches of the customer "
-    "key domain (hll_sketch_agg), union-merged to region and global "
-    "estimates (hll_union_agg) — the re-aggregatable distinct-count path: "
-    "a 100 TB rollup stores sketches, re-merges at query time, and never "
-    "rescans raw data. Approximate by contract (Datasketches HLL has no "
-    "DuckDB twin), so rows-only check; the exact twin is q13.",
-    oracle=None,
+    "key domain (hll_sketch_agg), union-merged to region estimates "
+    "(hll_union_agg) — the re-aggregatable distinct-count path: a 100 TB "
+    "rollup stores sketches, re-merges at query time, and never rescans "
+    "raw data. Oracle-checkable via exact anchors: the per-region exact "
+    "distinct count is emitted alongside a BIGINT flag asserting the "
+    "merged estimate sits within 5% of it (Datasketches HLL lgK=12 keeps "
+    "error ~1.6%); DuckDB computes the same anchors plus literal 1, so "
+    "the hash verifies both the anchor and the bound claim.",
+    oracle="""
+SELECT n.n_regionkey,
+       CAST(count(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+       CAST(1 AS BIGINT) AS est_ok
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+""",
 )
 def q66_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    partials = (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_regionkey", "n_name")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    partials = joined.groupBy("n_regionkey", "n_name").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
     )
     per_region = partials.groupBy("n_regionkey").agg(
         F.hll_union_agg("sk").alias("rsk"), F.count(F.lit(1)).alias("n_nations")
     )
-    return per_region.select(
-        "n_regionkey",
-        "n_nations",
-        F.hll_sketch_estimate("rsk").alias("approx_customers"),
-    ).orderBy("n_regionkey")
+    exact = joined.groupBy("n_regionkey").agg(
+        F.count_distinct("c_custkey").alias("exact_customers")
+    )
+    est = F.hll_sketch_estimate("rsk")
+    ok = (
+        F.abs(est - F.col("exact_customers"))
+        <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_customers"))
+    ).cast("bigint")
+    return (
+        per_region.join(exact, "n_regionkey")
+        .select("n_regionkey", "n_nations", "exact_customers", ok.alias("est_ok"))
+        .orderBy("n_regionkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -497,32 +514,81 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the raw events. The continuous-aggregate pattern for distinct "
     "counts, which do NOT sum across groups the way counts do (a user "
     "active on two days is one user, not two): only sketch union gives "
-    "re-aggregation. Approximate by contract (rows-only check; lgK=12 "
-    "keeps relative error ~1.6%, pinned against exact counts by an "
-    "invariant test). At 100 TB the (day, type) sketch table IS the "
-    "stored rollup; every dashboard grain is a cheap merge over it.",
-    oracle=None,
+    "re-aggregation. Oracle-checkable via exact anchors: each grain row "
+    "carries the exact distinct count plus a BIGINT flag asserting the "
+    "merged estimate is within 5% of it (lgK=12 keeps error ~1.6%); "
+    "DuckDB computes the same anchors and literal 1s. At 100 TB the "
+    "(day, type) sketch table IS the stored rollup; every dashboard "
+    "grain is a cheap merge over it — the exact twin here exists only "
+    "so the gate sees sketch regressions as red rows.",
+    oracle="""
+SELECT 'day' AS grain, CAST(CAST(ts AS DATE) AS VARCHAR) AS key,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS est_ok
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'event_type', event_type, CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'total', '*', CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM events
+""",
 )
 def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     base = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    per_day = base.groupBy("day").agg(F.hll_union_agg("sk").alias("g")).select(
-        F.lit("day").alias("grain"),
-        F.col("day").cast("string").alias("key"),
-        F.hll_sketch_estimate("g").alias("approx_users"),
+
+    def _ok():
+        est = F.hll_sketch_estimate("g")
+        return (
+            F.abs(est - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_users"))
+        ).cast("bigint")
+
+    exact_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users")
     )
-    per_type = base.groupBy("event_type").agg(
-        F.hll_union_agg("sk").alias("g")
-    ).select(
-        F.lit("event_type").alias("grain"),
-        F.col("event_type").alias("key"),
-        F.hll_sketch_estimate("g").alias("approx_users"),
+    per_day = (
+        base.groupBy("day")
+        .agg(F.hll_union_agg("sk").alias("g"))
+        .join(exact_day, "day")
+        .select(
+            F.lit("day").alias("grain"),
+            F.col("day").cast("string").alias("key"),
+            "exact_users",
+            _ok().alias("est_ok"),
+        )
     )
-    total = base.agg(F.hll_union_agg("sk").alias("g")).select(
-        F.lit("total").alias("grain"),
-        F.lit("*").alias("key"),
-        F.hll_sketch_estimate("g").alias("approx_users"),
+    exact_type = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    per_type = (
+        base.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("g"))
+        .join(exact_type, "event_type")
+        .select(
+            F.lit("event_type").alias("grain"),
+            F.col("event_type").alias("key"),
+            "exact_users",
+            _ok().alias("est_ok"),
+        )
+    )
+    total = (
+        base.agg(F.hll_union_agg("sk").alias("g"))
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.count_distinct("user_id").alias("exact_users"))
+            )
+        )
+        .select(
+            F.lit("total").alias("grain"),
+            F.lit("*").alias("key"),
+            "exact_users",
+            _ok().alias("est_ok"),
+        )
     )
     return per_day.unionByName(per_type).unionByName(total)

@@ -1,10 +1,17 @@
-"""Sketch aggregates (approximate — rows-only check by design).
+"""Sketch aggregates (approximate estimates, exact-anchor checked).
 
 Split out of operators/advanced.py so the driver's correctness window
 (first ~50 registry entries) reaches q36 — the one hard gate failure
 in round 1 (array output crashed the canonicalizer; now projected to
 flat scalars) — without spending 14 window slots on the rest of the
 advanced module, which went green in CORRECTNESS_r01.
+
+Oracle strategy (round 4): DuckDB has no HLL++/KLL twin, so sketch
+queries emit (exact_anchor, bound_flag) pairs — the exact value the
+oracle can recompute plus a BIGINT 1 asserting the estimate sits
+within its documented error bound. The value hash then verifies both
+the anchor and the bound claim, turning the former `no_oracle` err
+rows into real green/red signals.
 """
 
 from __future__ import annotations
@@ -19,25 +26,70 @@ from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
 
 
+_Q36_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+       CAST(1 AS BIGINT) AS parts_ok,
+       CAST(1 AS BIGINT) AS supps_ok,
+       CAST(1 AS BIGINT) AS p50_ok,
+       CAST(1 AS BIGINT) AS p95_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _within(est, exact, rel: float):
+    """1 when |est-exact| <= max(1, rel*exact) — the sketch error bound
+    as a hash-checkable BIGINT (booleans avoided: repr-stable ints)."""
+    return (
+        F.abs(est - exact) <= F.greatest(F.lit(1.0), F.lit(rel) * exact)
+    ).cast("bigint")
+
+
 @register(
     "q36_approx_sketches",
     "aggregation",
-    "Sketch aggregates: approx_count_distinct (HyperLogLog++) and approximate "
-    "percentiles — the constant-memory cardinality/quantile path for 100 TB "
-    "aggregations. Approximate by contract, so no value oracle (rows-only); the "
-    "exact twins are covered by q13/q37. Percentiles are projected to scalar "
-    "columns (p50/p95) so the output schema is flat.",
-    oracle=None,
+    "Sketch aggregates: approx_count_distinct (HyperLogLog++, rsd=0.01) and "
+    "approximate percentiles — the constant-memory cardinality/quantile path "
+    "for 100 TB aggregations. Oracle-checkable via exact anchors: the exact "
+    "distinct counts are emitted alongside BIGINT flags asserting each "
+    "estimate sits within 5% of exact (percentiles within the exact "
+    "p45-p55 / p90-p99 band); DuckDB computes the same exact anchors and "
+    "literal 1s, so the value hash verifies BOTH the anchor and the bound "
+    "claim. The sketch path stays the featured computation; the exact twin "
+    "exists to make the gate see sketch failures as red rows.",
+    oracle=_Q36_ORACLE,
 )
 def q36_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        pcts.getItem(0).alias("price_p50"),
-        pcts.getItem(1).alias("price_p95"),
+    bands = F.expr(
+        "percentile(l_extendedprice, array(0.45, 0.55, 0.90, 0.99))"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("asu"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+        pcts.getItem(0).alias("p50"),
+        pcts.getItem(1).alias("p95"),
+        bands.alias("band"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        _within(F.col("ap"), F.col("exact_parts"), 0.05).alias("parts_ok"),
+        _within(F.col("asu"), F.col("exact_supps"), 0.05).alias("supps_ok"),
+        (
+            (F.col("band").getItem(0) <= F.col("p50"))
+            & (F.col("p50") <= F.col("band").getItem(1))
+        ).cast("bigint").alias("p50_ok"),
+        (
+            (F.col("band").getItem(2) <= F.col("p95"))
+            & (F.col("p95") <= F.col("band").getItem(3))
+        ).cast("bigint").alias("p95_ok"),
     )
 
 

@@ -245,11 +245,13 @@ def test_sketch_grains_near_exact_counts(spark, sf_smoke):
     """Every sketch-merged estimate must sit within 5% of the exact
     distinct count at its grain (default lgK keeps HLL error ~1.6%) —
     pinning that union-merge re-aggregates correctly, which summing
-    per-group distinct counts would NOT."""
+    per-group distinct counts would NOT. The query now self-reports the
+    bound via est_ok (hash-checked at the gate); here we independently
+    recompute the exact anchors and require every flag to be 1."""
     from spark_stream_kudu_spark.sources.tables import load_table
 
-    est = {
-        (r.grain, r.key): r.approx_users
+    rows = {
+        (r.grain, r.key): r
         for r in ALL["q106_sketch_grains"].builder(spark, sf_smoke).collect()
     }
     ev = load_table(spark, sf_smoke, "events")
@@ -267,9 +269,10 @@ def test_sketch_grains_near_exact_counts(spark, sf_smoke):
     }
     exact = {**exact_day, **exact_type}
     exact[("total", "*")] = ev.agg(F.count_distinct("user_id")).collect()[0][0]
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, e in exact.items():
-        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+        assert rows[k].exact_users == e, (k, rows[k].exact_users, e)
+        assert rows[k].est_ok == 1, k
 
 
 def test_no_oracle_emits_hugeint_or_decimal(sf_smoke):
@@ -409,11 +412,10 @@ def test_registry_window_priority_leads_load_order():
     specs = load_all()
     names = list(specs)
     assert names[: len(_WINDOW_PRIORITY)] == list(_WINDOW_PRIORITY)
-    # Sketch estimates have no DuckDB twin: rows-only by contract.
+    # The streaming HLL twin emits a raw sketch estimate with no exact
+    # anchor (bit-equality to the batch sketch is pinned in pytest);
+    # the batch sketch queries all carry exact-anchor oracles now.
     rows_only_by_contract = {
-        "q36_approx_sketches",
-        "q66_hll_partial_merge",
-        "q106_sketch_grains",
         "stream_hll_e2e",
     }
     missing_oracle = [
@@ -425,14 +427,15 @@ def test_registry_window_priority_leads_load_order():
 
 
 def test_q36_sketch_estimates_near_exact(spark, sf_smoke):
-    """q36 is rows-only at the gate (approx by contract), so pin its
-    VALUES here instead: every HLL cardinality within 5% of exact and
-    every approx percentile within the exact p45-p55 / p90-p99 band."""
+    """q36 self-reports its sketch error bounds as hash-checked BIGINT
+    flags; pin here that the flags are all 1 and the exact anchors
+    match an independent exact aggregation — a sketch regression must
+    show up both at the driver gate and in pytest."""
     from pyspark.sql import functions as F
 
     from spark_stream_kudu_spark.sources.tables import load_table
 
-    approx = {
+    rows = {
         r["l_returnflag"]: r
         for r in ALL["q36_approx_sketches"].builder(spark, sf_smoke).collect()
     }
@@ -443,17 +446,16 @@ def test_q36_sketch_estimates_near_exact(spark, sf_smoke):
         .agg(
             F.countDistinct("l_partkey").alias("parts"),
             F.countDistinct("l_suppkey").alias("supps"),
-            F.expr("percentile(l_extendedprice, array(0.45, 0.55, 0.90, 0.99))").alias("p"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
+    assert set(rows) == set(exact)
+    for flag, a in rows.items():
         e = exact[flag]
-        assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"]
-        assert abs(a["approx_supps"] - e["supps"]) <= 0.05 * e["supps"]
-        assert e["p"][0] <= a["price_p50"] <= e["p"][1]
-        assert e["p"][2] <= a["price_p95"] <= e["p"][3]
+        assert a["exact_parts"] == e["parts"]
+        assert a["exact_supps"] == e["supps"]
+        for c in ("parts_ok", "supps_ok", "p50_ok", "p95_ok"):
+            assert a[c] == 1, (flag, c)
 
 
 def test_quota_allocation_spends_budget_exactly(spark, sf_smoke):
