@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.joins import gated_broadcast
 from spark_stream_kudu_spark.functions.lineage import (
     configure_reliable_checkpoints,
     cut_lineage,
@@ -129,19 +130,25 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outdeg = raw.groupBy("src").agg(F.sum("w").alias("wout"))
     # Fold the static out-degree into the edge list ONCE; each round then
-    # needs only a broadcast of the |nodes|-sized rank table — the edge
-    # list never re-shuffles (at web scale swap the broadcast for a
-    # shuffled hash join, same loop).
+    # needs only the |nodes|-sized rank table on the build side —
+    # broadcast below the session threshold (edge list never
+    # re-shuffles), shuffled hash join above it (the web-scale path).
     edges = raw.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
+    # Size-gate the per-round rank-table join ONCE (the node set is
+    # static across rounds): broadcast while |nodes| fits under the
+    # session's autoBroadcastJoinThreshold, shuffled hash join above it
+    # — the web-scale path where a broadcast would OOM the driver.
+    n_nodes = nodes.count()
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     base = int(_PR_SCALE * 15 // 100)
     reliable = configure_reliable_checkpoints(spark)
     for i in range(_PR_ITERATIONS):
+        ranks_side = gated_broadcast(ranks, n_nodes, spark)
         contrib = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            edges.join(ranks_side, edges["src"] == ranks_side["node"])
             .select(
                 F.col("dst"),
                 # Integer `div`, never float `/`: rank * w exceeds 2^53,
@@ -153,8 +160,9 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        contrib_side = gated_broadcast(contrib, n_nodes, spark)
         ranks = (
-            nodes.join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
+            nodes.join(contrib_side, nodes["node"] == contrib_side["dst"], "left")
             .select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
@@ -355,12 +363,18 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("long").alias("label"),
     )
     labels = c_nodes.join(seeds_c.unionByName(seeds_s), "node")
+    # Same size gate as q86: count the (static) node set once, then
+    # broadcast the per-round label table only while it fits under the
+    # session threshold — shuffled hash join beyond.
+    n_nodes = c_nodes.count()
     reliable = configure_reliable_checkpoints(spark)
     wrk = Window.partitionBy("node").orderBy(F.desc("ws"), F.asc("label"))
     for i in range(_LP_ROUNDS):
         votes = (
             edges.join(
-                F.broadcast(labels.withColumnRenamed("node", "src_n")),
+                gated_broadcast(
+                    labels.withColumnRenamed("node", "src_n"), n_nodes, spark
+                ),
                 edges["src"] == F.col("src_n"),
             )
             .groupBy(F.col("dst").alias("node"), "label")

@@ -817,7 +817,7 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for every (qid, sub, cid) — tiny, broadcast.
     lut = None
     for s in range(_PQ_SUBSPACES):
-        part = q.crossJoin(cents).select(
+        part = q.crossJoin(F.broadcast(cents)).select(
             "qid",
             F.lit(s).alias("sub"),
             "cid",
@@ -955,7 +955,7 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut = None
     for s in range(_PQ_SUBSPACES):
-        part = q.crossJoin(pqcents).select(
+        part = q.crossJoin(F.broadcast(pqcents)).select(
             "qid",
             "qcid",
             F.lit(s).alias("sub"),

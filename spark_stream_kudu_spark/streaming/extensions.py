@@ -762,7 +762,7 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lut = None
         for s in range(_PQ_SUBSPACES):
-            part = q.crossJoin(cents).select(
+            part = q.crossJoin(F.broadcast(cents)).select(
                 "qid",
                 F.lit(s).alias("sub"),
                 "cid",
