@@ -28,8 +28,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_stream_kudu_spark.registry import load_all  # noqa: E402
 from spark_stream_kudu_spark.session import get_spark  # noqa: E402
 
+# Host-speed calibration: the sandbox is a shared VM whose CPU speed
+# drifts between rounds (round 3 measured a uniform ~1.55x inflation on
+# code untouched since round 1). A fixed CPU-bound spin measured at
+# suite start makes every BENCH artifact self-normalizing:
+#   host_factor      = calib_sec / CALIB_REF_SEC
+#   value_normalized = value / host_factor
+# CALIB_REF_SEC is the spin's cost measured on the round-4 build host,
+# pinned once so all later rounds compare against the same yardstick.
+# Single-threaded on purpose — per-core speed is what scales every
+# Spark task on this box.
+CALIB_REF_SEC = 0.156
+
+
+def _calibrate() -> float:
+    """Best-of-3 fixed CPU workload: numpy matmul + pure-Python loop
+    (the two substrates engine time is actually spent on outside the
+    JVM; JVM task time tracks the same per-core clock)."""
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+        acc = a
+        for _ in range(12):
+            acc = acc @ a
+            acc = acc / max(1.0, float(abs(acc[0, 0])) or 1.0)
+        s = 0
+        for i in range(2_000_000):
+            s += i ^ (i >> 3)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Calibrate BEFORE the JVM exists (quietest moment on the host) and
+    # again after the suite; take the min — steady-state per-core speed,
+    # not a GC or steal burst.
+    calib_pre = _calibrate()
     spark = get_spark("engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -67,6 +105,8 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    calib = min(calib_pre, _calibrate())
+    host_factor = round(calib / CALIB_REF_SEC, 3)
     print(
         json.dumps(
             {
@@ -75,6 +115,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "calib_sec": round(calib, 3),
+                "calib_ref_sec": CALIB_REF_SEC,
+                "host_factor": host_factor,
+                "value_normalized": round(total / host_factor, 3),
             }
         )
     )
