@@ -198,10 +198,11 @@ WITH counts AS (
 SELECT c.event_type,
        c.cb AS n_observed,
        {sql_fround("(c.ca * 1.0 / t.na) * t.nb", 4)} AS n_expected,
-       {sql_fround(
+       CASE WHEN c.ca = 0 THEN NULL ELSE {sql_fround(
            "(c.cb - (c.ca * 1.0 / t.na) * t.nb)"
            " * (c.cb - (c.ca * 1.0 / t.na) * t.nb)"
-           " / ((c.ca * 1.0 / t.na) * t.nb)", 6)} AS chisq_contrib
+           " / ((c.ca * 1.0 / t.na) * t.nb)", 6)} END AS chisq_contrib,
+       CAST(CASE WHEN c.ca = 0 THEN 1 ELSE 0 END AS BIGINT) AS novel
 FROM counts c CROSS JOIN totals t
 """
 
@@ -231,7 +232,13 @@ def q126_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chisq_from_counts(counts: DataFrame) -> DataFrame:
     """Finalize the chi-square contributions from a (event_type, ca, cb)
     category-count table — the re-aggregatable partial both the batch
-    query and the streaming twin's additive store produce."""
+    query and the streaming twin's additive store produce.
+
+    A category absent from the reference period (ca=0) has expected=0,
+    where (O-E)^2/E is undefined — and it is exactly the case a drift
+    monitor must surface, so it gets an explicit ``novel`` flag and a
+    NULL contribution (deterministic in both engines; DuckDB would
+    otherwise return inf where Spark returns NULL)."""
     wall = Window.partitionBy()
     na = F.sum("ca").over(wall)
     nb = F.sum("cb").over(wall)
@@ -241,7 +248,10 @@ def chisq_from_counts(counts: DataFrame) -> DataFrame:
         "event_type",
         F.col("cb").alias("n_observed"),
         fround(expected, 4).alias("n_expected"),
-        fround(dev * dev / expected, 6).alias("chisq_contrib"),
+        F.when(F.col("ca") > 0, fround(dev * dev / expected, 6)).alias(
+            "chisq_contrib"
+        ),
+        (F.col("ca") == 0).cast("bigint").alias("novel"),
     )
 
 
@@ -943,6 +953,12 @@ def q143_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(pairs_arr, p -> p.cents)").alias("xs"),
     )
     w = _MOTIF_W
+    # A series shorter than two windows has no motif pair. Without this
+    # filter Spark's sequence(1, size-2w+1) would be DESCENDING (garbage
+    # i/j whose out-of-bounds element_at yields null dists sorting
+    # first) while DuckDB's generate_series is empty — the filter makes
+    # both engines emit no row for such a type.
+    lists = lists.filter(F.size("xs") >= 2 * w)
     pos = lists.select(
         "event_type",
         "xs",
@@ -1138,6 +1154,7 @@ SELECT event_type, CAST(d AS BIGINT) AS n_days, s AS n_events,
        floor(((ss * 1.0 * d - s * 1.0 * s) / (d * 1.0 * (d - 1)))
              / (s * 1.0 / d) * 1000000 + 0.5) / 1000000 AS fano
 FROM moments
+WHERE d >= 2
 """
 
 
@@ -1162,6 +1179,10 @@ def q146_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("s"),
         F.sum(F.col("n") * F.col("n")).alias("ss"),
     )
+    # Sample variance needs d >= 2; a single-day series would divide by
+    # zero (Spark NULL vs DuckDB inf — engine-dependent), so both sides
+    # exclude it rather than emit an engine-shaped value.
+    m = m.filter(F.col("d") >= 2)
     dd = F.col("d").cast("double")
     sd = F.col("s").cast("double")
     ssd = F.col("ss").cast("double")

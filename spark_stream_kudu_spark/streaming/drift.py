@@ -40,7 +40,7 @@ from spark_stream_kudu_spark.operators.series import _HOLT_ORACLE
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
-from spark_stream_kudu_spark.streaming.workdir import new_run_dir
+from spark_stream_kudu_spark.streaming.workdir import new_run_dir, stage_one_slice
 
 
 @register(
@@ -58,30 +58,17 @@ from spark_stream_kudu_spark.streaming.workdir import new_run_dir
     oracle=_PSI_ORACLE,
 )
 def stream_psi_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
 
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     base = new_run_dir("psi")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
-    # 4 replay files = 4 micro-batches (maxFilesPerTrigger=1), written
-    # executor-side, staged under stable names. Hash-split (not
-    # time-split) on purpose: additive counts must not care which batch
-    # a row lands in, and this slicing exercises exactly that.
+    # 4 hash-split replay files = 4 micro-batches
+    # (maxFilesPerTrigger=1), staged via the canonical helper:
+    # additive counts must not care which batch a row lands in, and
+    # this slicing exercises exactly that.
     for k in range(4):
-        stage = os.path.join(base, f"stage_{k}")
-        (
-            ev.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
 
     sink = AdditiveRollupSink(
         os.path.join(base, "counts"),
@@ -136,9 +123,6 @@ def stream_psi_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_KS_ORACLE,
 )
 def stream_ks_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
 
     tune_session(spark)
@@ -146,18 +130,12 @@ def stream_ks_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", "value"
     )
     base = new_run_dir("ks")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
+    # 4 hash-split replay files = 4 micro-batches
+    # (maxFilesPerTrigger=1), staged via the canonical helper:
+    # additive counts must not care which batch a row lands in, and
+    # this slicing exercises exactly that.
     for k in range(4):
-        stage = os.path.join(base, f"stage_{k}")
-        (
-            ev.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
 
     sink = AdditiveRollupSink(
         os.path.join(base, "counts"),
@@ -206,26 +184,17 @@ def stream_ks_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_CHISQ_ORACLE,
 )
 def stream_chisq_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
 
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     base = new_run_dir("chs")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
+    # 4 hash-split replay files = 4 micro-batches
+    # (maxFilesPerTrigger=1), staged via the canonical helper:
+    # additive counts must not care which batch a row lands in, and
+    # this slicing exercises exactly that.
     for k in range(4):
-        stage = os.path.join(base, f"stage_{k}")
-        (
-            ev.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
 
     sink = AdditiveRollupSink(
         os.path.join(base, "counts"), key=["event_type"], sum_cols=["ca", "cb"]
