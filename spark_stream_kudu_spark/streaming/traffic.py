@@ -43,18 +43,69 @@ TRAFFIC_CONDITIONS_COLUMNS = [
 ]
 
 
+KAFKA_FORMAT = "kafka"
+_KAFKA_PROBE_CLASS = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka datasource jar is on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``)."""
+    try:
+        spark._jvm.java.lang.Class.forName(_KAFKA_PROBE_CLASS)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def kafka_source_options(
+    brokers: str,
+    topic: str = "traffic",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 100_000,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The deployment option dict for the reference's front door (O1).
+
+    Mirrors the reference's direct-stream config (broker list + topic,
+    kafka_to_kudu.py:19; README.md:18-23 runs it against a live topic)
+    plus the production knobs Structured Streaming adds:
+
+    - ``startingOffsets`` — where a fresh checkpoint begins ("latest"
+      matches the DStream default; "earliest" for backfill).
+    - ``maxOffsetsPerTrigger`` — per-batch record cap, bounding batch
+      size during catch-up so a restart can't produce one giant batch.
+    - ``failOnDataLoss`` — false tolerates aged-out offsets (retention
+      expiry) instead of killing the query.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_traffic_source(
-    spark: SparkSession, brokers: str, topic: str = "traffic"
+    spark: SparkSession, brokers: str, topic: str = "traffic", **kwargs
 ) -> DataFrame:
     """O1: the Kafka scan (py:19, java:65-67, scala:28-29), Spark-first.
 
-    Requires the spark-sql-kafka package on the classpath; the test
-    suite uses the file-source replay instead (same downstream plan).
+    Jar-gated like the Kudu sink: without the spark-sql-kafka package
+    this raises a RuntimeError naming the missing dependency instead of
+    surfacing an opaque AnalysisException mid-plan. The test suite uses
+    the file-source replay instead (same downstream plan).
     """
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka datasource not on the classpath; submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>"
+        )
     return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
+        spark.readStream.format(KAFKA_FORMAT)
+        .options(**kafka_source_options(brokers, topic, **kwargs))
         .load()
         .selectExpr("CAST(value AS STRING) AS value")  # O4 KV projection (java:69-75)
     )
