@@ -386,9 +386,14 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id % 97 = b.doc_id % 97
 @register(
     "dedup_ngram_jaccard",
     "dedup",
-    f"Exact {SHINGLE_N}-gram Jaccard similarity on blocked candidate pairs "
-    "(modulo blocking here; in production the MinHash-LSH pairs feed this verify "
-    "stage). Set arithmetic entirely in native array expressions.",
+    f"BLOCKED DEMO of the exact {SHINGLE_N}-gram Jaccard verify kernel: "
+    "the mod-97 blocking here samples ~1/97 of all pairs purely to keep "
+    "this standalone registration oracle-checkable — it is NOT the "
+    "production candidate generator and must not be benchmarked as the "
+    "verify stage. The production path is dedup_verified_pairs / "
+    "pipeline_corpus_clean, where the SAME set-arithmetic kernel "
+    "(native array expressions) scores only MinHash-LSH candidate "
+    "pairs.",
     oracle=_JACCARD_ORACLE,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
