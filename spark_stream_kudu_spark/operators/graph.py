@@ -391,3 +391,91 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# --------------------------------------------------------------------------
+# q156: recursive hierarchy flattening (org-chart / BOM closure)
+# --------------------------------------------------------------------------
+
+_HIER_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey // 2 AS ancestor, 1 AS dist
+  FROM customer WHERE c_custkey >= 2
+  UNION ALL
+  SELECT a.node, a.ancestor // 2, a.dist + 1
+  FROM anc a WHERE a.ancestor >= 2
+)
+SELECT CAST(a.ancestor AS BIGINT) AS manager,
+       CAST(count(*) AS BIGINT) AS n_reports,
+       CAST(max(a.dist) AS BIGINT) AS max_depth,
+       CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS subtree_cents
+FROM anc a JOIN customer c ON c.c_custkey = a.node
+GROUP BY a.ancestor
+"""
+
+
+@register(
+    "q156_hierarchy_closure",
+    "graph",
+    "Recursive-hierarchy flattening (the org-chart/BOM closure SQL "
+    "engines express with WITH RECURSIVE, which Spark SQL lacks): the "
+    "customer table is read as a management tree (parent(k) = k div 2 "
+    "— TPC-H custkeys are contiguous from 1, so every parent exists) "
+    "and the FULL ancestor closure (node, ancestor, dist) is computed "
+    "by pointer doubling / repeated squaring: R_{2d} = R_d UNION "
+    "compose(R_d, R_d), so a depth-D tree needs ceil(log2 D) self-join "
+    "rounds — 5 rounds for a million-node tree, NOT D sequential joins "
+    "like naive recursion. Round count derives from max(custkey) "
+    "(depth of the k div 2 chain = floor(log2 k)), each round is one "
+    "shuffled self-join + distinct with lineage cut. Output is the "
+    "per-manager subtree rollup (report count, max depth, exact "
+    "account-balance subtotal in cents) — the aggregation closures "
+    "exist for. The oracle is DuckDB's native WITH RECURSIVE, so the "
+    "doubling loop is hash-checked against real recursive SQL.",
+    oracle=_HIER_ORACLE,
+)
+def q156_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").cast("long").alias("node"),
+        F.expr("c_custkey div 2").cast("long").alias("ancestor"),
+        F.lit(1).cast("long").alias("dist"),
+    )
+    max_key = c.agg(F.max("c_custkey")).collect()[0][0] or 1
+    depth = max(1, int(max_key).bit_length() - 1)
+    rounds = max(1, (depth - 1).bit_length())
+    reliable = configure_reliable_checkpoints(spark)
+    closure = edges
+    for i in range(rounds):
+        a = closure.select(
+            F.col("node"), F.col("ancestor").alias("mid"), F.col("dist").alias("da")
+        )
+        b = closure.select(
+            F.col("node").alias("mid"),
+            F.col("ancestor"),
+            F.col("dist").alias("db"),
+        )
+        hops = a.join(b, "mid").select(
+            "node", "ancestor", (F.col("da") + F.col("db")).alias("dist")
+        )
+        # In a tree the ancestor at a given distance is unique, but a
+        # path of length d is composed from several (da, db) splits —
+        # distinct() collapses them before the next squaring round.
+        closure = closure.unionByName(hops).distinct()
+        closure = cut_lineage(closure, i, reliable)
+    rollup_src = closure.join(
+        c.select(
+            F.col("c_custkey").cast("long").alias("node"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        ),
+        "node",
+    )
+    return rollup_src.groupBy(F.col("ancestor").alias("manager")).agg(
+        F.count(F.lit(1)).alias("n_reports"),
+        F.max("dist").alias("max_depth"),
+        F.sum("cents").alias("subtree_cents"),
+    )

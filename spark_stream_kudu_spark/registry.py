@@ -190,6 +190,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q153_cohort_ltv",
     "q154_stickiness",
     "q155_abc_xyz",
+    # round-4 additions (registered this round, zero driver rows yet)
+    "q156_hierarchy_closure",
+    "q157_topk_rank_error",
 )
 
 

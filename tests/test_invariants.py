@@ -735,3 +735,59 @@ def test_mg_query_matches_exact_python(spark, sf_smoke):
     assert {r["item"]: r["cnt"] for r in rows} == expect
     for r in rows:
         assert r["n_total"] == n
+
+
+def test_space_saving_kernel_invariants():
+    """The batched Space-Saving kernel (pure function): est >= true >=
+    est - err for every kept item, any absent item's true count <=
+    absent_ub, state bounded at 2m counters — on adversarial data that
+    forces repeated compaction, across multiple batches."""
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from spark_stream_kudu_spark.operators.sketches import _SS_M, ss_summarize
+
+    rng = random.Random(11)
+    items = ["hot_a"] * 900 + ["hot_b"] * 700 + [
+        f"t{min(int(rng.paretovariate(0.7)), 2000)}" for _ in range(30000)
+    ]
+    rng.shuffle(items)
+    freq = Counter(items)
+    chunks = [items[i : i + 7000] for i in range(0, len(items), 7000)]
+    out = list(
+        ss_summarize(
+            iter(pd.DataFrame({"item": c, "pid": 3}) for c in chunks)
+        )
+    )
+    assert len(out) == 1
+    summ = out[0]
+    assert len(summ) <= 2 * _SS_M
+    absent_ub = int(summ["absent_ub"].iloc[0])
+    kept = {}
+    for _, r in summ.iterrows():
+        kept[r["item"]] = (int(r["est"]), int(r["err"]))
+        assert r["pid"] == 3
+    for item, true in freq.items():
+        if item in kept:
+            est, err = kept[item]
+            assert est >= true, item
+            assert est - err <= true, item
+        else:
+            assert true <= absent_ub, (item, true, absent_ub)
+    assert "hot_a" in kept and "hot_b" in kept
+
+
+def test_topk_rank_error_flags_all_green(spark, sf_smoke):
+    """q157's sketch claims must hold on the fixture: every exact top-k
+    item is covered by the Space-Saving candidate union and its exact
+    count sits inside the merged [lower, upper] bound."""
+    rows = ALL["q157_topk_rank_error"].builder(spark, sf_smoke).collect()
+    from spark_stream_kudu_spark.operators.sketches import _SS_K
+
+    assert len(rows) == _SS_K
+    assert all(r["covered_ok"] == 1 for r in rows)
+    assert all(r["bound_ok"] == 1 for r in rows)
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, _SS_K + 1))
