@@ -62,6 +62,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "stream_traffic_pipeline",
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
+        "q157_topk_rank_error",
     }
     for name, spec in ALL.items():
         if name in allowed_python:
@@ -82,6 +83,7 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
         "multimodal_byte_stats",
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
+        "q157_topk_rank_error",
     ]:
         df = ALL[name].builder(spark, sf_smoke)
         nodes = checks.python_eval_nodes(df)
