@@ -908,14 +908,41 @@ def stream_late_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(hll_sketch_agg of user_id) and a SketchUnionSink register-max-"
     "merges it into the keyed store. Union is commutative, associative "
     "AND idempotent, so the final estimate is bit-identical to the "
-    "one-shot batch sketch for ANY batch slicing — pinned exactly by "
-    "the invariant test (approximate by contract vs true counts, so "
-    "rows-only at the gate; the estimate values still hash-stably "
-    "reproduce). The streaming distinct-users dashboard feed: state is "
-    "|keys| sketches, never user ids.",
-    oracle=None,
+    "one-shot batch sketch for ANY batch slicing (pinned exactly by "
+    "the invariant test). Oracle-checkable since round 4 via the same "
+    "exact-anchor pattern as the batch sketch family: each key carries "
+    "the exact distinct count plus a BIGINT flag asserting the merged "
+    "streaming estimate sits within 5% of it — a broken union merge "
+    "turns the flag to 0 and the driver row red. State is |keys| "
+    "sketches, never user ids.",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS est_ok
+FROM events GROUP BY event_type
+""",
 )
 def stream_hll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, store = run_stream_hll(spark, sf_dir)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = F.hll_sketch_estimate("sk")
+    ok = (
+        F.abs(est - F.col("exact_users"))
+        <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_users"))
+    ).cast("bigint")
+    return store.join(exact, "event_type").select(
+        "event_type", "exact_users", ok.alias("est_ok")
+    )
+
+
+def run_stream_hll(spark: SparkSession, sf_dir: str):
+    """Run the streaming HLL pipeline; return (events_df, sketch store).
+
+    Split out so the bit-equality invariant test can read the raw
+    merged sketches (the registered query finalizes to exact-anchor +
+    flag columns for the oracle gate)."""
     from spark_stream_kudu_spark.streaming.sinks import SketchUnionSink
     from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
@@ -947,7 +974,4 @@ def stream_hll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     store = spark.read.parquet(os.path.join(base, "sketches", "data"))
-    return store.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-    )
+    return ev, store

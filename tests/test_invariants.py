@@ -412,18 +412,12 @@ def test_registry_window_priority_leads_load_order():
     specs = load_all()
     names = list(specs)
     assert names[: len(_WINDOW_PRIORITY)] == list(_WINDOW_PRIORITY)
-    # The streaming HLL twin emits a raw sketch estimate with no exact
-    # anchor (bit-equality to the batch sketch is pinned in pytest);
-    # the batch sketch queries all carry exact-anchor oracles now.
-    rows_only_by_contract = {
-        "stream_hll_e2e",
-    }
-    missing_oracle = [
-        n
-        for n in _WINDOW_PRIORITY
-        if specs[n].oracle is None and n not in rows_only_by_contract
-    ]
+    # Since round 4 EVERY registered query carries an oracle — the
+    # sketch family (incl. the streaming HLL twin) via exact-anchor +
+    # bound-flag outputs. No rows-only exceptions remain.
+    missing_oracle = [n for n in _WINDOW_PRIORITY if specs[n].oracle is None]
     assert missing_oracle == [], missing_oracle
+    assert all(spec.oracle is not None for spec in specs.values())
 
 
 def test_q36_sketch_estimates_near_exact(spark, sf_smoke):

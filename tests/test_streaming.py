@@ -507,13 +507,16 @@ def test_stream_hll_equals_batch_sketch_exactly(spark, sf_smoke):
     """HLL union is register-wise max — commutative, associative,
     idempotent — so the STREAMING estimate must equal the one-shot batch
     sketch estimate bit-for-bit, not just approximately."""
-    from spark_stream_kudu_spark.registry import load_all
     from spark_stream_kudu_spark.sources.tables import load_table
+    from spark_stream_kudu_spark.streaming.extensions import run_stream_hll
 
     sf = sf_smoke
+    _, store = run_stream_hll(spark, sf)
     streaming = {
         r["event_type"]: r["approx_users"]
-        for r in load_all()["stream_hll_e2e"].builder(spark, sf).collect()
+        for r in store.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        ).collect()
     }
     ev = load_table(spark, sf, "events")
     batch = {
