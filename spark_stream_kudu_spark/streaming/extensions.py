@@ -975,3 +975,80 @@ def run_stream_hll(spark: SparkSession, sf_dir: str):
     q.awaitTermination()
     store = spark.read.parquet(os.path.join(base, "sketches", "data"))
     return ev, store
+
+
+# --------------------------------------------------------------------------
+# Streaming approximate top-k — the q157 Space-Saving twin
+# --------------------------------------------------------------------------
+
+
+def _ss_oracle() -> str:
+    from spark_stream_kudu_spark.operators.sketches import _SS_ORACLE
+
+    return _SS_ORACLE
+
+
+@register(
+    "stream_topk_e2e",
+    "streaming",
+    "END-TO-END streaming approximate top-k: the corpus replayed as 4 "
+    "document micro-batches; each batch's token stream reduces to "
+    "per-(batch, partition) mergeable Space-Saving summaries (the SAME "
+    "Arrow kernel as batch q157) upserted into a (pid, item)-keyed "
+    "store — idempotent under replay because pid encodes the batch. "
+    "The finalize runs the shared bound-merge over the stored "
+    "summaries: the merge math is valid for ANY disjoint slicing of "
+    "the stream, so (batch x partition) slices work exactly like "
+    "q157's static scan partitions, and the same exact-anchor oracle "
+    "checks coverage and bound containment. Store growth is O(m) rows "
+    "per batch partition — never the token stream; this is the "
+    "trending-terms dashboard feed whose state stays sketch-sized "
+    "forever.",
+    oracle=_ss_oracle(),
+)
+def stream_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.textutil import tokens
+    from spark_stream_kudu_spark.operators.sketches import (
+        ss_finalize_topk,
+        ss_merge_bounds,
+        ss_summarize,
+        ss_summary_schema,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
+    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = new_run_dir("sstk")
+    for k in range(4):
+        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+
+    sink = UpsertParquetSink(
+        os.path.join(base, "summaries"), key=["pid", "item"]
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(F.explode(tokens(F.col("text"))).alias("item"))
+        summ = toks.withColumn(
+            "pid",
+            (F.spark_partition_id() + F.lit(batch_id * 4096)).cast("long"),
+        ).mapInPandas(ss_summarize, ss_summary_schema())
+        sink(summ, batch_id)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store = sink.read(spark).select("item", "est", "err", "pid", "absent_ub")
+    all_toks = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    return ss_finalize_topk(all_toks, ss_merge_bounds(store))
