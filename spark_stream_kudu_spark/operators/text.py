@@ -925,3 +925,111 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel += [F.lit(m).alias(f"merge_{i + 1}") for i, m in enumerate(merges)]
     sel += [F.col("tokens_before"), F.col("n_merges"), F.col("tokens_after")]
     return out.select(*sel)
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (the corpus-curation search primitive)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("data", "stream", "join")  # fixed demo query
+_BM25_TOPN = 10
+
+# Identical expression TEXT evaluates in both engines (same literal
+# constants, same nesting => same IEEE operation sequence). k1=1.2,
+# b=0.75; contribution is 0 when tf=0 (numerator zeroes out).
+def _bm25_term_expr(term: str) -> str:
+    return (
+        f"ln(1 + (n - df_{term} + 0.5) / (df_{term} + 0.5))"
+        f" * (tf_{term} * 2.2)"
+        f" / (tf_{term} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    )
+
+
+_BM25_SCORE = " + ".join(_bm25_term_expr(t) for t in BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, len({sql_tokens('text')}) AS dl,
+         {", ".join(
+            f"CAST(len(list_filter({sql_tokens('text')}, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+            for t in BM25_TERMS
+         )}
+  FROM documents
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(dl) * 1.0 / count(*) AS avgdl,
+         {", ".join(
+            f"CAST(count(*) FILTER (tf_{t} > 0) AS BIGINT) AS df_{t}"
+            for t in BM25_TERMS
+         )}
+  FROM per_doc
+), scored AS (
+  SELECT p.doc_id, p.dl,
+         {", ".join(f"p.tf_{t}" for t in BM25_TERMS)},
+         {_BM25_SCORE} AS s
+  FROM per_doc p CROSS JOIN st
+  WHERE {" + ".join(f"p.tf_{t}" for t in BM25_TERMS)} > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, dl, {", ".join(f"tf_{t}" for t in BM25_TERMS)}
+FROM scored
+ORDER BY s DESC, doc_id ASC
+LIMIT {_BM25_TOPN}
+"""
+
+
+@register(
+    "text_bm25_search",
+    "text",
+    f"BM25 ranked retrieval for a fixed {len(BM25_TERMS)}-term query "
+    "(k1=1.2, b=0.75) — the keyword-search primitive behind corpus "
+    "curation and RAG candidate generation. Per-doc term frequencies "
+    "pivot into FIXED columns (scan-local list_filter counts, no "
+    "explode/shuffle for tf), corpus stats (N, avgdl, per-term df) "
+    "reduce to ONE broadcast row, and the score sums term "
+    "contributions in a fixed expression order — float addition order "
+    "is deterministic, so both engines run the identical IEEE "
+    "operation sequence and the ranking needs no rounding fudge. "
+    "Output is integer-only (rank, dl, tfs); the float score exists "
+    "only in ORDER BY, like text_tfidf. At 100 TB: one corpus scan + "
+    "one 1-row aggregate + one top-n sort of hit docs; a real "
+    "deployment swaps the fixed pivot for an inverted-index join but "
+    "keeps this exact scoring kernel.",
+    oracle=_BM25_ORACLE,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        # NB: the closure factory keeps the lambda single-arg — a
+        # two-arg lambda would make F.filter pass the array INDEX as
+        # the second argument.
+        *[
+            F.size(F.filter(toks, (lambda term: lambda x: x == term)(t)))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    hits = per_doc.filter(
+        sum(F.col(f"tf_{t}") for t in BM25_TERMS) > 0
+    ).crossJoin(F.broadcast(stats))
+    scored = hits.withColumn("s", F.expr(_BM25_SCORE))
+    w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPN)
+        .select("rank", "doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS])
+    )

@@ -194,6 +194,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q156_hierarchy_closure",
     "q157_topk_rank_error",
     "stream_topk_e2e",
+    "text_bm25_search",
 )
 
 
