@@ -593,3 +593,308 @@ def q131_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q158-q162: the five TPC-H shapes that complete all 22 (Q2/Q4/Q9/Q11/Q20)
+#
+# The fixture has no partsupp table (TESTDATA.md), so the Q2/Q9/Q11/Q20
+# shapes derive their "supply" relation from lineitem — (partkey,
+# suppkey) unit-cost/quantity rollups with exact integer arithmetic.
+# The PLAN shapes (correlated min, EXISTS semi-join, multi-join profit
+# rollup, group-HAVING vs scalar subquery, nested IN chains) are the
+# canonical ones; only the cost column's provenance differs.
+# --------------------------------------------------------------------------
+
+_Q158_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              // CAST(sum(l_quantity) AS BIGINT) AS BIGINT) AS unit_e2
+  FROM lineitem GROUP BY 1, 2
+), europe AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+), offers AS (
+  SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name, su.unit_e2
+  FROM part p
+  JOIN supply su ON su.l_partkey = p.p_partkey
+  JOIN europe e ON e.s_suppkey = su.l_suppkey
+  WHERE p.p_type = 'ECONOMY'
+)
+SELECT o.p_partkey, o.p_name, o.s_name, o.n_name,
+       CAST(round(o.s_acctbal * 100) AS BIGINT) AS acctbal_e2, o.unit_e2
+FROM offers o
+JOIN (SELECT p_partkey, min(unit_e2) AS m FROM offers GROUP BY 1) b
+  ON b.p_partkey = o.p_partkey AND o.unit_e2 = b.m
+"""
+
+
+@register(
+    "q158_min_cost_supplier",
+    "subquery",
+    "TPC-H Q2 shape: for every qualifying part, the EUROPE supplier(s) "
+    "offering the minimum unit cost — the correlated-MIN subquery "
+    "decorrelated into a per-part min aggregate joined back against "
+    "the offer set (Catalyst's plan for the canonical form). The "
+    "supply relation derives from lineitem (no partsupp in the "
+    "fixture): per-(part, supplier) unit cost as exact integer cents "
+    "division, so the min and the equality join are bit-stable in both "
+    "engines. Region filter prunes the supplier side BEFORE the join; "
+    "ties (two suppliers at the same min) are all kept, as in Q2.",
+    oracle=_Q158_ORACLE,
+)
+def q158_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " div sum(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        ).alias("unit_e2")
+    )
+    europe = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        p.join(supply, p["p_partkey"] == supply["l_partkey"])
+        .join(F.broadcast(europe), supply["l_suppkey"] == europe["s_suppkey"])
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_e2")
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("unit_e2").alias("m")
+    )
+    return (
+        offers.join(
+            best,
+            (offers["p_partkey"] == best["bk"]) & (offers["unit_e2"] == best["m"]),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_e2"),
+            "unit_e2",
+        )
+    )
+
+
+_Q159_ORACLE = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "q159_order_priority_check",
+    "subquery",
+    "TPC-H Q4 shape: order counts per priority for one quarter, "
+    "restricted to orders with at least one late line item — EXISTS "
+    "with a correlated inequality (l_shipdate > o_orderdate + 30 days "
+    "stands in for commitdate < receiptdate, absent from the fixture), "
+    "planned as a LEFT SEMI join so each order is counted once no "
+    "matter how many lines qualify. Quarter predicate pushed to the "
+    "orders scan; the semi join's residual inequality rides the "
+    "equi-join on orderkey.",
+    oracle=_Q159_ORACLE,
+)
+def q159_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q160_ORACLE = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                - (CAST(round(p.p_retailprice * 10000) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT)) // 10) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q160_product_profit",
+    "subquery",
+    "TPC-H Q9 shape: profit by supplier nation and order year over one "
+    "product line — the 5-table join (lineitem x part x supplier x "
+    "nation x orders) with amount = revenue minus cost per line. Cost "
+    "derives from p_retailprice (no partsupp supplycost in the "
+    "fixture): a tenth of retail per unit, computed as exact integer "
+    "e4 arithmetic so the per-line amounts sum associatively in any "
+    "merge order. Part-type filter prunes the part side before the "
+    "join; part/supplier/nation broadcast as dimensions.",
+    oracle=_Q160_ORACLE,
+)
+def q160_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    cost = F.expr(
+        "(CAST(round(p_retailprice * 10000) AS BIGINT)"
+        " * CAST(l_quantity AS BIGINT)) div 10"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).alias("profit_e4"))
+    )
+
+
+_Q161_ORACLE = """
+WITH europe_supply AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_e2
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1
+), total AS (
+  SELECT CAST(sum(value_e2) AS BIGINT) AS t FROM europe_supply
+)
+SELECT e.l_partkey AS p_partkey, e.value_e2
+FROM europe_supply e CROSS JOIN total
+WHERE e.value_e2 * 1000 > total.t
+"""
+
+
+@register(
+    "q161_important_stock",
+    "subquery",
+    "TPC-H Q11 shape: parts whose EUROPE-supplied value exceeds 0.1% "
+    "of the region's total — per-part value rollup (exact integer "
+    "cents), a one-row total via the same aggregate re-reduced, and "
+    "the HAVING-vs-scalar-subquery comparison as a broadcast cross "
+    "join with the threshold CROSS-MULTIPLIED (value * 1000 > total: "
+    "no float fraction, no rounding ambiguity at the cut). Supply "
+    "derives from lineitem (no partsupp in the fixture).",
+    oracle=_Q161_ORACLE,
+)
+def q161_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    europe_supply = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).alias("value_e2"))
+    )
+    total = europe_supply.agg(F.sum("value_e2").alias("t"))
+    return (
+        europe_supply.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e2") * 1000 > F.col("t"))
+        .select("p_partkey", "value_e2")
+    )
+
+
+_Q162_ORACLE = """
+SELECT s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_e2
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'AFRICA'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+    )
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(l.l_quantity) > 50
+  )
+"""
+
+
+@register(
+    "q162_excess_suppliers",
+    "subquery",
+    "TPC-H Q20 shape: AFRICA suppliers who moved more than a threshold "
+    "quantity of some qualifying part — the nested IN chain (supplier "
+    "IN (aggregated lineitem subquery over part IN (filtered parts))) "
+    "planned as two broadcast semi-joins feeding a grouped HAVING. "
+    "The quantity threshold stands in for the partsupp availqty "
+    "comparison (no partsupp in the fixture); the plan shape — "
+    "innermost filter pruning the part side, aggregate-then-semi-join "
+    "up the chain — is the canonical one.",
+    oracle=_Q162_ORACLE,
+)
+def q162_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    movers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(movers, s["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .select(
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_e2"),
+        )
+    )

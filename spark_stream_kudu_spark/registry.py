@@ -195,6 +195,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q157_topk_rank_error",
     "stream_topk_e2e",
     "text_bm25_search",
+    "q158_min_cost_supplier",
+    "q159_order_priority_check",
+    "q160_product_profit",
+    "q161_important_stock",
+    "q162_excess_suppliers",
 )
 
 
