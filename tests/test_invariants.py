@@ -785,3 +785,29 @@ def test_topk_rank_error_flags_all_green(spark, sf_smoke):
     assert all(r["bound_ok"] == 1 for r in rows)
     ranks = sorted(r["rank"] for r in rows)
     assert ranks == list(range(1, _SS_K + 1))
+
+
+def test_hierarchy_closure_root_sees_everything(spark, sf_smoke):
+    """Pointer-doubling closure sanity, independent of the oracle: the
+    root manager (custkey 1) has every other customer as a descendant,
+    its subtree total equals the exact corpus balance of keys >= 2,
+    and the max depth equals floor(log2(max key)) — the k div 2 chain
+    length."""
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    rows = {
+        r["manager"]: r
+        for r in ALL["q156_hierarchy_closure"].builder(spark, sf_smoke).collect()
+    }
+    c = load_table(spark, sf_smoke, "customer")
+    agg = c.filter(F.col("c_custkey") >= 2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+        F.max("c_custkey").alias("mx"),
+    ).collect()[0]
+    root = rows[1]
+    assert root["n_reports"] == agg["n"]
+    assert root["subtree_cents"] == agg["cents"]
+    assert root["max_depth"] == int(agg["mx"]).bit_length() - 1
