@@ -1,0 +1,58 @@
+"""Merge-order invariance: queries documented as bit-reproducible
+across cluster merge orders must return IDENTICAL rows when the
+shuffle partitioning changes.
+
+Changing spark.sql.shuffle.partitions re-buckets every exchange, which
+permutes aggregation merge order — exactly what differs between two
+cluster runs (or between local[32] and a 1000-executor deployment).
+Float aggregation is not associative, so any float sum hiding in a
+"integer-exact" query shows up here as a flipped low bit or a reordered
+tie; the integer/decimal designs the docstrings claim must survive
+unchanged.
+"""
+
+import pytest
+
+from spark_stream_kudu_spark.registry import load_all
+
+ALL = load_all()
+
+# Queries whose docstrings claim merge-order-invariant (integer/decimal
+# exact) results — one per family: PageRank, LPA, hierarchy closure,
+# k-means, digest, exact-moment stats, decayed leaderboard, weighted
+# median, CUSUM, Space-Saving top-k anchors, BM25 (fixed-order float),
+# salted agg, LSH pair set.
+CLAIMED_INVARIANT = [
+    "q86_pagerank",
+    "q137_label_propagation",
+    "q156_hierarchy_closure",
+    "emb_kmeans_lloyd",
+    "q99_table_digest",
+    "q75_stats_agg",
+    "q133_decayed_leaderboard",
+    "q134_weighted_median",
+    "q124_cusum_changepoint",
+    "q157_topk_rank_error",
+    "text_bm25_search",
+    "q42_salted_agg",
+    "dedup_minhash_pairs",
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", [n for n in CLAIMED_INVARIANT if n in ALL])
+def test_result_invariant_under_repartitioning(spark, sf_smoke, name):
+    spec = ALL[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _rows(spec.builder(spark, sf_smoke))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = _rows(spec.builder(spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, f"{name} changed under repartitioning"
+    assert len(a) > 0
