@@ -874,3 +874,151 @@ def q136_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_cents"),
         fround(gini, 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# q163: log-linear histogram quantile sketch (HdrHistogram/DDSketch family)
+# --------------------------------------------------------------------------
+
+_HQ_SUB = 16  # linear sub-buckets per power-of-two octave
+_HQ_PCTS = (50, 90, 99)
+
+_HQ_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE floor(value * 100 + 0.5) >= 1
+), r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, CAST(p.pct AS BIGINT) AS pct,
+       CAST(max(n) AS BIGINT) AS n_values,
+       CAST(min(CASE WHEN rn = CAST(ceil(p.pct * n / 100.0) AS BIGINT)
+                     THEN cents END) AS BIGINT) AS exact_q_cents,
+       CAST(1 AS BIGINT) AS bound_ok
+FROM r CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _HQ_PCTS)}]) AS pct) p
+GROUP BY 1, 2
+"""
+
+
+def hq_bin_columns(cents_col):
+    """Integer-exact log-linear bucketing: octave k = floor(log2 cents)
+    via length(bin(x)) - 1 (identical in Spark and DuckDB), then
+    ``_HQ_SUB`` LINEAR sub-buckets inside the octave — every boundary
+    is the exact rational 2^k * (SUB + s) / SUB, so bucket assignment
+    is pure BIGINT arithmetic with no ln()/float boundary drift.
+    Returns (bin_id, lo16, hi16) where lo16/hi16 are 16x the bin
+    bounds (kept scaled so the bound check stays integral)."""
+    k = (F.length(F.expr(f"bin({cents_col})")) - 1).cast("int")
+    base = F.expr(f"shiftleft(CAST(1 AS BIGINT), length(bin({cents_col})) - 1)")
+    s = ((F.col(cents_col) - base) * _HQ_SUB / base).cast("long")
+    bin_id = (k.cast("long") * _HQ_SUB + s).alias("bin_id")
+    lo16 = (base * (F.lit(_HQ_SUB) + s)).alias("lo16")
+    hi16 = (base * (F.lit(_HQ_SUB + 1) + s)).alias("hi16")
+    return bin_id, lo16, hi16
+
+
+def hq_quantiles_from_bins(bins: DataFrame, exact: DataFrame) -> DataFrame:
+    """Finalize quantiles from a (event_type, bin_id, lo16, hi16, c)
+    count grid — the shared path for the batch sketch and the
+    streaming twin's additive store. For each target percentile the
+    selected bin is the first whose cumulative count reaches
+    ceil(pct*n/100); the exact anchor must land inside that bin's
+    [lo16/16, hi16/16) bounds, asserted in scaled integers."""
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = bins.select(
+        "event_type",
+        "bin_id",
+        "lo16",
+        "hi16",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pcts = None
+    for p in _HQ_PCTS:
+        tagged = cum.withColumn("pct", F.lit(p).cast("long")).withColumn(
+            "target", F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long")
+        )
+        pcts = tagged if pcts is None else pcts.unionByName(tagged)
+    wsel = Window.partitionBy("event_type", "pct").orderBy("bin_id")
+    selected = (
+        pcts.filter(F.col("cum") >= F.col("target"))
+        .withColumn("rk", F.row_number().over(wsel))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "pct", "lo16", "hi16", F.col("n").alias("n_values"))
+    )
+    joined = selected.join(exact, ["event_type", "pct"])
+    q16 = F.col("exact_q_cents") * 16
+    ok = ((F.col("lo16") <= q16) & (q16 < F.col("hi16"))).cast("bigint")
+    return joined.select(
+        "event_type", "pct", "n_values", "exact_q_cents", ok.alias("bound_ok")
+    )
+
+
+def hq_exact_anchors(ev: DataFrame) -> DataFrame:
+    """Exact lower quantiles per type — the oracle-reproducible anchor."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents")).filter(F.col("cents") >= 1)
+    wrn = Window.partitionBy("event_type").orderBy("cents")
+    wall = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    out = None
+    for p in _HQ_PCTS:
+        t = (
+            r.filter(
+                F.col("rn")
+                == F.ceil(F.lit(p) * F.col("n") / F.lit(100.0)).cast("long")
+            )
+            .select(
+                "event_type",
+                F.lit(p).cast("long").alias("pct"),
+                F.col("cents").alias("exact_q_cents"),
+            )
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+@register(
+    "q163_histogram_quantiles",
+    "statistics",
+    f"Log-linear histogram quantile sketch (the HdrHistogram/DDSketch "
+    f"family): values bucket into {_HQ_SUB} linear sub-buckets per "
+    "power-of-two octave with PURE INTEGER boundary arithmetic (octave "
+    "from length(bin(x)) — no ln(), so no float boundary drift between "
+    "engines), counts reduce to a tiny additive (type, bin) grid, and "
+    "each percentile reads off the first bin whose cumulative count "
+    "reaches its rank target — relative error bounded by the 1/16 "
+    "sub-bucket width. Exact lower-quantile anchors ride along with a "
+    "flag asserting each anchor lands inside its selected bin, so the "
+    "hash verifies the whole sketch pipeline (bucket map, merge, "
+    "cumulative select). This is the production percentile path at "
+    "100 TB: the bin grid is re-aggregatable (counts add across "
+    "partitions, hours, days), unlike percentile_approx whose "
+    "partials cannot be stored and re-merged across queries.",
+    oracle=_HQ_ORACLE,
+)
+def q163_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select("event_type", cents.alias("cents")).filter(F.col("cents") >= 1)
+    bin_id, lo16, hi16 = hq_bin_columns("cents")
+    bins = (
+        c.select("event_type", bin_id, lo16, hi16)
+        .groupBy("event_type", "bin_id", "lo16", "hi16")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return hq_quantiles_from_bins(bins, hq_exact_anchors(ev))

@@ -200,6 +200,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q160_product_profit",
     "q161_important_stock",
     "q162_excess_suppliers",
+    "q163_histogram_quantiles",
+    "stream_quantile_e2e",
 )
 
 

@@ -1052,3 +1052,79 @@ def stream_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = sink.read(spark).select("item", "est", "err", "pid", "absent_ub")
     all_toks = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
     return ss_finalize_topk(all_toks, ss_merge_bounds(store))
+
+
+# --------------------------------------------------------------------------
+# Streaming histogram quantiles — the q163 sketch maintained incrementally
+# --------------------------------------------------------------------------
+
+
+def _hq_oracle() -> str:
+    from spark_stream_kudu_spark.operators.statistics import _HQ_ORACLE
+
+    return _HQ_ORACLE
+
+
+@register(
+    "stream_quantile_e2e",
+    "streaming",
+    "END-TO-END streaming percentiles: each micro-batch reduces to "
+    "(event_type, bin) counts on the q163 log-linear grid (integer "
+    "boundary arithmetic, no ln()) and an AdditiveRollupSink "
+    "SUM-merges them into the keyed store; the percentile finalize "
+    "runs at read time over the stored grid with the batch sketch's "
+    "own code. Counts are additive and replay-idempotent, so the "
+    "latency-dashboard percentiles are batch-slicing-independent and "
+    "equal the one-shot batch sketch — checked by the shared "
+    "exact-anchor oracle. State is |types| x |bins| longs regardless "
+    "of stream age; raw values are never stored or rescanned.",
+    oracle=_hq_oracle(),
+)
+def stream_quantile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.statistics import (
+        hq_bin_columns,
+        hq_exact_anchors,
+        hq_quantiles_from_bins,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = new_run_dir("hq")
+    for k in range(4):
+        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "bins"),
+        key=["event_type", "bin_id", "lo16", "hi16"],
+        sum_cols=["c"],
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        c = batch_df.select("event_type", cents.alias("cents")).filter(
+            F.col("cents") >= 1
+        )
+        bin_id, lo16, hi16 = hq_bin_columns("cents")
+        partial = (
+            c.select("event_type", bin_id, lo16, hi16)
+            .groupBy("event_type", "bin_id", "lo16", "hi16")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bins = sink.read(spark).select("event_type", "bin_id", "lo16", "hi16", "c")
+    return hq_quantiles_from_bins(bins, hq_exact_anchors(ev))
