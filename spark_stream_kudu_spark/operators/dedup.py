@@ -1209,3 +1209,90 @@ def pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(hit(c0), c0).when(hit(c1), c1).otherwise(c2).alias("negative"),
         "jaccard",
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental LSH maintenance: new-batch docs vs the existing index
+# --------------------------------------------------------------------------
+
+_INCR_LSH_ORACLE = f"""
+WITH {_sql_minhash_cte()},
+{_sql_bands_cte()},
+cand AS (
+  SELECT DISTINCT nb.doc_id AS n, ob.doc_id AS m
+  FROM bands nb JOIN bands ob
+    ON nb.band = ob.band AND nb.bkey = ob.bkey
+  WHERE nb.doc_id % 4 = 3 AND ob.doc_id <> nb.doc_id
+    AND (ob.doc_id % 4 <> 3 OR ob.doc_id < nb.doc_id)
+),
+sh2 AS (
+  SELECT doc_id, list_distinct({sql_word_shingles(sql_tokens('text'), SHINGLE_N)}) AS s
+  FROM documents
+)
+SELECT c.n AS doc_id, c.m AS matched_doc,
+       floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000
+         AS jaccard
+FROM cand c JOIN sh2 a ON a.doc_id = c.n JOIN sh2 b ON b.doc_id = c.m
+WHERE (len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+       len(list_distinct(list_concat(a.s, b.s)))) >= {JACCARD_THRESHOLD} - 1e-12
+"""
+
+
+@register(
+    "pipeline_incremental_lsh",
+    "pipeline",
+    "Incremental near-dup index maintenance: an arriving batch (doc_id "
+    "% 4 = 3 stands in for today's crawl) is checked against the "
+    "EXISTING signature index plus earlier arrivals within the batch — "
+    "new-doc bands join the full band table, so candidate generation "
+    "touches only buckets containing a new doc and existing-vs-"
+    "existing pairs are NEVER re-enumerated. That asymmetry is the "
+    "whole point at 100 TB: daily dedup cost scales with the batch, "
+    "not the corpus (the batch twin of dedup_verified_pairs, whose "
+    "full-corpus pass runs once at bootstrap). Candidates verify with "
+    "the exact Jaccard kernel at the same threshold; output is every "
+    "(new doc, earlier match) pair — min(matched_doc) per doc is the "
+    "canonical dup-of decision. A production deployment applies the "
+    "same bucket-cap salting as minhash_lsh_pairs to the band join; "
+    "at fixture scale buckets sit under the cap (pinned by "
+    "test_fixture_buckets_below_cap) so the uncapped join is exact "
+    "here, keeping the oracle an equality check.",
+    oracle=_INCR_LSH_ORACLE,
+)
+def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bands = _minhash_bands(d)
+    is_new = F.col("doc_id") % 4 == 3
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("n"), "band", "bkey"
+    )
+    ob = bands.select(F.col("doc_id").alias("m"), "band", "bkey")
+    cand = (
+        nb.join(ob, ["band", "bkey"])
+        .filter(
+            (F.col("m") != F.col("n"))
+            & ((F.col("m") % 4 != 3) | (F.col("m") < F.col("n")))
+        )
+        .select("n", "m")
+        .distinct()
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("n"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("m"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_distinct(F.concat(F.col("sa"), F.col("sb"))))
+    raw = inter * F.lit(1.0) / union
+    return (
+        cand.join(a, "n")
+        .join(b, "m")
+        .filter(raw >= JACCARD_THRESHOLD - 1e-12)
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("m").alias("matched_doc"),
+            fround(raw, 6).alias("jaccard"),
+        )
+    )

@@ -202,6 +202,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q162_excess_suppliers",
     "q163_histogram_quantiles",
     "stream_quantile_e2e",
+    "pipeline_incremental_lsh",
 )
 
 
