@@ -203,6 +203,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q163_histogram_quantiles",
     "stream_quantile_e2e",
     "pipeline_incremental_lsh",
+    "stream_incremental_dedup_e2e",
 )
 
 

@@ -1128,3 +1128,162 @@ def stream_quantile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     bins = sink.read(spark).select("event_type", "bin_id", "lo16", "hi16", "c")
     return hq_quantiles_from_bins(bins, hq_exact_anchors(ev))
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental near-dup dedup — continuous-crawl LSH maintenance
+# --------------------------------------------------------------------------
+
+
+def _incr_dedup_oracle() -> str:
+    from spark_stream_kudu_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_N,
+        _sql_bands_cte,
+        _sql_minhash_cte,
+    )
+    from spark_stream_kudu_spark.functions.textutil import (
+        sql_tokens,
+        sql_word_shingles,
+    )
+
+    # The accumulated pair table equals the full-corpus verified pair
+    # set DIRECTED by arrival order (batch = doc_id % 4, then doc_id):
+    # each unordered near-dup pair appears once, from the later arrival
+    # to the earlier.
+    later = (
+        "((doc_a % 4 > doc_b % 4) OR (doc_a % 4 = doc_b % 4 AND doc_a > doc_b))"
+    )
+    return f"""
+WITH {_sql_minhash_cte()},
+{_sql_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh2 AS (
+  SELECT doc_id, list_distinct({sql_word_shingles(sql_tokens('text'), SHINGLE_N)}) AS s
+  FROM documents
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         floor((len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
+                len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+)
+SELECT CASE WHEN {later} THEN doc_a ELSE doc_b END AS doc_id,
+       CASE WHEN {later} THEN doc_b ELSE doc_a END AS matched_doc,
+       jaccard
+FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "stream_incremental_dedup_e2e",
+    "streaming",
+    "END-TO-END continuous-crawl dedup: documents arrive as 4 "
+    "micro-batches; each batch's LSH bands join the ACCUMULATED band "
+    "store (plus earlier arrivals within the batch), candidates verify "
+    "with the exact Jaccard kernel, verified (new, earlier-match) "
+    "pairs append to a keyed pair store, and the batch's bands upsert "
+    "into the index — existing-vs-existing pairs are never "
+    "re-enumerated, so per-batch cost scales with the batch, not the "
+    "corpus (the streaming form of pipeline_incremental_lsh). Both "
+    "stores are keyed upserts, replay-idempotent. The accumulated pair "
+    "table provably equals the one-shot full-corpus verified pair set "
+    "directed by arrival order, which is exactly what the oracle "
+    "checks value-for-value.",
+    oracle=_incr_dedup_oracle(),
+)
+def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.rounding import fround
+    from spark_stream_kudu_spark.functions.textutil import tokens, word_shingles
+    from spark_stream_kudu_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_N,
+        _minhash_bands,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
+    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = new_run_dir("incd")
+    for k in range(4):
+        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+
+    band_store = UpsertParquetSink(
+        os.path.join(base, "bands"), key=["doc_id", "band"]
+    )
+    pair_store = UpsertParquetSink(
+        os.path.join(base, "pairs"), key=["doc_id", "matched_doc"]
+    )
+    # Shingle lookup is an enrichment join against the static corpus
+    # table (the store holds bands only — at 100 TB you shard text by
+    # doc_id and look it up the same way).
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bands = _minhash_bands(batch_df).localCheckpoint(eager=True)
+        nb = bands.select(F.col("doc_id").alias("n"), "band", "bkey")
+        prev = band_store.read(spark)
+        targets = None
+        if prev is not None:
+            targets = prev.select(F.col("doc_id").alias("m"), "band", "bkey")
+        within = bands.select(F.col("doc_id").alias("m"), "band", "bkey")
+        cand_prev = (
+            nb.join(targets, ["band", "bkey"]).select("n", "m")
+            if targets is not None
+            else None
+        )
+        cand_within = (
+            nb.join(within, ["band", "bkey"])
+            .filter(F.col("m") < F.col("n"))
+            .select("n", "m")
+        )
+        cand = (
+            cand_within
+            if cand_prev is None
+            else cand_within.unionByName(cand_prev)
+        ).distinct()
+        a = sh.select(F.col("doc_id").alias("n"), F.col("s").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("m"), F.col("s").alias("sb"))
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        union = F.size(F.array_distinct(F.concat(F.col("sa"), F.col("sb"))))
+        raw = inter * F.lit(1.0) / union
+        verified = (
+            cand.join(a, "n")
+            .join(b, "m")
+            .filter(raw >= JACCARD_THRESHOLD - 1e-12)
+            .select(
+                F.col("n").alias("doc_id"),
+                F.col("m").alias("matched_doc"),
+                fround(raw, 6).alias("jaccard"),
+            )
+        )
+        pair_store(verified, batch_id)
+        band_store(bands, batch_id)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = pair_store.read(spark)
+    if out is None:
+        return spark.createDataFrame(
+            [], "doc_id long, matched_doc long, jaccard double"
+        )
+    return out.select("doc_id", "matched_doc", "jaccard")
