@@ -34,9 +34,20 @@ def cut_lineage(
     round_no: int,
     reliable: bool,
     interval: int = CKPT_INTERVAL,
+    local_interval: int = 1,
 ) -> DataFrame:
     """Cut lineage after an iteration: reliable checkpoint on every
-    ``interval``-th round when active, executor-local otherwise."""
+    ``interval``-th round when active, executor-local otherwise.
+
+    ``local_interval`` lets loops that don't inspect intermediate
+    results (PageRank/LPA/closure — no per-round convergence check)
+    cut only every N-th round: the plan grows linearly over N rounds,
+    but each eager checkpoint is a blocking materialization whose
+    latency dominates small-data rounds. Loops that DO act on each
+    round's result (connected components' convergence probe) keep the
+    default of 1."""
     if reliable and round_no % interval == interval - 1:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    if round_no % local_interval == local_interval - 1:
+        return df.localCheckpoint(eager=True)
+    return df

@@ -168,7 +168,7 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
             )
         )
-        ranks = cut_lineage(ranks, i, reliable)
+        ranks = cut_lineage(ranks, i, reliable, local_interval=2)
     return ranks.select("node", F.col("rank").alias("rank_e9"))
 
 
@@ -385,7 +385,7 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("node", "label")
         )
-        labels = cut_lineage(labels, i, reliable)
+        labels = cut_lineage(labels, i, reliable, local_interval=2)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
@@ -464,7 +464,7 @@ def q156_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # path of length d is composed from several (da, db) splits —
         # distinct() collapses them before the next squaring round.
         closure = closure.unionByName(hops).distinct()
-        closure = cut_lineage(closure, i, reliable)
+        closure = cut_lineage(closure, i, reliable, local_interval=2)
     rollup_src = closure.join(
         c.select(
             F.col("c_custkey").cast("long").alias("node"),
