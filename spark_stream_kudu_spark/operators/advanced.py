@@ -672,3 +672,78 @@ def q62_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum("nation_cents").over(W.partitionBy())
     share = F.floor(F.col("nation_cents") * 1000000.0 / total + 0.5) / 1000000
     return n.select("c_nationkey", "nation_cents", share.alias("share"))
+
+
+# --------------------------------------------------------------------------
+# q164: MapType surface — keyed-collection construction, filtering,
+# value transformation, re-expansion
+# --------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_types_all,
+         CAST(count(*) FILTER (c >= 3) AS BIGINT) AS n_types_kept
+  FROM counts GROUP BY 1
+)
+SELECT c.user_id, p.n_types_all, p.n_types_kept,
+       c.event_type, c.c AS cnt, c.c * 10 AS boosted
+FROM counts c JOIN per_user p USING (user_id)
+WHERE c.c >= 3
+"""
+
+
+@register(
+    "q164_map_functions",
+    "scalar",
+    "MapType operator surface: per-user event-type counts built into a "
+    "real MAP column (map_from_entries over collect_list(struct)), "
+    "then map_filter (drop rare types), transform_values (rescale), "
+    "map_keys/size introspection, and explosion back to rows — the "
+    "keyed-collection round trip feature stores use for per-entity "
+    "profiles. All map ops are JVM-side Catalyst expressions. The "
+    "output is FLAT rows (maps have no canonical key order, so the "
+    "map itself never crosses the hash gate); the oracle states the "
+    "same semantics relationally, pinning that Spark's map pipeline "
+    "neither drops nor duplicates entries. At 100 TB the map column "
+    "is the point: one row per entity with a bounded keyed profile "
+    "beats a 20x-taller (entity, key) table for serving lookups.",
+    oracle=_MAP_ORACLE,
+)
+def q164_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    profiles = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("profile")
+    )
+    kept = profiles.select(
+        "user_id",
+        F.size(F.map_keys(F.col("profile"))).cast("long").alias("n_types_all"),
+        F.map_filter(F.col("profile"), lambda k, v: v >= 3).alias("kept"),
+    )
+    boosted = kept.select(
+        "user_id",
+        "n_types_all",
+        F.size(F.map_keys(F.col("kept"))).cast("long").alias("n_types_kept"),
+        F.transform_values(F.col("kept"), lambda k, v: v * 10).alias("b"),
+    ).filter(F.col("n_types_kept") > 0)
+    return boosted.select(
+        "user_id",
+        "n_types_all",
+        "n_types_kept",
+        F.explode(F.col("b")).alias("event_type", "boosted"),
+    ).select(
+        "user_id",
+        "n_types_all",
+        "n_types_kept",
+        "event_type",
+        (F.col("boosted") / 10).cast("long").alias("cnt"),
+        "boosted",
+    )

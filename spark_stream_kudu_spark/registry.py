@@ -204,6 +204,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_quantile_e2e",
     "pipeline_incremental_lsh",
     "stream_incremental_dedup_e2e",
+    "q164_map_functions",
 )
 
 
