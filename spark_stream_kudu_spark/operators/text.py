@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
@@ -1032,4 +1033,59 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _BM25_TOPN)
         .select("rank", "doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS])
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick): text -> fixed-dim sparse vector
+# --------------------------------------------------------------------------
+
+_FH_DIMS = 64  # hashed feature space size
+
+_FH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+), hashed AS (
+  SELECT doc_id,
+         {sql_md5_int32('term')} % {_FH_DIMS} AS dim,
+         CASE WHEN ({sql_md5_int32('term')} // {_FH_DIMS}) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(sgn) AS BIGINT) AS weight
+FROM hashed GROUP BY 1, 2
+HAVING sum(sgn) <> 0
+"""
+
+
+@register(
+    "text_feature_hash",
+    "text",
+    f"Feature hashing (the hashing trick): every token maps to one of "
+    f"{_FH_DIMS} dimensions by portable hash, with the hash's next bit "
+    "supplying the +/-1 sign that makes collision noise zero-mean "
+    "(the signed hashing-trick construction) — the fixed-width, "
+    "vocabulary-FREE text vectorizer for linear models at corpus "
+    "scale. Output is the sparse (doc, dim, weight) triple form "
+    "(zero-sum dims dropped), what a sparse-matrix loader ingests. "
+    "One (doc, dim) groupBy with map-side combine; no vocabulary "
+    "pass, no broadcast side, task state O(1) — the property that "
+    "distinguishes it from TF-IDF at 100 TB.",
+    oracle=_FH_ORACLE,
+)
+def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    h = md5_int32(F.col("term"))
+    sgn = F.when(
+        ((h / _FH_DIMS).cast("long") % 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    hashed = toks.select("doc_id", (h % _FH_DIMS).alias("dim"), sgn.alias("sgn"))
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
     )

@@ -205,6 +205,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pipeline_incremental_lsh",
     "stream_incremental_dedup_e2e",
     "q164_map_functions",
+    "text_feature_hash",
 )
 
 
