@@ -479,3 +479,122 @@ def q156_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dist").alias("max_depth"),
         F.sum("cents").alias("subtree_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q165: bounded multi-source shortest paths (Bellman-Ford relaxation)
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle() -> str:
+    cte = [
+        f"""edges0 AS (
+  SELECT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst,
+         CAST(min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+)""",
+        """edges AS (
+  SELECT src, dst, w FROM edges0
+  UNION ALL
+  SELECT dst, src, w FROM edges0
+)""",
+        """nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+)""",
+        f"""d0 AS (
+  SELECT node,
+         CASE WHEN node < {_SUPP_OFFSET} AND node % 20 = 0
+              THEN CAST(0 AS BIGINT) END AS dist
+  FROM nodes
+)""",
+    ]
+    for i in range(_SSSP_ROUNDS):
+        cte.append(
+            f"""d{i + 1} AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i} d JOIN edges e ON e.src = d.node
+    WHERE d.dist IS NOT NULL
+  ) u GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT node, dist AS dist_cents FROM d{_SSSP_ROUNDS}"
+        + "\nWHERE dist IS NOT NULL"
+    )
+
+
+@register(
+    "q165_shortest_paths",
+    "graph",
+    "Bounded multi-source shortest paths (Bellman-Ford relaxation) over "
+    "the customer<->supplier graph from q86: edge weight = cheapest line "
+    "item between the pair in exact cents, sources = every customer "
+    f"node with custkey % 20 == 0, {_SSSP_ROUNDS} relaxation rounds "
+    f"(= {_SSSP_ROUNDS}-hop cost horizon — the bounded-iteration "
+    "contract; unreachable-within-horizon nodes are excluded rather "
+    "than carrying a sentinel infinity). The fourth iterative graph "
+    "family beside connected components, PageRank and label "
+    "propagation: supply-chain reach / cheapest-route-cost analysis. "
+    "Each round relaxes every edge once — one join of the static edge "
+    "list against the |nodes|-sized frontier table (size-gated "
+    "broadcast, shuffled-hash above threshold) plus one min-combine "
+    "shuffle (partial min map-side, so the relax never materializes "
+    "|E| rows past the exchange); the distance table is the only loop "
+    "state and the edge list never re-shuffles. All-integer cents "
+    "arithmetic and associative min make the result bit-identical "
+    "across engines and merge orders; the oracle unrolls the same "
+    "rounds as chained CTEs.",
+    oracle=_sssp_oracle(),
+)
+def q165_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.min(cents).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(
+            (F.col("node") < _SUPP_OFFSET) & (F.col("node") % 20 == 0),
+            F.lit(0).cast("long"),
+        ).alias("dist"),
+    )
+    n_nodes = edges.select("src").distinct().count()
+    reliable = configure_reliable_checkpoints(spark)
+    for i in range(_SSSP_ROUNDS):
+        frontier = gated_broadcast(
+            dist.filter(F.col("dist").isNotNull()), n_nodes, spark
+        )
+        relaxed = edges.join(frontier, edges["src"] == frontier["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = cut_lineage(dist, i, reliable, local_interval=2)
+    return dist.filter(F.col("dist").isNotNull()).select(
+        "node", F.col("dist").alias("dist_cents")
+    )

@@ -206,6 +206,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_incremental_dedup_e2e",
     "q164_map_functions",
     "text_feature_hash",
+    "q165_shortest_paths",
 )
 
 
