@@ -46,7 +46,7 @@ from spark_stream_kudu_spark.functions.lineage import (
     configure_reliable_checkpoints,
     cut_lineage,
 )
-from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.functions.textutil import (
     sql_tokens,
     sql_word_shingles,
@@ -1294,5 +1294,80 @@ def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("doc_id"),
             F.col("m").alias("matched_doc"),
             fround(raw, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verify over LSH candidates (entity-resolution stage)
+# --------------------------------------------------------------------------
+
+# Levenshtein on full documents is O(len_a * len_b) per pair — hostile at
+# corpus scale AND unnecessary: near-dup candidates that agree nowhere in
+# their first _EDIT_CLIP chars are not the record-linkage case this stage
+# exists for. Clipping bounds per-pair cost to a constant, so the verify
+# stage's total cost is O(|candidates|), same as the Jaccard verify.
+_EDIT_CLIP = 120
+_EDIT_SIM_THRESHOLD = 0.4
+
+_EDIT_ORACLE = f"""
+WITH {{mh}},
+{{bands}},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+clip AS (
+  SELECT doc_id, substr(text, 1, {_EDIT_CLIP}) AS t FROM documents
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+         CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS max_len
+  FROM cand c JOIN clip a ON a.doc_id = c.doc_a
+              JOIN clip b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, edit_dist,
+       {sql_fround('1.0 - edit_dist * 1.0 / max_len', 6)} AS edit_sim,
+       (edit_dist * 1.0 / max_len <= {1 - _EDIT_SIM_THRESHOLD}) AS is_match
+FROM v
+"""
+
+
+@register(
+    "dedup_edit_distance",
+    "dedup",
+    "Entity-resolution verify stage: exact Levenshtein edit distance over "
+    "the MinHash-LSH candidate pairs (never all pairs), on a "
+    f"{_EDIT_CLIP}-char clip so per-pair cost is a constant and the "
+    "stage stays O(|candidates|) — the record-linkage / fuzzy-match "
+    "counterpart to the set-based Jaccard verify (typo-level edits move "
+    "edit similarity smoothly where shingle Jaccard cliffs). Emits every "
+    "candidate with its distance, normalized similarity and match flag, "
+    "so downstream thresholds are a filter, not a re-scan. Native JVM "
+    "levenshtein in Spark, same function in DuckDB; candidate join is "
+    "two broadcast-sized hash joins against the clipped projection.",
+    oracle=_EDIT_ORACLE.format(mh=_sql_minhash_cte(), bands=_sql_bands_cte()),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(d)
+    clip = d.select("doc_id", F.substring("text", 1, _EDIT_CLIP).alias("t"))
+    a = clip.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = clip.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb")).cast("long")
+    max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            fround(1.0 - dist * F.lit(1.0) / max_len, 6).alias("edit_sim"),
+            (dist * F.lit(1.0) / max_len <= F.lit(1 - _EDIT_SIM_THRESHOLD)).alias(
+                "is_match"
+            ),
         )
     )

@@ -207,6 +207,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q164_map_functions",
     "text_feature_hash",
     "q165_shortest_paths",
+    "dedup_edit_distance",
 )
 
 
