@@ -1338,3 +1338,98 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
     )
     return _rank_topk(scored)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval + its recall curve
+# --------------------------------------------------------------------------
+
+# Matryoshka-style representation learning trains embeddings so PREFIXES
+# of the vector are themselves usable embeddings; serving then scores
+# with the first d' << D dims (D/d' times less memory bandwidth and
+# cache footprint — at 100 TB the index working set shrinks by the same
+# factor) and optionally re-ranks survivors at full dimension. These
+# queries measure what that trade costs on THIS corpus: top-k arms at
+# prefix dims 16 and 32 of the 64-dim fixture, and their recall against
+# the full-dimension exact ground truth.
+_TRUNC_DIMS = (16, 32)
+
+
+def _trunc_sql_arm(d: int) -> str:
+    cos = _SQL_COS.format(a=f"tq.qv[1:{d}]", b=f"e.embedding[1:{d}]")
+    return f"""(
+WITH tq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+ts AS (
+  SELECT tq.qid AS qid, e.vec_id AS neighbor_id,
+         floor(({cos}) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM tq JOIN embeddings e ON e.vec_id <> tq.qid
+),
+tr AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM ts
+)
+SELECT qid, neighbor_id, cosine, rank FROM tr WHERE rank <= {TOP_K}
+)"""
+
+
+def _trunc_topk(e: DataFrame, d: int) -> DataFrame:
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.slice("embedding", 1, d).alias("qv")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        fround(
+            cosine_similarity(F.col("qv"), F.slice("embedding", 1, d)), 6
+        ).alias("cosine"),
+    )
+    return _rank_topk(scored)
+
+
+def _trunc_recall_oracle() -> str:
+    arms = ",\n".join(
+        f"""ev{d} AS (
+  SELECT 'trunc{d}' AS method, e.qid,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN t{d} a
+    ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.qid
+)"""
+        for d in _TRUNC_DIMS
+    )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM ev{d}" for d in _TRUNC_DIMS)
+    withs = ",\n".join(f"t{d} AS ({_trunc_sql_arm(d)})" for d in _TRUNC_DIMS)
+    return f"""
+WITH exact AS ({_BRUTE_ORACLE}),
+{withs},
+{arms},
+ev AS ({union})
+SELECT method, qid, n_exact, n_hits,
+       floor((n_hits * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall
+FROM ev
+"""
+
+
+@register(
+    "sim_recall_truncated",
+    "similarity",
+    f"Matryoshka truncated-dimension recall curve: cosine top-{TOP_K} "
+    f"retrieval using only the first {list(_TRUNC_DIMS)} of {_DIM} "
+    "embedding dims, each arm scored for recall against the "
+    "full-dimension exact ground truth — the measurement behind "
+    "prefix-dimension serving (4x / 2x less index memory bandwidth; "
+    "re-rank survivors at full dim to recover the gap). Truncation is a "
+    "scan-local array slice; each arm reuses the broadcast-query "
+    "brute-force shape, so the whole curve costs |dims| cheap passes "
+    "plus the one exact pass it is judged against.",
+    oracle=_trunc_recall_oracle(),
+)
+def sim_recall_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    exact = sim_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    out = None
+    for d in _TRUNC_DIMS:
+        r = _recall_against_exact(f"trunc{d}", exact, _trunc_topk(e, d))
+        out = r if out is None else out.unionByName(r)
+    return out

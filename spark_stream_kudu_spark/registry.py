@@ -208,6 +208,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "text_feature_hash",
     "q165_shortest_paths",
     "dedup_edit_distance",
+    "sim_recall_truncated",
 )
 
 
