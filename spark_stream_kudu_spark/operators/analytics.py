@@ -1558,3 +1558,100 @@ def q121_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_beyond_1h"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q166: FIFO lot allocation (cumulative-interval matching)
+# --------------------------------------------------------------------------
+
+_FIFO_ORACLE = """
+WITH base AS (
+  SELECT l_partkey AS part, l_orderkey AS okey, l_linenumber AS line,
+         l_shipdate AS ship, l_linestatus AS st,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem
+),
+supply AS (
+  SELECT part, okey AS s_okey, line AS s_line,
+         CAST(sum(qty) OVER w AS BIGINT) AS s_hi,
+         CAST(sum(qty) OVER w - qty AS BIGINT) AS s_lo
+  FROM base WHERE st = 'F'
+  WINDOW w AS (PARTITION BY part ORDER BY ship, okey, line)
+),
+demand AS (
+  SELECT part, okey AS d_okey, line AS d_line,
+         CAST(sum(qty) OVER w AS BIGINT) AS d_hi,
+         CAST(sum(qty) OVER w - qty AS BIGINT) AS d_lo
+  FROM base WHERE st = 'O'
+  WINDOW w AS (PARTITION BY part ORDER BY ship, okey, line)
+)
+SELECT s.part, s.s_okey, s.s_line, d.d_okey, d.d_line,
+       CAST(least(s.s_hi, d.d_hi) - greatest(s.s_lo, d.d_lo) AS BIGINT)
+         AS alloc_qty
+FROM supply s JOIN demand d
+  ON d.part = s.part AND s.s_lo < d.d_hi AND d.d_lo < s.s_hi
+"""
+
+
+@register(
+    "q166_fifo_allocation",
+    "analytics",
+    "FIFO lot allocation (inventory cost assignment / order fulfilment "
+    "matching): per part, completed line items ('F') form supply lots "
+    "and open ones ('O') form demands, both laid out on a cumulative "
+    "quantity axis by ship-date order; a lot funds a demand exactly "
+    "where their cumulative intervals overlap, so the classic "
+    "sequential match becomes ONE per-key range join on interval "
+    "overlap with allocated = least(hi,hi) - greatest(lo,lo) — no "
+    "driver loop, no recursion, no quadratic self-scan (each side is "
+    "sorted once by a window cumsum; the join's per-part output is "
+    "linear-ish because FIFO intervals interleave, not cross-product). "
+    "All-integer quantities end to end; (shipdate, orderkey, "
+    "linenumber) is a unique order so RANGE and ROWS frames agree "
+    "across engines.",
+    oracle=_FIFO_ORACLE,
+)
+def q166_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_linestatus").alias("st"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("part").orderBy("ship", "okey", "line")
+    hi = F.sum("qty").over(w).cast("long")
+
+    def side(st: str, p: str) -> DataFrame:
+        return (
+            base.filter(F.col("st") == st)
+            .withColumn(f"{p}_hi", hi)
+            .withColumn(f"{p}_lo", (F.col(f"{p}_hi") - F.col("qty")).cast("long"))
+            .select(
+                "part",
+                F.col("okey").alias(f"{p}_okey"),
+                F.col("line").alias(f"{p}_line"),
+                f"{p}_lo",
+                f"{p}_hi",
+            )
+        )
+
+    s, d = side("F", "s"), side("O", "d")
+    return s.join(
+        d,
+        (s["part"] == d["part"])
+        & (s["s_lo"] < d["d_hi"])
+        & (d["d_lo"] < s["s_hi"]),
+    ).select(
+        s["part"],
+        "s_okey",
+        "s_line",
+        "d_okey",
+        "d_line",
+        (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo"))
+        .cast("long")
+        .alias("alloc_qty"),
+    )

@@ -209,6 +209,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q165_shortest_paths",
     "dedup_edit_distance",
     "sim_recall_truncated",
+    "q166_fifo_allocation",
 )
 
 
