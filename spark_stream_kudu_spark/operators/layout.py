@@ -587,3 +587,73 @@ def q118_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ORC source surface (the columnar interchange sibling of parquet)
+# --------------------------------------------------------------------------
+
+
+def orc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders exported once to ORC with NATIVE types preserved (double
+    prices, timestamp dates — no text re-encoding) and read back with an
+    explicit schema. ORC is the second columnar interchange format a
+    lakehouse ingests beside parquet (Hive/Trino estates export it);
+    unlike the JSONL/CSV surfaces nothing is re-encoded, so the proof
+    obligation is that doubles and timestamps survive the writer/reader
+    pair bit-exactly."""
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_orc_orders_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    return spark.read.schema(schema).orc(path)
+
+
+_Q167_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(min(epoch_ms(o_orderdate)) AS BIGINT) AS first_order_ms,
+       CAST(max(epoch_ms(o_orderdate)) AS BIGINT) AS last_order_ms
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q167_orc_roundtrip",
+    "layout",
+    "ORC source surface: orders exported once to ORC with native types "
+    "(doubles and timestamps as-is — no text re-encoding, unlike the "
+    "JSONL/CSV surfaces) and read back with an explicit schema, then a "
+    "filtered aggregate converting to exact cents and epoch millis. The "
+    "oracle reads the ORIGINAL parquet, so equality proves the ORC "
+    "writer/reader pair round-trips doubles and timestamps bit-exactly "
+    "— the ingest contract for Hive/Trino-estate ORC exports. Predicate "
+    "and column pruning reach the ORC scan the same as parquet "
+    "(vectorized reader, footer stats).",
+    oracle=_Q167_ORACLE,
+    prepare=lambda spark, sf_dir: orc_orders(spark, sf_dir) and None,
+)
+def q167_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = orc_orders(spark, sf_dir)
+    return (
+        o.filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+            F.min(F.unix_millis("o_orderdate")).alias("first_order_ms"),
+            F.max(F.unix_millis("o_orderdate")).alias("last_order_ms"),
+        )
+    )

@@ -210,6 +210,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_edit_distance",
     "sim_recall_truncated",
     "q166_fifo_allocation",
+    "q167_orc_roundtrip",
 )
 
 
