@@ -513,3 +513,82 @@ def q112_json_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("j.k")).alias("sum_k"),
         F.count(F.col("j.k")).alias("n_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# q168: join-key skew audit (the salting / AQE-skew preflight)
+# --------------------------------------------------------------------------
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def _skew_arm_sql(col: str) -> str:
+    return f"""(
+  WITH k AS (
+    SELECT {col} AS key, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY {col}
+  )
+  SELECT '{col}' AS join_key,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_key_rows,
+         CAST(min(key) FILTER (WHERE n = (SELECT max(n) FROM k)) AS BIGINT)
+           AS hottest_key,
+         CAST(max(n) * count(*) * 1000 // sum(n) AS BIGINT) AS skew_x1000
+  FROM k
+)"""
+
+
+_SKEW_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT * FROM {_skew_arm_sql(c)} arm_{c}" for c in _SKEW_KEYS
+)
+
+
+@register(
+    "q168_skew_audit",
+    "profiling",
+    "Join-key skew audit over the fact table's three join keys: per key "
+    "column, total rows, distinct keys, the heaviest key's row count "
+    "and identity (deterministic min-key tiebreak), and skew_x1000 = "
+    "max_key_rows / avg_rows_per_key in exact integer permille — the "
+    "preflight that decides whether a join needs salting or AQE skew "
+    "splitting BEFORE a 100 TB shuffle discovers it the hard way "
+    "(skew_x1000 near 1000 = uniform; a hot key shows up as orders of "
+    "magnitude). Cost per column is one map-side-combined groupBy to "
+    "|keys| rows plus a 1-row rollup; the hottest-key pick joins the "
+    "|keys| table against its own broadcast 1-row max, never re-scans "
+    "the fact.",
+    oracle=_SKEW_ORACLE,
+)
+def q168_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for col in _SKEW_KEYS:
+        k = li.groupBy(F.col(col).alias("key")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        stats = k.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("n").cast("long").alias("max_key_rows"),
+        )
+        hottest = (
+            k.join(F.broadcast(stats), k["n"] == stats["max_key_rows"])
+            .agg(F.min("key").cast("long").alias("hottest_key"))
+        )
+        arm = (
+            stats.crossJoin(F.broadcast(hottest))
+            .select(
+                F.lit(col).alias("join_key"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "hottest_key",
+                F.expr("max_key_rows * n_keys * 1000 div n_rows")
+                .cast("long")
+                .alias("skew_x1000"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

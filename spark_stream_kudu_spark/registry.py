@@ -211,6 +211,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_recall_truncated",
     "q166_fifo_allocation",
     "q167_orc_roundtrip",
+    "q168_skew_audit",
 )
 
 
