@@ -271,3 +271,41 @@ def test_ks_finalize_matches_ecdf_for_any_histogram(sess, h):
             cum_b += b
             d = max(d, abs(cum_a * 1.0 / na - cum_b * 1.0 / nb))
         assert got[et] == (na, nb, math.floor(d * 1e6 + 0.5) / 1e6)
+
+
+# --------------------------------------------------------------------------
+# q163 histogram sketch: the integer log-linear bin formula
+# --------------------------------------------------------------------------
+
+
+def _py_bin(x: int) -> tuple[int, int, int]:
+    """Plain-Python mirror of hq_bin_columns (bin_id, lo16, hi16)."""
+    k = x.bit_length() - 1
+    base = 1 << k
+    s = (x - base) * 16 // base
+    return k * 16 + s, base * (16 + s), base * (17 + s)
+
+
+@SETTINGS
+@given(xs=st.lists(st.integers(min_value=1, max_value=1 << 40), min_size=1, max_size=12))
+def test_hq_bin_formula_bounds_and_monotonicity(sess, xs):
+    """For ANY positive value: the assigned log-linear bin contains the
+    value (lo16 <= 16x < hi16), bin ids are monotone in the value
+    (quantile selection by bin order is order-correct), and the bin's
+    relative width is <= 1/16 of its lower bound (the sketch's error
+    bound). The Spark expression must agree with the plain-Python
+    mirror exactly."""
+    for x in xs:
+        b, lo16, hi16 = _py_bin(x)
+        assert lo16 <= 16 * x < hi16, x
+        assert (hi16 - lo16) * 16 <= lo16, x  # width/lo <= 1/16
+    for a, b2 in zip(sorted(xs), sorted(xs)[1:]):
+        assert _py_bin(a)[0] <= _py_bin(b2)[0]
+
+    from spark_stream_kudu_spark.operators.statistics import hq_bin_columns
+
+    df = sess.createDataFrame([(x,) for x in xs], "cents long")
+    bin_id, lo16, hi16 = hq_bin_columns("cents")
+    rows = df.select("cents", bin_id, lo16, hi16).collect()
+    for r in rows:
+        assert (r["bin_id"], r["lo16"], r["hi16"]) == _py_bin(r["cents"]), r
