@@ -427,3 +427,180 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python(Arrow) eval node, zero exchanges."""
     d = with_binary_payload(_docs(spark, sf_dir)).select("doc_id", "payload")
     return d.mapInPandas(byte_features_kernel, schema=BYTE_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual block-hash near-dup over the binary payload
+# --------------------------------------------------------------------------
+
+# Block-mean hash (the aHash shape every perceptual image/audio dedup
+# starts from): the payload is cut into 64 equal byte ranges; bit k = 1
+# iff block k's mean >= the whole payload's mean, compared CROSS-
+# MULTIPLIED in exact integers (sum_k * n >= total * n_k) so no float
+# division exists anywhere. Payloads shorter than 64 bytes yield some
+# empty blocks whose bit is deterministically 1 (0 >= 0) — same formula
+# both engines, so cross-engine-stable. The 64-bit signature is carried
+# as two 32-bit halves (h1 = bits 0..31, h2 = bits 32..63) to keep every
+# value positive in BIGINT arithmetic.
+_PH_BANDS = 4  # 16 bits per band over the 64-bit signature
+_PH_MAX_HAMMING = 12
+
+_PH_SIG_CTES = """b AS (
+  SELECT doc_id, encode(text) AS blob, octet_length(encode(text)) AS n
+  FROM documents
+),
+sbytes AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n),
+           i -> CAST(('0x' || substr(hex(blob), 2 * i - 1, 2)) AS BIGINT)) AS bytes
+  FROM b
+),
+tot AS (
+  SELECT doc_id, n, bytes, CAST(list_sum(bytes) AS BIGINT) AS total FROM sbytes
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           k -> CASE WHEN CAST(coalesce(list_sum(
+                      bytes[(k * n // 64) + 1 : ((k + 1) * n // 64)]), 0)
+                      AS BIGINT) * n
+                     >= total * (((k + 1) * n // 64) - (k * n // 64))
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bv
+  FROM tot
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(1, 32),
+              j -> bv[j] * (CAST(1 AS BIGINT) << (j - 1)))) AS BIGINT) AS h1,
+         CAST(list_sum(list_transform(generate_series(33, 64),
+              j -> bv[j] * (CAST(1 AS BIGINT) << (j - 33)))) AS BIGINT) AS h2
+  FROM bits
+),
+bands AS (
+  SELECT doc_id, t.band,
+         CASE t.band WHEN 0 THEN h1 % 65536 WHEN 1 THEN h1 // 65536
+                     WHEN 2 THEN h2 % 65536 ELSE h2 // 65536 END AS bkey
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+)"""
+
+_PH_PAIRS_ORACLE = f"""
+WITH {_PH_SIG_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2))
+            AS BIGINT) AS hamming,
+       (bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2))
+        <= {_PH_MAX_HAMMING}) AS is_near
+FROM cand c JOIN sig x ON x.doc_id = c.doc_a JOIN sig y ON y.doc_id = c.doc_b
+"""
+
+PH_SIG_SCHEMA = "doc_id long, h1 long, h2 long"
+
+
+def blockhash_kernel(batches):
+    """Arrow kernel: 64-block mean hash per payload, vectorized numpy
+    (reduceat over block offsets); exact integer compare mirrors the
+    oracle's hex-dump recomputation bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        rows = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+            n = int(a.size)
+            total = int(a.sum())
+            offsets = [(k * n) // 64 for k in range(64)]
+            if n:
+                sums = np.add.reduceat(a, offsets)
+                # reduceat wraps on repeated offsets (empty blocks):
+                # recompute those as true zero-width sums
+                for k in range(64):
+                    hi = ((k + 1) * n) // 64
+                    if offsets[k] >= hi:
+                        sums[k] = 0
+            else:
+                sums = np.zeros(64, dtype=np.int64)
+            h1 = h2 = 0
+            for k in range(64):
+                nk = ((k + 1) * n) // 64 - (k * n) // 64
+                bit = 1 if int(sums[k]) * n >= total * nk else 0
+                if k < 32:
+                    h1 |= bit << k
+                else:
+                    h2 |= bit << (k - 32)
+            rows.append((int(doc_id), h1, h2))
+        yield pd.DataFrame(rows, columns=["doc_id", "h1", "h2"])
+
+
+def blockhash_signatures(d: DataFrame) -> DataFrame:
+    payload = with_binary_payload(d).select("doc_id", "payload")
+    return payload.mapInPandas(blockhash_kernel, schema=PH_SIG_SCHEMA)
+
+
+@register(
+    "multimodal_blockhash_neardup",
+    "multimodal",
+    "Perceptual near-dup over the BINARY payload: a 64-block mean hash "
+    "(the aHash shape image/audio dedup uses) computed by a real Arrow "
+    "numpy kernel — blocks sum via reduceat, bits compare block mean "
+    "vs payload mean cross-multiplied in exact integers — then "
+    f"Hamming-LSH banding ({_PH_BANDS} x 16-bit bands) generates "
+    "candidates and popcount-of-xor verifies them, flagged at Hamming "
+    f"<= {_PH_MAX_HAMMING}. The multimodal twin of the text SimHash "
+    "family: payload bytes are read ONCE by the kernel and never "
+    "shuffle; everything downstream joins 3-integer signatures. The "
+    "oracle recomputes every block sum from the blob's hex dump, so "
+    "kernel, banding and verify are checked byte-exactly end to end.",
+    oracle=_PH_PAIRS_ORACLE,
+)
+def multimodal_blockhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = blockhash_signatures(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("h1") % 65536).alias("bkey")),
+                F.struct(F.lit(1).alias("band"), F.expr("h1 div 65536").alias("bkey")),
+                F.struct(F.lit(2).alias("band"), (F.col("h2") % 65536).alias("bkey")),
+                F.struct(F.lit(3).alias("band"), F.expr("h2 div 65536").alias("bkey")),
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("ba"), F.col("bkey").alias("ka")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("bb"), F.col("bkey").alias("kb")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb"))
+            & (F.col("ka") == F.col("kb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("h1").alias("x1"), F.col("h2").alias("x2"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("h1").alias("y1"), F.col("h2").alias("y2"))
+    ham = (
+        F.bit_count(F.expr("x1 ^ y1")) + F.bit_count(F.expr("x2 ^ y2"))
+    ).cast("long")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.alias("hamming"),
+            (ham <= _PH_MAX_HAMMING).alias("is_near"),
+        )
+    )

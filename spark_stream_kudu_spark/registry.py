@@ -212,6 +212,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q166_fifo_allocation",
     "q167_orc_roundtrip",
     "q168_skew_audit",
+    "multimodal_blockhash_neardup",
 )
 
 
