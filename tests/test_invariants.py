@@ -811,3 +811,67 @@ def test_hierarchy_closure_root_sees_everything(spark, sf_smoke):
     assert root["n_reports"] == agg["n"]
     assert root["subtree_cents"] == agg["cents"]
     assert root["max_depth"] == int(agg["mx"]).bit_length() - 1
+
+
+def test_fifo_allocation_conserves_quantity(spark, sf_smoke):
+    """FIFO interval matching is conservative: per part, the allocated
+    total equals min(total supply, total demand) exactly — nothing is
+    created, nothing double-counted — and every allocation is a
+    positive quantity no larger than either side's lot."""
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    out = ALL["q166_fifo_allocation"].builder(spark, sf_smoke)
+    assert out.filter(F.col("alloc_qty") <= 0).count() == 0
+    alloc = {
+        r["part"]: r["s"]
+        for r in out.groupBy("part").agg(F.sum("alloc_qty").alias("s")).collect()
+    }
+    li = load_table(spark, sf_smoke, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    sides = {
+        r["l_partkey"]: (r["supply"] or 0, r["demand"] or 0)
+        for r in li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "F", qty)).alias("supply"),
+            F.sum(F.when(F.col("l_linestatus") == "O", qty)).alias("demand"),
+        )
+        .collect()
+    }
+    for part, (supply, demand) in sides.items():
+        assert alloc.get(part, 0) == min(supply, demand), part
+
+
+def test_shortest_paths_fixed_point_properties(spark, sf_smoke):
+    """SSSP sanity independent of the oracle: every source node has
+    distance 0, every reported distance is non-negative, and one more
+    relaxation round would not improve any reported distance that has
+    an in-edge from another reported node (the bounded-horizon fixed
+    point on the fixture, whose graph diameter is < the round count)."""
+    out = {
+        r["node"]: r["dist_cents"]
+        for r in ALL["q165_shortest_paths"].builder(spark, sf_smoke).collect()
+    }
+    from spark_stream_kudu_spark.operators.graph import _SUPP_OFFSET
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    sources = [n for n in out if n < _SUPP_OFFSET and n % 20 == 0]
+    assert sources, "no source nodes in output"
+    assert all(out[n] == 0 for n in sources)
+    assert all(v >= 0 for v in out.values())
+    li = load_table(spark, sf_smoke, "lineitem")
+    o = load_table(spark, sf_smoke, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.min(cents).alias("w"))
+        .collect()
+    )
+    edges = [(r["src"], r["dst"], r["w"]) for r in e0]
+    edges += [(d, s, w) for s, d, w in edges]
+    for s, d, w in edges:
+        if s in out:
+            assert out.get(d, out[s] + w) <= out[s] + w, (s, d)
