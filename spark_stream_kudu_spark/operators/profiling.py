@@ -592,3 +592,124 @@ def q168_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# --------------------------------------------------------------------------
+# q169: Merkle-style partition digests (diff localization at scale)
+# --------------------------------------------------------------------------
+
+_PD_BUCKETS = 64
+
+
+def _pd_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    row = (
+        "concat_ws('|', CAST(okey AS VARCHAR), status, "
+        "CAST(price_cents AS VARCHAR))"
+    )
+    h = sql_md5_int32(row)
+    bucket = f"({sql_md5_int32('CAST(okey AS VARCHAR)')} % {_PD_BUCKETS})"
+    pct = f"({sql_md5_int32('CAST(okey AS VARCHAR)')} % 100)"
+    return f"""
+WITH v1 AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+),
+v2 AS (
+  SELECT okey, status,
+         CASE WHEN {pct} = 0
+              THEN CAST(floor(price_cents * 1.1 + 0.5) AS BIGINT)
+              ELSE price_cents END AS price_cents
+  FROM v1
+),
+d1 AS (
+  SELECT {bucket} AS bucket, CAST(count(*) AS BIGINT) AS n_rows_v1,
+         CAST(sum(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS digest_v1
+  FROM v1 GROUP BY 1
+),
+d2 AS (
+  SELECT {bucket} AS bucket, CAST(count(*) AS BIGINT) AS n_rows_v2,
+         CAST(sum(CAST({h} AS DECIMAL(38,0))) AS VARCHAR) AS digest_v2
+  FROM v2 GROUP BY 1
+)
+SELECT coalesce(d1.bucket, d2.bucket) AS bucket,
+       n_rows_v1, n_rows_v2, digest_v1, digest_v2,
+       (digest_v1 IS DISTINCT FROM digest_v2) AS differs
+FROM d1 FULL OUTER JOIN d2 ON d1.bucket = d2.bucket
+"""
+
+
+@register(
+    "q169_partition_digests",
+    "profiling",
+    f"Merkle-style partition digests: both snapshot versions reduce to "
+    f"{_PD_BUCKETS} (bucket, count, order-independent digest) rows — "
+    "the q99 DECIMAL(38,0) row-hash sum per key-hash bucket — and "
+    "comparing digests localizes WHERE two 100 TB tables differ before "
+    "any row-level diff runs: only flagged buckets (here the ~1% of "
+    "keys whose derived v2 price changed) proceed to the q80 full-outer "
+    "row diff, so anti-entropy repair exchanges KB of digests instead "
+    "of re-shuffling both tables. Each side is one scan with map-side "
+    "partial digest sums; the digest compare joins two "
+    f"{_PD_BUCKETS}-row tables (broadcast). v2 is derived "
+    "deterministically from v1 by key-hash so the whole chain is "
+    "oracle-checkable.",
+    oracle=_pd_oracle(),
+)
+def q169_partition_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    pct = md5_int32(F.col("okey").cast("string")) % 100
+    v2 = v1.select(
+        "okey",
+        "status",
+        F.when(
+            pct == 0,
+            F.floor(F.col("price_cents") * 1.1 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+    )
+
+    def digests(v: DataFrame, tag: str) -> DataFrame:
+        row = F.concat_ws(
+            "|",
+            F.col("okey").cast("string"),
+            F.col("status"),
+            F.col("price_cents").cast("string"),
+        )
+        return (
+            v.groupBy(
+                (md5_int32(F.col("okey").cast("string")) % _PD_BUCKETS).alias(
+                    "bucket"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias(f"n_rows_{tag}"),
+                F.sum(md5_int32(row).cast("decimal(38,0)"))
+                .cast("string")
+                .alias(f"digest_{tag}"),
+            )
+        )
+    d1, d2 = digests(v1, "v1"), digests(v2, "v2")
+    return (
+        d1.join(d2, d1["bucket"] == d2["bucket"], "full_outer")
+        .select(
+            F.coalesce(d1["bucket"], d2["bucket"]).alias("bucket"),
+            "n_rows_v1",
+            "n_rows_v2",
+            "digest_v1",
+            "digest_v2",
+            (~F.col("digest_v1").eqNullSafe(F.col("digest_v2"))).alias("differs"),
+        )
+    )

@@ -213,6 +213,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q167_orc_roundtrip",
     "q168_skew_audit",
     "multimodal_blockhash_neardup",
+    "q169_partition_digests",
 )
 
 
