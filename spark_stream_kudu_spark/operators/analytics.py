@@ -1655,3 +1655,102 @@ def q166_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# q171: exact money proration (per-order Hamilton allocation)
+# --------------------------------------------------------------------------
+
+_PRORATE_ORACLE = """
+WITH w AS (
+  SELECT l_orderkey AS okey, l_linenumber AS line,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS wt
+  FROM lineitem
+),
+t AS (
+  SELECT o_orderkey AS okey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total
+  FROM orders
+),
+j AS (
+  SELECT w.okey, w.line, w.wt, t.total,
+         CAST(sum(w.wt) OVER (PARTITION BY w.okey) AS BIGINT) AS wsum
+  FROM w JOIN t ON t.okey = w.okey
+),
+b AS (
+  SELECT okey, line, total,
+         CAST(total * wt // wsum AS BIGINT) AS base,
+         CAST((total * wt) % wsum AS BIGINT) AS rem
+  FROM j
+),
+r AS (
+  SELECT okey, line, total, base,
+         CAST(total - sum(base) OVER (PARTITION BY okey) AS BIGINT) AS leftover,
+         row_number() OVER (PARTITION BY okey ORDER BY rem DESC, line ASC) AS rk
+  FROM b
+)
+SELECT okey, line,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM r
+"""
+
+
+@register(
+    "q171_proration",
+    "analytics",
+    "Exact money proration: each order's total (cents) is allocated "
+    "across its line items proportionally to extended price using "
+    "largest-remainder (Hamilton) rounding — integer base shares "
+    "total*w div W, then the leftover cents go to the largest "
+    "remainders (deterministic line-number tiebreak), so per-order "
+    "allocations sum to the order total EXACTLY, always — the "
+    "cost-allocation / revenue-attribution kernel naive per-row "
+    "rounding gets wrong by a cent in ways that never reconcile. Pure "
+    "BIGINT arithmetic end to end; one fact-side shuffle on the order "
+    "key shared by the join and both windows (Catalyst reuses the "
+    "partitioning), output is |lineitem|-sized.",
+    oracle=_PRORATE_ORACLE,
+)
+def q171_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    w = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("wt"),
+    )
+    t = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("total"),
+    )
+    wk = Window.partitionBy("okey")
+    j = w.join(t, "okey").withColumn("wsum", F.sum("wt").over(wk).cast("long"))
+    b = j.select(
+        "okey",
+        "line",
+        "total",
+        F.expr("total * wt div wsum").cast("long").alias("base"),
+        ((F.col("total") * F.col("wt")) % F.col("wsum")).cast("long").alias("rem"),
+    )
+    rk = Window.partitionBy("okey").orderBy(F.desc("rem"), F.asc("line"))
+    r = b.select(
+        "okey",
+        "line",
+        "base",
+        (F.col("total") - F.sum("base").over(wk)).cast("long").alias("leftover"),
+        F.row_number().over(rk).alias("rk"),
+    )
+    return r.select(
+        "okey",
+        "line",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )

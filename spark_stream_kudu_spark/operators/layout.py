@@ -657,3 +657,80 @@ def q167_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_millis("o_orderdate")).alias("last_order_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q170: parquet schema evolution (mergeSchema over mixed-generation files)
+# --------------------------------------------------------------------------
+
+
+def evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders written once as TWO parquet generations under one dataset
+    root: even keys as the legacy schema (no priority column), odd keys
+    as the evolved schema (priority added) — the schema-drift shape
+    every long-lived ingest dataset develops. Read back with
+    mergeSchema=true: Spark unions the footers into one schema and
+    legacy files surface NULL for the added column."""
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_evolved_orders_{tag}")
+    marker_a = os.path.join(path, "gen1", "_SUCCESS")
+    marker_b = os.path.join(path, "gen2", "_SUCCESS")
+    if not (os.path.exists(marker_a) and os.path.exists(marker_b)):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+            "o_orderpriority",
+        )
+        o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "gen1"))
+        o.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(
+            os.path.join(path, "gen2")
+        )
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen1"), os.path.join(path, "gen2")
+    )
+
+
+_Q170_ORACLE = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+            ELSE o_orderpriority END AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "q170_schema_evolution",
+    "layout",
+    "Parquet schema evolution: one dataset whose files span two schema "
+    "generations (a column added mid-life), read with mergeSchema=true "
+    "so the union schema applies and legacy files yield NULL for the "
+    "added column; the aggregate folds those NULLs into an explicit "
+    "LEGACY class. The oracle recomputes from the original single-"
+    "generation table, proving no rows or values are lost across the "
+    "schema boundary. At 100 TB, footer-merge cost is why mergeSchema "
+    "is opt-in — production pins the evolved schema explicitly via "
+    ".schema(...) once it stabilizes; both paths exercise the same "
+    "reader surface.",
+    oracle=_Q170_ORACLE,
+    prepare=lambda spark, sf_dir: evolved_orders(spark, sf_dir) and None,
+)
+def q170_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = evolved_orders(spark, sf_dir)
+    return (
+        o.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )

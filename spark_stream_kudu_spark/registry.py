@@ -214,6 +214,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q168_skew_audit",
     "multimodal_blockhash_neardup",
     "q169_partition_digests",
+    "q170_schema_evolution",
+    "q171_proration",
 )
 
 

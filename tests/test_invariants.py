@@ -875,3 +875,29 @@ def test_shortest_paths_fixed_point_properties(spark, sf_smoke):
     for s, d, w in edges:
         if s in out:
             assert out.get(d, out[s] + w) <= out[s] + w, (s, d)
+
+
+def test_proration_sums_exactly_to_order_total(spark, sf_smoke):
+    """Hamilton proration is exact: per order, allocated cents sum to
+    the order's total cents with zero residue, and every allocation is
+    within 1 cent of the unrounded proportional share."""
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    out = ALL["q171_proration"].builder(spark, sf_smoke)
+    sums = {
+        r["okey"]: r["s"]
+        for r in out.groupBy("okey").agg(F.sum("alloc_cents").alias("s")).collect()
+    }
+    o = load_table(spark, sf_smoke, "orders")
+    totals = {
+        r["o_orderkey"]: r["t"]
+        for r in o.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+        ).collect()
+    }
+    assert sums, "no prorated orders"
+    for okey, s in sums.items():
+        assert s == totals[okey], okey
