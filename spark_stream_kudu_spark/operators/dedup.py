@@ -1371,3 +1371,73 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Golden-record selection (the entity-resolution merge step)
+# --------------------------------------------------------------------------
+
+_GOLDEN_ORACLE = f"""
+WITH RECURSIVE {_CC_CTE_BODY},
+clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+j AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+           AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(min(CASE WHEN rk = 1 THEN doc_id END)
+            OVER (PARTITION BY cluster_id) AS BIGINT) AS golden_id,
+       (rk = 1) AS is_golden
+FROM j
+"""
+
+
+@register(
+    "dedup_golden_record",
+    "dedup",
+    "Entity-resolution merge step: every near-dup cluster (connected "
+    "component over the LSH->verified pair graph, reusing "
+    "dedup_clusters) elects ONE golden record — the most complete "
+    "member (max n_chars, min doc_id tiebreak) — and every document "
+    "maps to (entity, golden, is_golden). This is the survivorship "
+    "policy a dedup pipeline applies after matching: keep the golden "
+    "doc, redirect the rest. Cost beyond clustering is one window pass "
+    "over |docs| keyed by cluster id; singletons are their own golden "
+    "record. Oracle replays the same election over DuckDB's recursive "
+    "component closure.",
+    oracle=_GOLDEN_ORACLE,
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
+    j = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    out = j.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+        rk.alias("rk"),
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .over(wc)
+        .cast("long")
+        .alias("golden_id"),
+        (F.col("rk") == 1).alias("is_golden"),
+    )

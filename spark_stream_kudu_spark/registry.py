@@ -216,6 +216,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q169_partition_digests",
     "q170_schema_evolution",
     "q171_proration",
+    "dedup_golden_record",
 )
 
 
