@@ -36,6 +36,12 @@ CLAIMED_INVARIANT = [
     "text_bm25_search",
     "q42_salted_agg",
     "dedup_minhash_pairs",
+    # round-4 session additions claiming integer-exactness
+    "q165_shortest_paths",
+    "q166_fifo_allocation",
+    "q169_partition_digests",
+    "q171_proration",
+    "multimodal_blockhash_neardup",
 ]
 
 
