@@ -568,27 +568,25 @@ def q168_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = li.groupBy(F.col(col).alias("key")).agg(
             F.count(F.lit(1)).cast("long").alias("n")
         )
-        stats = k.agg(
+        # Hottest key in the SAME aggregate via lexicographic struct
+        # max: (n, -key) orders by count then by MIN key on ties — no
+        # second pass, no join back against the key table.
+        arm = k.agg(
             F.sum("n").cast("long").alias("n_rows"),
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.max("n").cast("long").alias("max_key_rows"),
-        )
-        hottest = (
-            k.join(F.broadcast(stats), k["n"] == stats["max_key_rows"])
-            .agg(F.min("key").cast("long").alias("hottest_key"))
-        )
-        arm = (
-            stats.crossJoin(F.broadcast(hottest))
-            .select(
-                F.lit(col).alias("join_key"),
-                "n_rows",
-                "n_keys",
-                "max_key_rows",
-                "hottest_key",
-                F.expr("max_key_rows * n_keys * 1000 div n_rows")
-                .cast("long")
-                .alias("skew_x1000"),
-            )
+            (-F.max(F.struct(F.col("n"), (-F.col("key")).alias("nk")))["nk"])
+            .cast("long")
+            .alias("hottest_key"),
+        ).select(
+            F.lit(col).alias("join_key"),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            "hottest_key",
+            F.expr("max_key_rows * n_keys * 1000 div n_rows")
+            .cast("long")
+            .alias("skew_x1000"),
         )
         out = arm if out is None else out.unionByName(arm)
     return out
