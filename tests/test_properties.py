@@ -309,3 +309,90 @@ def test_hq_bin_formula_bounds_and_monotonicity(sess, xs):
     rows = df.select("cents", bin_id, lo16, hi16).collect()
     for r in rows:
         assert (r["bin_id"], r["lo16"], r["hi16"]) == _py_bin(r["cents"]), r
+
+
+# --------------------------------------------------------------------------
+# q166 FIFO via interval overlap == the textbook sequential algorithm
+# --------------------------------------------------------------------------
+
+QTY = st.integers(min_value=1, max_value=20)
+
+
+@SETTINGS
+@given(
+    supply=st.lists(QTY, min_size=1, max_size=6),
+    demand=st.lists(QTY, min_size=1, max_size=6),
+)
+def test_fifo_overlap_equals_sequential_walk(sess, supply, demand):
+    """The cumulative-interval range join (q166's formulation) produces
+    EXACTLY the allocations of the obvious sequential FIFO walk —
+    pointer over lots, pointer over demands, allocate
+    min(remaining, remaining) — for any lot/demand quantity sequence."""
+    # textbook sequential FIFO
+    expect = {}
+    si, di, srem, drem = 0, 0, supply[0], demand[0]
+    while si < len(supply) and di < len(demand):
+        take = min(srem, drem)
+        if take > 0:
+            expect[(si, di)] = expect.get((si, di), 0) + take
+        srem -= take
+        drem -= take
+        if srem == 0:
+            si += 1
+            srem = supply[si] if si < len(supply) else 0
+        if drem == 0:
+            di += 1
+            drem = demand[di] if di < len(demand) else 0
+
+    # q166's formulation: cumulative intervals + overlap join
+    s_hi, s_lo = [], []
+    acc = 0
+    for q in supply:
+        s_lo.append(acc)
+        acc += q
+        s_hi.append(acc)
+    d_hi, d_lo = [], []
+    acc = 0
+    for q in demand:
+        d_lo.append(acc)
+        acc += q
+        d_hi.append(acc)
+    got = {}
+    for i in range(len(supply)):
+        for j in range(len(demand)):
+            if s_lo[i] < d_hi[j] and d_lo[j] < s_hi[i]:
+                got[(i, j)] = min(s_hi[i], d_hi[j]) - max(s_lo[i], d_lo[j])
+    assert got == expect
+
+
+# --------------------------------------------------------------------------
+# q171 Hamilton proration == the textbook per-order allocation
+# --------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8),
+    total=st.integers(min_value=0, max_value=1_000_000),
+)
+def test_hamilton_proration_matches_textbook(sess, weights, total):
+    """q171's windowed formulation (integer base shares + leftover to
+    largest remainders with line tiebreak) equals the direct
+    largest-remainder computation, sums exactly to the total, and every
+    share is within 1 of the unrounded proportional value."""
+    W = sum(weights)
+    base = [total * w // W for w in weights]
+    rem = [(total * w) % W for w in weights]
+    leftover = total - sum(base)
+    order = sorted(range(len(weights)), key=lambda i: (-rem[i], i))
+    expect = list(base)
+    for i in order[:leftover]:
+        expect[i] += 1
+    assert sum(expect) == total
+    for w, a in zip(weights, expect):
+        assert abs(a - total * w / W) < 1 + 1e-9
+
+    # the windowed formulation q171 executes, mirrored in plain python
+    rk = {i: r + 1 for r, i in enumerate(order)}
+    got = [base[i] + (1 if rk[i] <= leftover else 0) for i in range(len(weights))]
+    assert got == expect
