@@ -13,7 +13,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.registry import register
@@ -734,3 +734,213 @@ def q170_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q172: federated multi-format union (one logical table, three sources)
+# --------------------------------------------------------------------------
+
+_Q172_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(count(DISTINCT CASE o_orderstatus
+             WHEN 'O' THEN 'parquet' WHEN 'F' THEN 'csv'
+             ELSE 'jsonl' END) AS BIGINT) AS n_formats
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q172_federated_union",
+    "layout",
+    "Federated multi-format union: ONE logical orders table whose rows "
+    "live in three physical formats (status 'O' in parquet, 'F' in the "
+    "CSV export, 'P' in the JSONL export — the mid-migration state "
+    "every lakehouse passes through), each read with its explicit "
+    "schema, normalized to a common (key, priority, cents, format) "
+    "shape scan-locally, unioned, and aggregated. The oracle reads the "
+    "single-source original: equality proves the federation neither "
+    "loses nor double-counts rows across formats, and n_formats "
+    "confirms every priority class drew from all three sources. Union "
+    "is plan-level concatenation (no shuffle of its own); each arm "
+    "keeps its own pushed filter and pruned columns.",
+    oracle=_Q172_ORACLE,
+    prepare=lambda spark, sf_dir: (
+        csv_orders(spark, sf_dir),
+        json_orders(spark, sf_dir),
+    )
+    and None,
+)
+def q172_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pq = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.lit("parquet").alias("fmt"),
+        )
+    )
+    cv = (
+        csv_orders(spark, sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice_cents").alias("cents"),
+            F.lit("csv").alias("fmt"),
+        )
+    )
+    js = (
+        json_orders(spark, sf_dir)
+        .filter(F.col("o_orderstatus") == "P")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.lit("jsonl").alias("fmt"),
+        )
+    )
+    return (
+        pq.unionByName(cv)
+        .unionByName(js)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+            F.count_distinct(F.col("fmt")).alias("n_formats"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q173: resharding-plan audit (rendezvous hashing vs mod-hash movement)
+# --------------------------------------------------------------------------
+
+_RS_OLD = 8
+_RS_NEW = 9
+
+
+def _rs_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    h = sql_md5_int32("CAST(c_custkey AS VARCHAR) || '#' || CAST(t.s AS VARCHAR)")
+    arm = """
+  SELECT c_custkey AS key,
+         CAST(min(CASE WHEN rk = 1 THEN s END) AS BIGINT) AS shard
+  FROM (
+    SELECT c_custkey, t.s,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY {h} DESC, t.s ASC) AS rk
+    FROM customer CROSS JOIN
+         (SELECT unnest(generate_series(0, {n} - 1)) AS s) t
+  ) GROUP BY c_custkey
+"""
+    return f"""
+WITH hrw_old AS ({arm.format(h=h, n=_RS_OLD)}),
+hrw_new AS ({arm.format(h=h, n=_RS_NEW)}),
+hrw AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+  FROM hrw_old o JOIN hrw_new n ON n.key = o.key
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN c_custkey % {_RS_OLD} <> c_custkey % {_RS_NEW}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+  FROM customer
+)
+SELECT 'rendezvous' AS strategy, n_keys, n_moved,
+       CAST(n_moved * 1000 // n_keys AS BIGINT) AS moved_x1000
+FROM hrw
+UNION ALL
+SELECT 'mod', n_keys, n_moved, CAST(n_moved * 1000 // n_keys AS BIGINT)
+FROM m
+"""
+
+
+def _hrw_assign(c: DataFrame, n_shards: int, out: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    exploded = c.select(
+        F.col("c_custkey").alias("key"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_shards)])).alias("s"),
+    ).withColumn(
+        "h",
+        md5_int32(
+            F.concat(
+                F.col("key").cast("string"), F.lit("#"), F.col("s").cast("string")
+            )
+        ),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("h"), F.asc("s"))
+    return (
+        exploded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("key", F.col("s").cast("long").alias(out))
+    )
+
+
+@register(
+    "q173_resharding_plan",
+    "layout",
+    f"Resharding-plan audit, {_RS_OLD} -> {_RS_NEW} shards: under "
+    "rendezvous (highest-random-weight) hashing each key moves only if "
+    "the ADDED shard wins its per-key hash tournament, so the expected "
+    f"moved fraction is 1/{_RS_NEW} (~111 permille); under naive "
+    "mod-hash placement nearly every key's residue changes (~8/9 "
+    "move). The query computes both movement counts exactly — the "
+    "decision table for scaling out a keyed store (state-store "
+    "partitions, sink buckets, cache nodes) without mass data "
+    "movement. HRW assignment is scan-local (|keys| x |shards| hash "
+    "evaluations, argmax per key with deterministic ties); no "
+    "coordination ring is stored anywhere — the hash IS the ring.",
+    oracle=_rs_oracle(),
+)
+def q173_resharding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    old = _hrw_assign(c, _RS_OLD, "old_shard")
+    new = _hrw_assign(c, _RS_NEW, "new_shard")
+    hrw = (
+        old.join(new, "key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(
+                F.when(F.col("old_shard") != F.col("new_shard"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .select(
+            F.lit("rendezvous").alias("strategy"),
+            "n_keys",
+            "n_moved",
+            F.expr("n_moved * 1000 div n_keys").cast("long").alias("moved_x1000"),
+        )
+    )
+    mod = (
+        c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(
+                F.when(
+                    F.col("c_custkey") % _RS_OLD != F.col("c_custkey") % _RS_NEW,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        ).select(
+            F.lit("mod").alias("strategy"),
+            "n_keys",
+            "n_moved",
+            F.expr("n_moved * 1000 div n_keys").cast("long").alias("moved_x1000"),
+        )
+    )
+    return hrw.unionByName(mod)

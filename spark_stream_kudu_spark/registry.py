@@ -217,6 +217,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q170_schema_evolution",
     "q171_proration",
     "dedup_golden_record",
+    "q172_federated_union",
+    "q173_resharding_plan",
 )
 
 
