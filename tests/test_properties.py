@@ -396,3 +396,47 @@ def test_hamilton_proration_matches_textbook(sess, weights, total):
     rk = {i: r + 1 for r, i in enumerate(order)}
     got = [base[i] + (1 if rk[i] <= leftover else 0) for i in range(len(weights))]
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# multimodal block-hash kernel == plain-Python mirror on arbitrary bytes
+# --------------------------------------------------------------------------
+
+
+def _py_blockhash(payload: bytes) -> tuple[int, int]:
+    n = len(payload)
+    total = sum(payload)
+    h1 = h2 = 0
+    for k in range(64):
+        lo, hi = k * n // 64, (k + 1) * n // 64
+        s = sum(payload[lo:hi])
+        bit = 1 if s * n >= total * (hi - lo) else 0
+        if k < 32:
+            h1 |= bit << k
+        else:
+            h2 |= bit << (k - 32)
+    return h1, h2
+
+
+@SETTINGS
+@given(
+    payloads=st.lists(
+        st.binary(min_size=1, max_size=200), min_size=1, max_size=6
+    )
+)
+def test_blockhash_kernel_matches_python_mirror(sess, payloads):
+    """The Arrow numpy block-hash kernel (reduceat + cross-multiplied
+    integer bits) equals the obvious per-byte Python computation for
+    ANY payload — including payloads shorter than 64 bytes, where
+    empty blocks must hash deterministically."""
+    import pandas as pd
+
+    from spark_stream_kudu_spark.operators.multimodal import blockhash_kernel
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(payloads))), "payload": payloads}
+    )
+    out = pd.concat(list(blockhash_kernel(iter([pdf]))))
+    got = {int(r["doc_id"]): (int(r["h1"]), int(r["h2"])) for _, r in out.iterrows()}
+    for i, p in enumerate(payloads):
+        assert got[i] == _py_blockhash(p), (i, p)

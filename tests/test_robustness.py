@@ -199,3 +199,16 @@ def test_byte_stats_kernel_survives_empty_payload(spark):
     assert by_id[0]["mean_e4"] is None
     assert by_id[1]["n_bytes"] == 2
     assert by_id[1]["byte_sum"] == ord("a") + ord("b")
+
+
+def test_incompatible_schema_evolution_fails_loudly(spark, tmp_path):
+    """mergeSchema unions compatible schemas (column added) but an
+    INCOMPATIBLE change (same column, conflicting type) must raise at
+    read/collect — never silently coerce one generation's values."""
+    a = str(tmp_path / "gen1")
+    b = str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "x")], "k long, v string").write.parquet(a)
+    spark.createDataFrame([(2, 7.5)], "k long, v double").write.parquet(b)
+    with pytest.raises(Exception) as ei:
+        spark.read.option("mergeSchema", "true").parquet(a, b).collect()
+    assert "merge" in str(ei.value).lower() or "incompatible" in str(ei.value).lower()
