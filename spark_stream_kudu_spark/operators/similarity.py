@@ -27,6 +27,10 @@ cluster-key filter that prunes the scan.
 
 from __future__ import annotations
 
+# Module-level so pandas_udf TYPE HINTS (stringified by the future
+# import) resolve from module globals; everything heavy stays lazy.
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1433,3 +1437,73 @@ def sim_recall_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = _recall_against_exact(f"trunc{d}", exact, _trunc_topk(e, d))
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# Scalar + grouped-agg pandas_udf tiers (the remaining custom-function
+# tiers beside mapInPandas / applyInPandas / applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+_NORM_ORACLE = f"""
+WITH n AS (
+  SELECT label,
+         list_sum(list_transform(embedding,
+           x -> CAST(floor(x * {_SCALE}) AS BIGINT)
+                * CAST(floor(x * {_SCALE}) AS BIGINT))) AS n2
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(n2) AS BIGINT) AS sum_norm2q,
+       CAST(max(n2) AS BIGINT) AS max_norm2q
+FROM n GROUP BY label
+"""
+
+
+@register(
+    "emb_norm_stats_pandas",
+    "similarity",
+    "Per-label quantized-norm statistics via the two remaining "
+    "pandas-UDF tiers: a SCALAR Arrow UDF squares each vector's "
+    "2^20-quantized components into an exact integer norm (one numpy "
+    "block per Arrow batch, no Python-per-row), then GROUPED-AGG Arrow "
+    "UDFs reduce per label (integer sum and max). Together with "
+    "mapInPandas (sim_topk_pandas), applyInPandas (Holt) and "
+    "applyInPandasWithState (streaming), this closes the declared "
+    "custom-function surface (SURVEY §2.2). All-integer arithmetic "
+    "keeps it merge-order-invariant and oracle-checkable; at scale the "
+    "scalar stage is scan-local and the grouped reduce shuffles "
+    "|labels| partial rows.",
+    oracle=_NORM_ORACLE,
+)
+def emb_norm_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def norm2q(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        q = np.floor(m * _SCALE).astype(np.int64)
+        return pd.Series((q * q).sum(axis=1))
+
+    @F.pandas_udf("long")
+    def agg_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @F.pandas_udf("long")
+    def agg_max(v: pd.Series) -> int:
+        return int(v.max())
+
+    @F.pandas_udf("long")
+    def agg_count(v: pd.Series) -> int:
+        return int(v.size)
+
+    e = _emb(spark, sf_dir)
+    n = e.select(
+        F.col("label").cast("long").alias("label"),
+        norm2q(F.col("embedding")).alias("n2"),
+    )
+    return n.groupBy("label").agg(
+        agg_count(F.col("n2")).alias("n_vecs"),
+        agg_sum(F.col("n2")).alias("sum_norm2q"),
+        agg_max(F.col("n2")).alias("max_norm2q"),
+    )

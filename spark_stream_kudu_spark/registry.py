@@ -219,6 +219,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_golden_record",
     "q172_federated_union",
     "q173_resharding_plan",
+    "emb_norm_stats_pandas",
 )
 
 
