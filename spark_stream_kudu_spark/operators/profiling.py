@@ -522,6 +522,31 @@ def q112_json_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
 
 
+def skew_summary_from_counts(k: DataFrame, label: str) -> DataFrame:
+    """One-row skew summary from a (key, n) count table — shared by the
+    batch audit and the streaming twin's additive count store. Hottest
+    key folds into the SAME aggregate via lexicographic struct max:
+    (n, -key) orders by count then by MIN key on ties — no second
+    pass, no join back against the key table."""
+    return k.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        (-F.max(F.struct(F.col("n"), (-F.col("key")).alias("nk")))["nk"])
+        .cast("long")
+        .alias("hottest_key"),
+    ).select(
+        F.lit(label).alias("join_key"),
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "hottest_key",
+        F.expr("max_key_rows * n_keys * 1000 div n_rows")
+        .cast("long")
+        .alias("skew_x1000"),
+    )
+
+
 def _skew_arm_sql(col: str) -> str:
     return f"""(
   WITH k AS (
@@ -568,26 +593,7 @@ def q168_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = li.groupBy(F.col(col).alias("key")).agg(
             F.count(F.lit(1)).cast("long").alias("n")
         )
-        # Hottest key in the SAME aggregate via lexicographic struct
-        # max: (n, -key) orders by count then by MIN key on ties — no
-        # second pass, no join back against the key table.
-        arm = k.agg(
-            F.sum("n").cast("long").alias("n_rows"),
-            F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.max("n").cast("long").alias("max_key_rows"),
-            (-F.max(F.struct(F.col("n"), (-F.col("key")).alias("nk")))["nk"])
-            .cast("long")
-            .alias("hottest_key"),
-        ).select(
-            F.lit(col).alias("join_key"),
-            "n_rows",
-            "n_keys",
-            "max_key_rows",
-            "hottest_key",
-            F.expr("max_key_rows * n_keys * 1000 div n_rows")
-            .cast("long")
-            .alias("skew_x1000"),
-        )
+        arm = skew_summary_from_counts(k, col)
         out = arm if out is None else out.unionByName(arm)
     return out
 

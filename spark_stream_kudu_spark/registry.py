@@ -220,6 +220,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q172_federated_union",
     "q173_resharding_plan",
     "emb_norm_stats_pandas",
+    "stream_skew_audit_e2e",
 )
 
 

@@ -1287,3 +1287,80 @@ def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id long, matched_doc long, jaccard double"
         )
     return out.select("doc_id", "matched_doc", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# Streaming key-skew monitor — the q168 audit maintained incrementally
+# --------------------------------------------------------------------------
+
+_STREAM_SKEW_ORACLE = """
+WITH k AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+)
+SELECT 'user_id' AS join_key,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       CAST(min(key) FILTER (WHERE n = (SELECT max(n) FROM k)) AS BIGINT)
+         AS hottest_key,
+       CAST(max(n) * count(*) * 1000 // sum(n) AS BIGINT) AS skew_x1000
+FROM k
+"""
+
+
+@register(
+    "stream_skew_audit_e2e",
+    "streaming",
+    "END-TO-END streaming key-skew monitor: each micro-batch reduces to "
+    "per-key partial counts that SUM-merge into the additive keyed "
+    "store (replay-idempotent), and the q168 skew summary finalizes "
+    "from the store — THE BATCH QUERY'S OWN CODE — so a deployment "
+    "watches its join-key distribution drift live instead of "
+    "discovering a hot key inside a 100 TB shuffle. State is one count "
+    "per key (the same |keys|-row table the batch audit builds); the "
+    "finalize is slicing-independent because counts are associative. "
+    "Value-checked against the one-shot batch oracle over the full "
+    "event log.",
+    oracle=_STREAM_SKEW_ORACLE,
+)
+def stream_skew_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.profiling import (
+        skew_summary_from_counts,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+    from spark_stream_kudu_spark.streaming.workdir import (
+        new_run_dir,
+        stage_one_slice,
+    )
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id")
+    base = new_run_dir("skew")
+    for k in range(4):
+        stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+    src = os.path.join(base, "src")
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "counts"), key=["key"], sum_cols=["n"]
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(F.col("user_id").alias("key")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = sink.read(spark).select("key", F.col("n").cast("long").alias("n"))
+    return skew_summary_from_counts(counts, "user_id")
