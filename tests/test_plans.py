@@ -63,6 +63,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
         "q157_topk_rank_error",
+        "emb_norm_stats_pandas",
     }
     for name, spec in ALL.items():
         if name in allowed_python:
@@ -84,6 +85,7 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
         "q157_topk_rank_error",
+        "emb_norm_stats_pandas",
     ]:
         df = ALL[name].builder(spark, sf_smoke)
         nodes = checks.python_eval_nodes(df)
@@ -359,3 +361,22 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_smoke):
     plan = checks.formatted_plan(df)
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("dynamicpruning" in l for l in pf_lines), pf_lines
+
+
+def test_orc_scan_pushes_filters(spark, sf_smoke):
+    """The ORC source surface keeps predicate pushdown like parquet."""
+    df = ALL["q167_orc_roundtrip"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus)" in plan or (
+        "o_orderstatus" in plan and "PushedFilters" in plan
+    ), plan
+
+
+def test_federated_union_pushes_per_arm_filters(spark, sf_smoke):
+    """Each federation arm keeps its own status filter at its scan —
+    the union must not lift filtering above the format boundary."""
+    df = ALL["q172_federated_union"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # parquet arm pushes to the scan; csv/json arms filter post-scan but
+    # BEFORE the union/aggregate (three separate filter sites).
+    assert plan.count("o_orderstatus") >= 3, plan
