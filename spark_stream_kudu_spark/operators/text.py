@@ -1089,3 +1089,80 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Skipgram co-occurrence pairs (embedding-training data construction)
+# --------------------------------------------------------------------------
+
+_SG_WINDOW = 2  # context window each side
+_SG_MIN_COUNT = 3
+
+_SG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+),
+ok AS (
+  SELECT doc_id, tk FROM toks WHERE len(tk) >= 2
+),
+pairs AS (
+  SELECT unnest(flatten(list_transform(generate_series(1, len(tk) - 1),
+           i -> list_transform(generate_series(1, least({_SG_WINDOW}, len(tk) - i)),
+             d -> {{'w1': least(tk[i], tk[i + d]),
+                    'w2': greatest(tk[i], tk[i + d])}})))) AS p
+  FROM ok
+)
+SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY p.w1, p.w2
+HAVING count(*) >= {_SG_MIN_COUNT}
+"""
+
+
+@register(
+    "text_skipgram_pairs",
+    "text",
+    f"Skipgram co-occurrence mining (the word2vec/GloVe training-data "
+    f"constructor): token pairs within a ±{_SG_WINDOW} window, "
+    "canonically ordered (least, greatest) so both directions "
+    "accumulate together, counted corpus-wide and thresholded at "
+    f"min_count={_SG_MIN_COUNT}. Pair expansion is ROW-LOCAL — nested "
+    "sequence/transform over the token array, no positional self-join, "
+    "no corpus-quadratic anything — so the only shuffle is the final "
+    "pair count (map-side combined; |pairs| ~ window x corpus tokens). "
+    "Docs shorter than 2 tokens are filtered BEFORE the position "
+    "sequence (the descending-sequence edge the motif query's guard "
+    "pinned). Feeds PMI (text_collocations) and any embedding trainer.",
+    oracle=_SG_ORACLE,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = tokens(F.col("text"))
+    ok = d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(_SG_WINDOW), F.size("tk") - i),
+                    ),
+                    lambda dd: F.struct(
+                        F.least(
+                            F.element_at("tk", i), F.element_at("tk", i + dd)
+                        ).alias("w1"),
+                        F.greatest(
+                            F.element_at("tk", i), F.element_at("tk", i + dd)
+                        ).alias("w2"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        ok.select(pair.alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _SG_MIN_COUNT)
+    )

@@ -221,6 +221,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q173_resharding_plan",
     "emb_norm_stats_pandas",
     "stream_skew_audit_e2e",
+    "text_skipgram_pairs",
 )
 
 
