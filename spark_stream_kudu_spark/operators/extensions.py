@@ -592,3 +592,74 @@ def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(per_type).unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# Overlapping (strided) chunking — the RAG retrieval splitter
+# --------------------------------------------------------------------------
+
+_OV_SIZE = 32   # tokens per chunk
+_OV_STRIDE = 24  # stride; overlap = _OV_SIZE - _OV_STRIDE tokens
+
+_OV_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+),
+e AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, (len(tk) - 1) // {_OV_STRIDE}),
+           i -> {{'chunk_id': CAST(i AS BIGINT),
+                  'n_tokens': CAST(len(tk[i * {_OV_STRIDE} + 1 :
+                                          i * {_OV_STRIDE} + {_OV_SIZE}])
+                                   AS BIGINT),
+                  'chunk_md5': md5(array_to_string(
+                      tk[i * {_OV_STRIDE} + 1 : i * {_OV_STRIDE} + {_OV_SIZE}],
+                      ' '))}})) AS c
+  FROM t
+)
+SELECT doc_id, c.chunk_id AS chunk_id, c.n_tokens AS n_tokens,
+       c.chunk_md5 AS chunk_md5
+FROM e
+"""
+
+
+@register(
+    "text_chunk_overlap",
+    "text",
+    f"Overlapping strided chunking (the RAG retrieval splitter): "
+    f"{_OV_SIZE}-token chunks every {_OV_STRIDE} tokens, so consecutive "
+    f"chunks share {_OV_SIZE - _OV_STRIDE} tokens and no sentence is "
+    "ever split across a hard boundary without appearing whole in a "
+    "neighbor — the retrieval-recall insurance non-overlapping "
+    "pre-training chunks (text_chunking) don't need. Row-local "
+    "sequence + slice expansion, zero shuffles; chunk content is "
+    "value-checked via md5 so the slicing arithmetic itself is "
+    "hash-verified cross-engine.",
+    oracle=_OV_ORACLE,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    withs = d.select("doc_id", toks.alias("tk"))
+    chunk = F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size("tk") - 1) / F.lit(_OV_STRIDE)).cast("int")
+            ),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.size(F.slice("tk", i * _OV_STRIDE + 1, _OV_SIZE))
+                .cast("long")
+                .alias("n_tokens"),
+                F.md5(
+                    F.concat_ws(" ", F.slice("tk", i * _OV_STRIDE + 1, _OV_SIZE))
+                ).alias("chunk_md5"),
+            ),
+        )
+    )
+    return withs.select("doc_id", chunk.alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_md5").alias("chunk_md5"),
+    )

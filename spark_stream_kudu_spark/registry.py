@@ -222,6 +222,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_norm_stats_pandas",
     "stream_skew_audit_e2e",
     "text_skipgram_pairs",
+    "text_chunk_overlap",
 )
 
 
