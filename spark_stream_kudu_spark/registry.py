@@ -223,6 +223,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_skew_audit_e2e",
     "text_skipgram_pairs",
     "text_chunk_overlap",
+    "pipeline_ivm_retraction",
 )
 
 
