@@ -1754,3 +1754,87 @@ def q171_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q176: quota-diversified top-k (global ranking with per-group caps)
+# --------------------------------------------------------------------------
+
+_DTK_PER_NATION = 2
+_DTK_LIMIT = 20
+
+_DTK_ORACLE = f"""
+WITH rev AS (
+  SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY nationkey
+                               ORDER BY rev_cents DESC, custkey ASC)
+              AS nation_rank
+  FROM rev
+)
+SELECT custkey, CAST(nationkey AS BIGINT) AS nationkey, rev_cents,
+       CAST(nation_rank AS BIGINT) AS nation_rank,
+       CAST(row_number() OVER (ORDER BY rev_cents DESC, custkey ASC)
+            AS BIGINT) AS global_rank
+FROM capped
+WHERE nation_rank <= {_DTK_PER_NATION}
+ORDER BY global_rank
+LIMIT {_DTK_LIMIT}
+"""
+
+
+@register(
+    "q176_diversified_topk",
+    "analytics",
+    f"Quota-diversified top-k: the global top-{_DTK_LIMIT} customers by "
+    f"revenue with AT MOST {_DTK_PER_NATION} per nation — the "
+    "leaderboard/recommendation shape where raw top-k collapses onto "
+    "one dominant group and a per-group quota forces coverage. "
+    "Aggregate-then-rank: the per-nation cap is a partitioned window "
+    "over the |customers| rollup (never raw orders), and only the "
+    "capped survivors — bounded by quota x |nations| rows — enter the "
+    "global ranking window, so the single-partition sort sees "
+    f"{_DTK_PER_NATION} x |nations| rows, not the corpus. "
+    "Deterministic tiebreaks throughout.",
+    oracle=_DTK_ORACLE,
+)
+def q176_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    wn = Window.partitionBy("nationkey").orderBy(
+        F.desc("rev_cents"), F.asc("custkey")
+    )
+    capped = rev.withColumn("nation_rank", F.row_number().over(wn)).filter(
+        F.col("nation_rank") <= _DTK_PER_NATION
+    )
+    wg = Window.orderBy(F.desc("rev_cents"), F.asc("custkey"))
+    return (
+        capped.withColumn("global_rank", F.row_number().over(wg))
+        .filter(F.col("global_rank") <= _DTK_LIMIT)
+        .select(
+            "custkey",
+            F.col("nationkey").cast("long").alias("nationkey"),
+            "rev_cents",
+            F.col("nation_rank").cast("long").alias("nation_rank"),
+            F.col("global_rank").cast("long").alias("global_rank"),
+        )
+    )

@@ -717,3 +717,196 @@ def q169_partition_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("digest_v1").eqNullSafe(F.col("digest_v2"))).alias("differs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q174: k-anonymity audit with one generalization step
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH l0 AS (
+  SELECT c_mktsegment AS segment, c_nationkey AS nk,
+         CAST(count(*) AS BIGINT) AS n0
+  FROM customer GROUP BY 1, 2
+),
+l1 AS (
+  SELECT c.c_mktsegment AS segment, n.n_regionkey AS rk,
+         CAST(count(*) AS BIGINT) AS n1
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT l0.segment, CAST(l0.nk AS BIGINT) AS nationkey,
+       CAST(n.n_regionkey AS BIGINT) AS regionkey,
+       l0.n0 AS n_level0,
+       l1.n1 AS n_level1,
+       CAST(CASE WHEN l0.n0 >= {_KANON_K} THEN 0 ELSE 1 END AS BIGINT)
+         AS generalized,
+       (CASE WHEN l0.n0 >= {_KANON_K} THEN l0.n0 ELSE l1.n1 END
+        < {_KANON_K}) AS at_risk
+FROM l0
+JOIN nation n ON n.n_nationkey = l0.nk
+JOIN l1 ON l1.segment = l0.segment AND l1.rk = n.n_regionkey
+"""
+
+
+@register(
+    "q174_k_anonymity",
+    "profiling",
+    f"k-anonymity audit (k={_KANON_K}) over the (segment, nation) "
+    "quasi-identifier with ONE generalization step: combos whose "
+    "level-0 group is under k are re-tested at level 1 (nation "
+    "generalized to region — the domain-hierarchy climb every k-anon "
+    "algorithm makes), and only combos still under k after "
+    "generalizing are flagged at_risk. The governance complement to "
+    "PII redaction (text_pii_redact) and targeted deletion: before a "
+    "dataset ships, this is the re-identification risk report. Two "
+    "map-side-combined groupBys (|combos| rows each) + broadcast "
+    "nation dim; output is |combos|-sized regardless of table size.",
+    oracle=_KANON_ORACLE,
+)
+def q174_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    l0 = c.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_level0"))
+    cr = c.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        c["c_nationkey"] == F.col("n_nationkey"),
+    )
+    l1 = cr.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_regionkey").alias("regionkey"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_level1"))
+    dim = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_regionkey").alias("regionkey"),
+        )
+    )
+    joined = l0.join(dim, "nationkey").join(l1, ["segment", "regionkey"])
+    effective = F.when(
+        F.col("n_level0") >= _KANON_K, F.col("n_level0")
+    ).otherwise(F.col("n_level1"))
+    return joined.select(
+        "segment",
+        F.col("nationkey").cast("long").alias("nationkey"),
+        F.col("regionkey").cast("long").alias("regionkey"),
+        "n_level0",
+        "n_level1",
+        F.when(F.col("n_level0") >= _KANON_K, 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("generalized"),
+        (effective < _KANON_K).alias("at_risk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q175: declared data-contract validation (expectations-style report)
+# --------------------------------------------------------------------------
+
+_CONTRACT_ORACLE = """
+SELECT 'o_totalprice_nonneg' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+            OR o_totalprice < 0 OR o_totalprice > 10000000) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_domain',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderstatus IS NULL
+            OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_range',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderdate IS NULL
+            OR o_orderdate < TIMESTAMP '1992-01-01'
+            OR o_orderdate >= TIMESTAMP '2005-01-01') AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority_format',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderpriority IS NULL
+            OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey_references_customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS BIGINT)
+FROM orders o
+"""
+
+
+@register(
+    "q175_data_contract",
+    "profiling",
+    "Declared data-contract validation (the expectations-style intake "
+    "gate): five rules over orders — numeric range, categorical "
+    "domain, timestamp window, regex format, and referential existence "
+    "— each reported as (rule, n_checked, n_violations). A healthy "
+    "feed reports zeros; the query exists so the day a producer "
+    "breaks the contract, the break is a NAMED rule with a count, not "
+    "a downstream mystery. The four row-local rules fold into ONE "
+    "aggregate over ONE scan (conditional counts); the FK rule is a "
+    "broadcast anti-join count — at 100 TB the whole report costs one "
+    "pass over the fact plus a dimension broadcast.",
+    oracle=_CONTRACT_ORACLE,
+)
+def q175_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def viol(cond) -> F.Column:
+        return F.sum(cond.cast("long")).cast("long")
+
+    n = F.count(F.lit(1)).cast("long")
+    wide = o.agg(
+        n.alias("n_checked"),
+        viol(
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") < 0)
+            | (F.col("o_totalprice") > 10_000_000)
+        ).alias("v_price"),
+        viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("v_status"),
+        viol(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("timestamp"))
+        ).alias("v_date"),
+        viol(
+            F.col("o_orderpriority").isNull()
+            | ~F.col("o_orderpriority").rlike("^[1-5]-")
+        ).alias("v_prio"),
+    )
+    rules = wide.selectExpr(
+        "stack(4, "
+        "'o_totalprice_nonneg', n_checked, v_price, "
+        "'o_orderstatus_domain', n_checked, v_status, "
+        "'o_orderdate_range', n_checked, v_date, "
+        "'o_orderpriority_format', n_checked, v_prio"
+        ") AS (rule, n_checked, n_violations)"
+    )
+    fk = (
+        o.join(F.broadcast(cust), o["o_custkey"] == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(o.agg(F.count(F.lit(1)).cast("long").alias("n_checked")))
+        .select(
+            F.lit("o_custkey_references_customer").alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return rules.unionByName(fk)

@@ -224,6 +224,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "text_skipgram_pairs",
     "text_chunk_overlap",
     "pipeline_ivm_retraction",
+    "q174_k_anonymity",
+    "q175_data_contract",
+    "q176_diversified_topk",
 )
 
 
