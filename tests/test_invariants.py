@@ -901,3 +901,97 @@ def test_proration_sums_exactly_to_order_total(spark, sf_smoke):
     assert sums, "no prorated orders"
     for okey, s in sums.items():
         assert s == totals[okey], okey
+
+
+def test_golden_record_election_is_well_formed(spark, sf_smoke):
+    """Exactly one golden per cluster; the golden is a cluster member
+    with maximal n_chars (min doc_id on ties); cluster_size sums back
+    to the corpus size."""
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    rows = ALL["dedup_golden_record"].builder(spark, sf_smoke).collect()
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(n_chars)
+    for cid, members in by_cluster.items():
+        goldens = [m for m in members if m["is_golden"]]
+        assert len(goldens) == 1, cid
+        g = goldens[0]
+        best = max(
+            (m["doc_id"] for m in members),
+            key=lambda d: (n_chars[d], -d),
+        )
+        assert g["doc_id"] == best == g["golden_id"]
+        assert all(m["golden_id"] == g["doc_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_rendezvous_moves_only_to_the_added_shard(spark, sf_smoke):
+    """HRW property: growing 8 -> 9 shards, a key either keeps its
+    shard or moves to the NEW shard (index 8) — never between old
+    shards — and the reported moved count matches."""
+    from spark_stream_kudu_spark.operators.layout import (
+        _RS_NEW,
+        _RS_OLD,
+        _hrw_assign,
+    )
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_smoke, "customer")
+    old = {r["key"]: r["old_shard"] for r in _hrw_assign(c, _RS_OLD, "old_shard").collect()}
+    new = {r["key"]: r["new_shard"] for r in _hrw_assign(c, _RS_NEW, "new_shard").collect()}
+    moved = 0
+    for k, o in old.items():
+        n = new[k]
+        if n != o:
+            moved += 1
+            assert n == _RS_OLD, (k, o, n)  # only the added shard wins
+    rep = {
+        r["strategy"]: r["n_moved"]
+        for r in ALL["q173_resharding_plan"].builder(spark, sf_smoke).collect()
+    }
+    assert rep["rendezvous"] == moved
+
+
+def test_k_anonymity_generalization_only_helps(spark, sf_smoke):
+    """Level-1 (region) groups contain their level-0 (nation) groups:
+    n_level1 >= n_level0 always; a combo is flagged only if BOTH
+    levels are under k."""
+    from spark_stream_kudu_spark.operators.profiling import _KANON_K
+
+    for r in ALL["q174_k_anonymity"].builder(spark, sf_smoke).collect():
+        assert r["n_level1"] >= r["n_level0"]
+        if r["at_risk"]:
+            assert r["n_level0"] < _KANON_K and r["n_level1"] < _KANON_K
+        if not r["at_risk"]:
+            assert (
+                r["n_level0"] >= _KANON_K or r["n_level1"] >= _KANON_K
+            )
+
+
+def test_diversified_topk_respects_quota_and_order(spark, sf_smoke):
+    """No nation exceeds its quota; global ranks are 1..20 in strictly
+    decreasing (rev, -custkey) order."""
+    from spark_stream_kudu_spark.operators.analytics import (
+        _DTK_LIMIT,
+        _DTK_PER_NATION,
+    )
+
+    rows = sorted(
+        ALL["q176_diversified_topk"].builder(spark, sf_smoke).collect(),
+        key=lambda r: r["global_rank"],
+    )
+    assert [r["global_rank"] for r in rows] == list(range(1, _DTK_LIMIT + 1))
+    per_nation = {}
+    for r in rows:
+        per_nation[r["nationkey"]] = per_nation.get(r["nationkey"], 0) + 1
+    assert max(per_nation.values()) <= _DTK_PER_NATION
+    for a, b in zip(rows, rows[1:]):
+        assert (a["rev_cents"], -a["custkey"]) > (b["rev_cents"], -b["custkey"])
