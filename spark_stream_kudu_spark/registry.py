@@ -67,14 +67,17 @@ def register(
 # Explicit front-of-registry ordering for the driver's bounded
 # correctness window (~50 queries/round). Round-4 rotation: rounds 1-3
 # accumulated green driver rows for 148 queries; the names here are the
-# 112 that still have NO driver CORRECTNESS row (plus q36/q106, whose
-# only rows were `no_oracle` err shapes before this round's
-# exact-anchor restructure made them hash-checkable). Front-50 order
-# follows the round-3 verdict: (a) the round-1-flagged temporal/layout
+# 112 that still had NO driver CORRECTNESS row after round 3 (plus
+# q36/q106, whose only rows were `no_oracle` err shapes before this
+# round's exact-anchor restructure made them hash-checkable), followed
+# by every query registered during round 4 (zero driver rows yet, all
+# pytest-oracle-green at sf0.001/0.01 — and the round-4 session
+# additions also at sf0.1 — before landing). Front-50 order follows
+# the round-3 verdict: (a) the round-1-flagged temporal/layout
 # carryovers, (b) the core streaming e2e twins, (c) q114-q131, (d) the
 # newly oracle-checkable sketch pair, (e) roundtrip sources + sampling
-# core. The remaining backlog queues directly behind so the round-5
-# window drains it in order; everything already driver-green trails in
+# core. The remaining backlog queues directly behind so the round-5/6
+# windows drain it in order; everything already driver-green trails in
 # registration order.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     "q38_asof_join",
