@@ -353,3 +353,82 @@ def sample_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
         ).alias("slots"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal holdout split (time-based eval split, leakage-aware)
+# --------------------------------------------------------------------------
+
+_TH_TRAIN_PCT = 80
+
+_TH_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         min(CASE WHEN rn > n * {_TH_TRAIN_PCT} // 100 THEN ts END) AS boundary,
+         CAST(max(n) AS BIGINT) AS n_events
+  FROM r GROUP BY event_type
+)
+SELECT e.event_type,
+       b.n_events,
+       CAST(epoch_ms(b.boundary) AS BIGINT) AS boundary_ms,
+       CAST(count(*) FILTER (WHERE e.ts < b.boundary) AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (WHERE e.ts >= b.boundary) AS BIGINT) AS n_test
+FROM events e JOIN b ON b.event_type = e.event_type
+GROUP BY e.event_type, b.n_events, b.boundary
+"""
+
+
+@register(
+    "sample_temporal_holdout",
+    "sampling",
+    f"Temporal holdout split: per event type, the last "
+    f"~{100 - _TH_TRAIN_PCT}% of events BY EVENT TIME become the test "
+    "set — the split a forecasting/recommendation eval must use, "
+    "because hash splits leak the future into training. The boundary "
+    f"is the first timestamp past the {_TH_TRAIN_PCT}% rank (computed "
+    "with a deterministic (ts, event_id) order), and membership is a "
+    "pure ts comparison against that broadcast |types|-row boundary "
+    "table — scan-local, reproducible, and auditable (boundary_ms is "
+    "part of the output contract). Train/test counts may deviate from "
+    "80/20 exactly when ties straddle the rank — the boundary rule, "
+    "not a quota, is the contract.",
+    oracle=_TH_ORACLE,
+)
+def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wrn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wall = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "ts",
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") > F.expr(f"n * {_TH_TRAIN_PCT} div 100"), F.col("ts")
+            )
+        ).alias("boundary"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+    joined = ev.join(F.broadcast(b), "event_type")
+    return joined.groupBy("event_type", "n_events", "boundary").agg(
+        F.sum((F.col("ts") < F.col("boundary")).cast("long")).alias("n_train"),
+        F.sum((F.col("ts") >= F.col("boundary")).cast("long")).alias("n_test"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.unix_millis("boundary").alias("boundary_ms"),
+        "n_train",
+        "n_test",
+    )

@@ -1166,3 +1166,82 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= _SG_MIN_COUNT)
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset card (the per-language release summary of the corpus)
+# --------------------------------------------------------------------------
+
+_CARD_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({sql_tokens('text')})), ' '))
+           AS fingerprint
+  FROM documents
+),
+dup AS (
+  SELECT doc_id,
+         (doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)) AS is_dup
+  FROM fp
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CAST(floor(q.quality_score * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_quality_e4
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN dup ON dup.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+@register(
+    "text_dataset_card",
+    "text",
+    "Dataset card: the per-language release summary a corpus ships "
+    "with — document and source counts, exact character and token "
+    "totals, fingerprint-duplicate counts, and the exact integer sum "
+    "of quality scores (sum + count instead of a float mean, so the "
+    "card itself is merge-order-invariant and re-aggregatable across "
+    "corpus shards). Composes three already-verified primitives "
+    "(token counting, quality scoring, fingerprint dedup) into the "
+    "one table a consumer reads before training; every number is "
+    "hash-checked, so the card can't silently drift from the corpus "
+    "it describes. One scan feeds all features; the rollup is "
+    "|languages|-sized.",
+    oracle=_CARD_ORACLE,
+)
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    q = text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    )
+    wfp = Window.partitionBy("fingerprint")
+    dup = (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("is_dup", F.col("doc_id") != F.min("doc_id").over(wfp))
+        .select("doc_id", "is_dup")
+    )
+    joined = (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .join(q, "doc_id")
+        .join(dup, "doc_id")
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+        F.sum(
+            F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("sum_quality_e4"),
+    )

@@ -230,6 +230,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q174_k_anonymity",
     "q175_data_contract",
     "q176_diversified_topk",
+    "sample_temporal_holdout",
+    "text_dataset_card",
+    "stream_contract_gate_e2e",
 )
 
 

@@ -1364,3 +1364,123 @@ def stream_skew_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     counts = sink.read(spark).select("key", F.col("n").cast("long").alias("n"))
     return skew_summary_from_counts(counts, "user_id")
+
+
+# --------------------------------------------------------------------------
+# Streaming data-contract gate — q175's rules enforced at ingest time
+# --------------------------------------------------------------------------
+
+
+def _stream_contract_oracle() -> str:
+    from spark_stream_kudu_spark.operators.profiling import _CONTRACT_ORACLE
+
+    return _CONTRACT_ORACLE
+
+
+@register(
+    "stream_contract_gate_e2e",
+    "streaming",
+    "END-TO-END streaming data-contract gate: the q175 rules run "
+    "against each micro-batch of the order feed as it arrives — four "
+    "row-local rules as one conditional aggregate per batch, the FK "
+    "rule as a per-batch anti-join against the static customer "
+    "dimension — and the (rule, checked, violations) partials SUM-merge "
+    "into the additive keyed store (replay-idempotent). Violation "
+    "counts are associative, so the accumulated report equals the "
+    "batch gate's one-shot report for ANY batch slicing (value-checked "
+    "by the same oracle): producers break contracts at 2am, and this "
+    "is the query that notices DURING ingest, not at the next nightly "
+    "audit.",
+    oracle=_stream_contract_oracle(),
+)
+def stream_contract_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.sources.tables import load_table
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+    from spark_stream_kudu_spark.streaming.workdir import (
+        new_run_dir,
+        stage_one_slice,
+    )
+
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = new_run_dir("contract")
+    for k in range(4):
+        stage_one_slice(o.filter(F.col("o_orderkey") % 4 == k), base, k)
+    src = os.path.join(base, "src")
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "report"),
+        key=["rule"],
+        sum_cols=["n_checked", "n_violations"],
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def viol(cond):
+            return F.sum(cond.cast("long")).cast("long")
+
+        n = F.count(F.lit(1)).cast("long")
+        wide = batch_df.agg(
+            n.alias("n_checked"),
+            viol(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") < 0)
+                | (F.col("o_totalprice") > 10_000_000)
+            ).alias("v_price"),
+            viol(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P")
+            ).alias("v_status"),
+            viol(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("timestamp"))
+            ).alias("v_date"),
+            viol(
+                F.col("o_orderpriority").isNull()
+                | ~F.col("o_orderpriority").rlike("^[1-5]-")
+            ).alias("v_prio"),
+        )
+        rules = wide.selectExpr(
+            "stack(4, "
+            "'o_totalprice_nonneg', n_checked, v_price, "
+            "'o_orderstatus_domain', n_checked, v_status, "
+            "'o_orderdate_range', n_checked, v_date, "
+            "'o_orderpriority_format', n_checked, v_prio"
+            ") AS (rule, n_checked, n_violations)"
+        )
+        fk = (
+            batch_df.join(
+                F.broadcast(cust),
+                batch_df["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .crossJoin(
+                batch_df.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+            )
+            .select(
+                F.lit("o_custkey_references_customer").alias("rule"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+        sink(rules.unionByName(fk), batch_id)
+
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark).select(
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
