@@ -1507,3 +1507,72 @@ def emb_norm_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg_sum(F.col("n2")).alias("sum_norm2q"),
         agg_max(F.col("n2")).alias("max_norm2q"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of retrieval arms (the hybrid-search combiner)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000  # floor(1e9 / (k + rank)) keeps scores integral
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH ivf AS ({_IVF_ORACLE}),
+rp AS ({_RPLSH_ORACLE}),
+scored AS (
+  SELECT qid, neighbor_id,
+         CAST({_RRF_SCALE} // ({_RRF_K} + rank) AS BIGINT) AS contrib
+  FROM ivf
+  UNION ALL
+  SELECT qid, neighbor_id,
+         CAST({_RRF_SCALE} // ({_RRF_K} + rank) AS BIGINT) AS contrib
+  FROM rp
+),
+fused AS (
+  SELECT qid, neighbor_id,
+         CAST(sum(contrib) AS BIGINT) AS rrf_e9,
+         CAST(count(*) AS BIGINT) AS n_arms
+  FROM scored GROUP BY qid, neighbor_id
+)
+SELECT qid, neighbor_id, rrf_e9, n_arms,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY rrf_e9 DESC, neighbor_id ASC)
+            AS BIGINT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_hybrid_rrf",
+    "similarity",
+    f"Reciprocal-rank fusion (k={_RRF_K}) of two verified retrieval "
+    "arms — the IVF and random-hyperplane-LSH indexes — into one "
+    "ranking: each arm contributes floor(1e9/(k + rank)) in EXACT "
+    "integers (no float harmonic sums), candidates found by both arms "
+    "accumulate both contributions, and the fused order breaks ties "
+    "deterministically. RRF is the standard hybrid-search combiner "
+    "(lexical + dense in production; two index arms here — same "
+    "operator, both arms already hash-checked) because it needs no "
+    "score calibration between arms, only ranks. Cost beyond the arms "
+    "is one |results|-sized union + groupBy + per-query window.",
+    oracle=_rrf_oracle(),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = sim_topk_ivf(spark, sf_dir).select("qid", "neighbor_id", "rank")
+    rp = sim_topk_rplsh(spark, sf_dir).select("qid", "neighbor_id", "rank")
+    contrib = F.expr(f"CAST({_RRF_SCALE} div ({_RRF_K} + rank) AS BIGINT)")
+    scored = ivf.select("qid", "neighbor_id", contrib.alias("contrib")).unionByName(
+        rp.select("qid", "neighbor_id", contrib.alias("contrib"))
+    )
+    fused = scored.groupBy("qid", "neighbor_id").agg(
+        F.sum("contrib").cast("long").alias("rrf_e9"),
+        F.count(F.lit(1)).cast("long").alias("n_arms"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_e9"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= TOP_K)
+    )

@@ -233,6 +233,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_temporal_holdout",
     "text_dataset_card",
     "stream_contract_gate_e2e",
+    "sim_hybrid_rrf",
 )
 
 
