@@ -42,6 +42,10 @@ CLAIMED_INVARIANT = [
     "q169_partition_digests",
     "q171_proration",
     "multimodal_blockhash_neardup",
+    "text_skipgram_pairs",
+    "q175_data_contract",
+    "text_dataset_card",
+    "sim_hybrid_rrf",
 ]
 
 
