@@ -604,3 +604,111 @@ def multimodal_blockhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ham <= _PH_MAX_HAMMING).alias("is_near"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Byte-histogram statistics (compression / corruption detector)
+# --------------------------------------------------------------------------
+
+# Uniformity statistic in EXACT integers: with n bytes over 256 bins the
+# expected count per bin is n/256; cross-multiplying away the division,
+#   chisq_x256 = sum over bins (256 * c_i - n)^2
+# is a pure-BIGINT chi-square numerator (255 * 256 * n at perfect
+# uniformity ~ encrypted/compressed payloads score LOW per byte; highly
+# structured payloads score HIGH). Bounded by (256*n)^2 * 256 < 2^63 for
+# n < ~23M bytes — far above any fixture payload; document the DECIMAL
+# escalation for larger blobs.
+
+_BH_ORACLE = """
+WITH b AS (
+  SELECT doc_id, encode(text) AS blob,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n),
+           i -> CAST(('0x' || substr(hex(blob), 2 * i - 1, 2)) AS BIGINT)) AS bytes
+  FROM b
+),
+h AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, 255),
+           v -> CAST(len(list_filter(bytes, x -> x = v)) AS BIGINT)) AS hist
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(len(list_filter(hist, c -> c > 0)) AS BIGINT) AS n_distinct_bytes,
+       CAST(list_indexof(hist, list_max(hist)) - 1 AS BIGINT) AS mode_byte,
+       CAST(list_max(hist) AS BIGINT) AS mode_count,
+       CAST(list_sum(list_transform(hist,
+            c -> (256 * c - n) * (256 * c - n))) AS BIGINT) AS chisq_x256
+FROM h
+"""
+
+
+def byte_histogram_kernel(batches):
+    """Arrow kernel: 256-bin byte histogram per payload via
+    numpy.bincount; all emitted statistics are exact integers, so the
+    result is merge-order-invariant and hash-checkable against the
+    oracle's hex-dump recomputation."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        rows = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(buf), dtype=np.uint8)
+            n = int(a.size)
+            hist = np.bincount(a, minlength=256).astype(np.int64)
+            mode_byte = int(hist.argmax())  # lowest byte wins ties
+            diff = 256 * hist - n
+            rows.append(
+                (
+                    int(doc_id),
+                    n,
+                    int((hist > 0).sum()),
+                    mode_byte,
+                    int(hist[mode_byte]),
+                    int((diff * diff).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_bytes",
+                "n_distinct_bytes",
+                "mode_byte",
+                "mode_count",
+                "chisq_x256",
+            ],
+        )
+
+
+@register(
+    "multimodal_byte_histogram",
+    "multimodal",
+    "Byte-histogram statistics over the binary payload via a real "
+    "Arrow numpy kernel (bincount per payload): distinct-byte count, "
+    "mode byte with deterministic lowest-byte tiebreak, and a "
+    "cross-multiplied pure-BIGINT chi-square uniformity numerator "
+    "sum((256*c - n)^2) — the compression/corruption detector "
+    "(encrypted or compressed payloads sit near uniform; structured "
+    "payloads score high), companion to the aHash near-dup and "
+    "byte-stats kernels. Payload bytes are read once and never "
+    "shuffle; output is 6 integers per payload; the oracle recomputes "
+    "every bin from the blob's hex dump, so the kernel is verified "
+    "byte-exactly.",
+    oracle=_BH_ORACLE,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(_docs(spark, sf_dir)).select("doc_id", "payload")
+    schema = (
+        "doc_id long, n_bytes long, n_distinct_bytes long, "
+        "mode_byte long, mode_count long, chisq_x256 long"
+    )
+    return d.mapInPandas(byte_histogram_kernel, schema=schema)

@@ -234,6 +234,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "text_dataset_card",
     "stream_contract_gate_e2e",
     "sim_hybrid_rrf",
+    "multimodal_byte_histogram",
 )
 
 

@@ -64,6 +64,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "q140_holt_forecast",
         "q157_topk_rank_error",
         "emb_norm_stats_pandas",
+        "multimodal_byte_histogram",
     }
     for name, spec in ALL.items():
         if name in allowed_python:
@@ -86,6 +87,7 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
         "q140_holt_forecast",
         "q157_topk_rank_error",
         "emb_norm_stats_pandas",
+        "multimodal_byte_histogram",
     ]:
         df = ALL[name].builder(spark, sf_smoke)
         nodes = checks.python_eval_nodes(df)
