@@ -25,3 +25,14 @@ def test_cli_catalog_covers_every_query(capsys):
     out = capsys.readouterr().out
     for name in load_all():
         assert f"`{name}`" in out
+
+
+def test_generated_catalog_is_committed_in_sync(capsys):
+    """QUERIES.md must match what `catalog` generates for the current
+    registry — a new or renamed query without a regenerated index
+    fails here instead of shipping a stale catalog."""
+    assert main(["catalog"]) == 0
+    generated = capsys.readouterr().out
+    with open("QUERIES.md") as f:
+        committed = f.read()
+    assert committed == generated
