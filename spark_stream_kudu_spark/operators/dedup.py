@@ -1441,3 +1441,128 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("golden_id"),
         (F.col("rk") == 1).alias("is_golden"),
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components via large-star/small-star contraction
+# --------------------------------------------------------------------------
+
+_STAR_MAX_ROUNDS = 12
+
+
+def _canon_pairs(e: DataFrame) -> DataFrame:
+    """Undirected edge set normalized to (a < b), deduplicated."""
+    return (
+        e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def star_contraction_components(
+    d: DataFrame, pairs: DataFrame, max_rounds: int = _STAR_MAX_ROUNDS
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (the O(log n)-round MapReduce CC algorithm): each round
+    rewires every node toward the minimum of its neighborhood, so
+    component depth roughly HALVES per round — a path graph that costs
+    O(diameter) rounds under min-label propagation costs O(log n) here.
+    Rounds are two grouped aggregations + joins over the edge list;
+    convergence = the canonical edge set reaching a fixed point (then
+    every edge touches its component's minimum, and labels read off in
+    one pass). Raises if the fixed point is not reached in
+    ``max_rounds`` — wrong cluster ids must never ship silently."""
+    canon = _canon_pairs(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    converged = False
+    for i in range(max_rounds):
+        e = _sym(canon)
+        # large-star: every neighbor v > u rewires to min({u} u N(u))
+        m_all = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("mu"))
+        )
+        large = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(m_all, "u")
+            .select(F.col("v").alias("a"), F.col("mu").alias("b"))
+        )
+        e2 = _sym(_canon_pairs(large.select(F.col("a").alias("u"), F.col("b").alias("v"))))
+        # small-star: neighbors v < u (and u itself) rewire to
+        # min({u} u {v in N(u): v < u})
+        lesser = e2.filter(F.col("v") < F.col("u"))
+        m_less = (
+            lesser.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("mu"))
+        )
+        small = (
+            lesser.join(m_less, "u")
+            .select(F.col("v").alias("a"), F.col("mu").alias("b"))
+            .unionByName(m_less.select(F.col("u").alias("a"), F.col("mu").alias("b")))
+        )
+        new_canon = _canon_pairs(
+            small.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+        new_canon = cut_lineage(new_canon, i, False, local_interval=1)
+        same = (
+            new_canon.exceptAll(canon).limit(1).count() == 0
+            and canon.exceptAll(new_canon).limit(1).count() == 0
+        )
+        canon = new_canon
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not reach a fixed point in {max_rounds} rounds"
+        )
+    # At the fixed point every edge is (component_min, member):
+    # label(x) = min(x, min neighbor); untouched nodes are singletons.
+    lab = (
+        _sym(canon)
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("mv")).alias("cluster_id"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+@register(
+    "dedup_clusters_starcontraction",
+    "dedup",
+    "Connected components over the SAME verified near-dup graph as "
+    "dedup_clusters, by alternating large-star/small-star contraction — "
+    "the O(log n)-round algorithm (each round halves component depth by "
+    "rewiring every node toward its neighborhood minimum) vs min-label "
+    "propagation's O(diameter) rounds. On a 100 TB web/citation graph "
+    "whose components can be long chains, the round count is the "
+    "wall-clock: log2(n) rounds beat diameter rounds by orders of "
+    "magnitude. Fixed point detected on the canonical edge set; "
+    "identical (doc_id, cluster_id) contract and SAME recursive-CTE "
+    "oracle as the propagation variant, so both algorithms are "
+    "hash-pinned to the same answer.",
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters_starcontraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pairs = dedup_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return star_contraction_components(d, pairs)

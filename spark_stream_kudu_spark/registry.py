@@ -235,6 +235,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_contract_gate_e2e",
     "sim_hybrid_rrf",
     "multimodal_byte_histogram",
+    "dedup_clusters_starcontraction",
 )
 
 

@@ -995,3 +995,38 @@ def test_diversified_topk_respects_quota_and_order(spark, sf_smoke):
     assert max(per_nation.values()) <= _DTK_PER_NATION
     for a, b in zip(rows, rows[1:]):
         assert (a["rev_cents"], -a["custkey"]) > (b["rev_cents"], -b["custkey"])
+
+
+def test_star_contraction_collapses_a_long_chain_fast(spark):
+    """The O(log n) claim, pinned: a 64-node path graph (diameter 63,
+    the propagation algorithm's worst case) collapses to ONE component
+    within the 12-round fixed-point bound, labels all equal to the
+    chain minimum."""
+    from spark_stream_kudu_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    n = 64
+    d = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = star_contraction_components(d, pairs).collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_star_contraction_agrees_with_propagation(spark, sf_smoke):
+    """Both CC algorithms produce identical (doc_id, cluster_id) maps
+    on the verified near-dup graph."""
+    a = sorted(
+        tuple(r)
+        for r in ALL["dedup_clusters"].builder(spark, sf_smoke).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ALL["dedup_clusters_starcontraction"]
+        .builder(spark, sf_smoke)
+        .collect()
+    )
+    assert a == b
