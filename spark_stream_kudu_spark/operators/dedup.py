@@ -1566,3 +1566,144 @@ def dedup_clusters_starcontraction(spark: SparkSession, sf_dir: str) -> DataFram
     d = _docs(spark, sf_dir)
     pairs = dedup_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return star_contraction_components(d, pairs)
+
+
+# --------------------------------------------------------------------------
+# LSH tuning curve: measured recall/candidate cost per (bands, rows)
+# --------------------------------------------------------------------------
+
+# Each config re-bands the SAME 12 minhash values, so the measured curve
+# isolates the banding choice: more bands x fewer rows = higher recall
+# AND more candidates (the S-curve steepens left), and this query
+# reports where each configuration actually lands on THIS corpus —
+# the measurement behind choosing (b, r), instead of trusting the
+# 1-(1-s^r)^b formula's assumptions.
+_TUNE_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2))
+
+
+def _tune_bands_sql(b: int, r: int) -> str:
+    return (
+        " UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band, md5(concat_ws('_', "
+            + ", ".join(f"mh_{j * r + k}" for k in range(r))
+            + ")) AS bkey FROM sig"
+            for j in range(b)
+        )
+    )
+
+
+def _tune_oracle() -> str:
+    arms = []
+    for b, r in _TUNE_CONFIGS:
+        arms.append(
+            f"""(
+  WITH bands{b} AS ({_tune_bands_sql(b, r)}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands{b} a JOIN bands{b} b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  )
+  SELECT {b} AS bands, {r} AS rows_per_band,
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT count(*) FROM cand c
+               JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+              AS BIGINT) AS n_found
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM {a} arm{i}" for i, a in enumerate(arms))
+    return f"""
+WITH {_sql_minhash_cte()},
+truth AS ({_PREFIX_ORACLE.strip()})
+SELECT bands, rows_per_band, n_candidates, n_truth, n_found,
+       CAST(n_found * 1000000 // n_truth AS BIGINT) AS recall_x1e6
+FROM ({union})
+"""
+
+
+@register(
+    "dedup_lsh_tuning_curve",
+    "dedup",
+    "LSH tuning curve: the SAME 12 minhash values re-banded at (2,6), "
+    "(3,4), (4,3) and (6,2), each configuration measured for candidate "
+    "count and recall against the EXACT Jaccard >= 0.5 ground truth "
+    "(dedup_prefix_filter, zero false negatives) — the S-curve in "
+    "practice, on this corpus, instead of the 1-(1-s^r)^b formula's "
+    "idealized assumptions. This is the measurement a deployment runs "
+    "on a corpus sample before fixing production (b, r): recall you "
+    "need vs candidate volume you can afford. On THIS fixture the "
+    "curve is flat (its near-dups are near-identical, so every arm "
+    "scores full recall with zero spurious candidates — a bimodal "
+    "similarity distribution, itself a corpus finding); on a crawl "
+    "corpus with mid-similarity mass the arms separate, which is what "
+    "the harness exists to show. Signatures compute once; "
+    "each arm is one band explode + self-join + two counts; ground "
+    "truth computes once and broadcasts into every arm's intersection.",
+    oracle=_tune_oracle(),
+)
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures(d).localCheckpoint(eager=True)
+    truth = (
+        dedup_prefix_filter(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth_df = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    out = None
+    for b, r in _TUNE_CONFIGS:
+        keyed = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    *[F.col(f"mh_{j * r + k}") for k in range(r)],
+                                )
+                            ).alias("bkey"),
+                        )
+                        for j in range(b)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        a = keyed.select(
+            F.col("doc_id").alias("doc_a"), F.col("band").alias("ba"), F.col("bkey").alias("ka")
+        )
+        bb = keyed.select(
+            F.col("doc_id").alias("doc_b"), F.col("band").alias("bbd"), F.col("bkey").alias("kb")
+        )
+        cand = (
+            a.join(
+                bb,
+                (F.col("ba") == F.col("bbd"))
+                & (F.col("ka") == F.col("kb"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        found = cand.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_found")
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        arm = (
+            n_cand.crossJoin(F.broadcast(n_truth_df))
+            .crossJoin(F.broadcast(found))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "n_found",
+                F.expr("n_found * 1000000 div n_truth")
+                .cast("long")
+                .alias("recall_x1e6"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

@@ -236,6 +236,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sim_hybrid_rrf",
     "multimodal_byte_histogram",
     "dedup_clusters_starcontraction",
+    "dedup_lsh_tuning_curve",
 )
 
 
