@@ -1030,3 +1030,73 @@ def test_star_contraction_agrees_with_propagation(spark, sf_smoke):
         .collect()
     )
     assert a == b
+
+
+def test_temporal_holdout_partitions_cleanly(spark, sf_smoke):
+    """Train + test partition every type's events exactly, and the
+    boundary separates them: all train events strictly before it, all
+    test events at-or-after it."""
+    from pyspark.sql import functions as SF
+
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    rows = ALL["sample_temporal_holdout"].builder(spark, sf_smoke).collect()
+    ev = load_table(spark, sf_smoke, "events")
+    for r in rows:
+        assert r["n_train"] + r["n_test"] == r["n_events"], r
+        assert r["n_train"] > 0 and r["n_test"] > 0, r
+        split = ev.filter(SF.col("event_type") == r["event_type"]).select(
+            SF.max(
+                SF.when(
+                    SF.unix_millis("ts") < r["boundary_ms"], SF.unix_millis("ts")
+                )
+            ).alias("max_train"),
+            SF.min(
+                SF.when(
+                    SF.unix_millis("ts") >= r["boundary_ms"], SF.unix_millis("ts")
+                )
+            ).alias("min_test"),
+        ).collect()[0]
+        assert split["max_train"] < r["boundary_ms"] <= split["min_test"]
+
+
+def test_rrf_fusion_is_well_formed(spark, sf_smoke):
+    """Per query: fused ranks are 1..k; every contribution comes from
+    at most the two arms; a candidate in both arms outranks the same
+    single-arm score by construction (its rrf_e9 is a two-term sum)."""
+    from spark_stream_kudu_spark.operators.similarity import (
+        _RRF_K,
+        _RRF_SCALE,
+        TOP_K,
+    )
+
+    rows = ALL["sim_hybrid_rrf"].builder(spark, sf_smoke).collect()
+    max_single = _RRF_SCALE // (_RRF_K + 1)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+        assert 1 <= r["n_arms"] <= 2
+        if r["n_arms"] == 1:
+            assert r["rrf_e9"] <= max_single
+        else:
+            assert r["rrf_e9"] <= 2 * max_single
+    for qid, rs in by_q.items():
+        assert sorted(x["fused_rank"] for x in rs) == list(range(1, TOP_K + 1)), qid
+
+
+def test_federated_union_covers_all_three_formats(spark, sf_smoke):
+    """Every priority class drew rows from parquet AND csv AND jsonl."""
+    rows = ALL["q172_federated_union"].builder(spark, sf_smoke).collect()
+    assert rows and all(r["n_formats"] == 3 for r in rows)
+
+
+def test_schema_evolution_surfaces_legacy_class(spark, sf_smoke):
+    """The merged read yields both the LEGACY class (nulls from old
+    files) and every evolved priority, and row totals match orders."""
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    rows = {r["priority"]: r["n_orders"] for r in
+            ALL["q170_schema_evolution"].builder(spark, sf_smoke).collect()}
+    assert "LEGACY" in rows and len(rows) == 6
+    total = load_table(spark, sf_smoke, "orders").count()
+    assert sum(rows.values()) == total
