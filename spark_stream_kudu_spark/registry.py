@@ -237,6 +237,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_byte_histogram",
     "dedup_clusters_starcontraction",
     "dedup_lsh_tuning_curve",
+    "stream_ivm_retraction_e2e",
 )
 
 

@@ -1484,3 +1484,128 @@ def stream_contract_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_checked").cast("long").alias("n_checked"),
         F.col("n_violations").cast("long").alias("n_violations"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming retraction IVM — the I/U/D aggregate maintained live
+# --------------------------------------------------------------------------
+
+
+def _stream_ivm_oracle() -> str:
+    from spark_stream_kudu_spark.operators.pipeline import _ivm_oracle
+
+    return _ivm_oracle()
+
+
+@register(
+    "stream_ivm_retraction_e2e",
+    "streaming",
+    "END-TO-END streaming retraction IVM: the I/U/D change log arrives "
+    "as a stream (replayed in four slices) and each micro-batch's "
+    "deltas — inserts (+1, +cents), deletes retracting the old row's "
+    "contribution via a per-batch keyed join against the static base, "
+    "updates contributing (0, new-old) — SUM-merge into the additive "
+    "keyed delta store, and the stored MV merges with the accumulated "
+    "deltas at read time. Because every delta is "
+    "associative, the maintained aggregate equals the full recompute "
+    "over the applied state for ANY batch slicing — checked by the "
+    "SAME oracle as the batch pipeline_ivm_retraction. This is the "
+    "CDC-fed dashboard shape at 100 TB: the fact table is never "
+    "re-aggregated, per-batch cost scales with the batch.",
+    oracle=_stream_ivm_oracle(),
+)
+def stream_ivm_retraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+    from spark_stream_kudu_spark.sources.tables import load_table
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+    from spark_stream_kudu_spark.streaming.workdir import (
+        new_run_dir,
+        stage_one_slice,
+    )
+
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    pct = md5_int32(F.col("o_orderkey").cast("string")) % 100
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    bumped = F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)).cast("long")
+    base = o.filter(pct < 80).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("price_cents"),
+    ).localCheckpoint(eager=True)
+    changes = o.filter((pct >= 80) | (pct < 20)).select(
+        F.col("o_orderkey").alias("okey"),
+        F.when(pct >= 80, "I").when(pct < 10, "D").otherwise("U").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(pct >= 80, cents).otherwise(bumped).alias("price_cents"),
+    )
+
+    run = new_run_dir("ivm")
+    for k in range(4):
+        stage_one_slice(changes.filter(F.col("okey") % 4 == k), run, k)
+    src = os.path.join(run, "src")
+
+    # The store holds DELTAS ONLY (the sink's replay marker rejects
+    # out-of-order batch ids, so the MV seed merges at read time
+    # instead of being injected as a fake batch).
+    sink = AdditiveRollupSink(
+        os.path.join(run, "deltas"), key=["status"], sum_cols=["dn", "dcents"]
+    )
+    mv0 = base.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum("price_cents").cast("long").alias("dcents"),
+    )
+
+    old_prices = base.select("okey", F.col("price_cents").alias("old_cents"))
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ins = batch_df.filter(F.col("op") == "I").select(
+            "status",
+            F.lit(1).cast("long").alias("dn"),
+            F.col("price_cents").cast("long").alias("dcents"),
+        )
+        old = batch_df.filter(F.col("op") != "I").join(old_prices, "okey")
+        dels = old.filter(F.col("op") == "D").select(
+            "status",
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("old_cents")).cast("long").alias("dcents"),
+        )
+        upd = old.filter(F.col("op") == "U").select(
+            "status",
+            F.lit(0).cast("long").alias("dn"),
+            (F.col("price_cents") - F.col("old_cents")).cast("long").alias("dcents"),
+        )
+        partial = (
+            ins.unionByName(dels)
+            .unionByName(upd)
+            .groupBy("status")
+            .agg(
+                F.sum("dn").cast("long").alias("dn"),
+                F.sum("dcents").cast("long").alias("dcents"),
+            )
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(run, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    deltas = sink.read(spark).select(
+        "status", F.col("dn").cast("long"), F.col("dcents").cast("long")
+    )
+    return (
+        mv0.unionByName(deltas)
+        .groupBy("status")
+        .agg(
+            F.sum("dn").cast("long").alias("n_rows"),
+            F.sum("dcents").cast("long").alias("total_cents"),
+        )
+    )
