@@ -580,9 +580,9 @@ _SKEW_ORACLE = "\nUNION ALL\n".join(
     "splitting BEFORE a 100 TB shuffle discovers it the hard way "
     "(skew_x1000 near 1000 = uniform; a hot key shows up as orders of "
     "magnitude). Cost per column is one map-side-combined groupBy to "
-    "|keys| rows plus a 1-row rollup; the hottest-key pick joins the "
-    "|keys| table against its own broadcast 1-row max, never re-scans "
-    "the fact.",
+    "|keys| rows plus a 1-row rollup; the hottest-key pick folds into "
+    "that same aggregate as a lexicographic (n, -key) struct max — one "
+    "pass over the |keys| table, no self-join, never re-scans the fact.",
     oracle=_SKEW_ORACLE,
 )
 def q168_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

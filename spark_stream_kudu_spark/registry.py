@@ -65,71 +65,18 @@ def register(
 
 
 # Explicit front-of-registry ordering for the driver's bounded
-# correctness window (~50 queries/round). Round-4 rotation: rounds 1-3
-# accumulated green driver rows for 148 queries; the names here are the
-# 112 that still had NO driver CORRECTNESS row after round 3 (plus
-# q36/q106, whose only rows were `no_oracle` err shapes before this
-# round's exact-anchor restructure made them hash-checkable), followed
-# by every query registered during round 4 (zero driver rows yet, all
-# pytest-oracle-green at sf0.001/0.01 — and the round-4 session
-# additions also at sf0.1 — before landing). Front-50 order follows
-# the round-3 verdict: (a) the round-1-flagged temporal/layout
-# carryovers, (b) the core streaming e2e twins, (c) q114-q131, (d) the
-# newly oracle-checkable sketch pair, (e) roundtrip sources + sampling
-# core. The remaining backlog queues directly behind so the round-5/6
-# windows drain it in order; everything already driver-green trails in
-# registration order.
+# correctness window (~50 queries/round). Round-5 rotation: the 50
+# names that led the round-4 list all earned green driver rows in
+# CORRECTNESS_r04 and have dropped out (they now trail in registration
+# order like every other driver-green query). What remains is exactly
+# the 107-query backlog with NO driver CORRECTNESS row after round 4 —
+# all pytest-oracle-green locally — ordered oldest-debt-first per the
+# round-4 verdict: the late-round-3 pipeline/stream/dedup/text families
+# and q132-q155 first, then every round-4 registration. Round-5
+# additions append at the END of this list so the driver drains the
+# oldest debt before ever seeing new surface; the round-5 window takes
+# the front 50, round 6 the rest.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "q38_asof_join",
-    "q39_range_join",
-    "q40_correlated_subquery",
-    "q41_range_frame",
-    "q52_sessionize",
-    "q53_event_funnel",
-    "q54_cohort_retention",
-    "q55_bucketed_join",
-    "q58_partitioned_scan",
-    "q59_multires_rollup",
-    "q64_running_distinct",
-    "q64b_running_distinct_bounded",
-    "q66_hll_partial_merge",
-    "q67_string_agg",
-    "q80_snapshot_diff",
-    "q85_zorder_scan",
-    "q96_ivf_partitioned_scan",
-    "stream_first_seen",
-    "stream_interval_join_e2e",
-    "stream_watermark_dedup_e2e",
-    "stream_session_window_e2e",
-    "stream_rollup_incremental_e2e",
-    "q114_triangle_count",
-    "q115_attribution",
-    "q116_intersect_all",
-    "q117_except_all",
-    "q118_dpp_join",
-    "q119_null_safe_join",
-    "q120_hof_order_jumps",
-    "q121_lateness_audit",
-    "q122_returned_items",
-    "q123_supplier_diversity",
-    "q124_cusum_changepoint",
-    "q125_psi_drift",
-    "q126_chisq_drift",
-    "q127_ks_drift",
-    "q128_brand_affinity",
-    "q129_seasonal_naive_eval",
-    "q130_promo_revenue",
-    "q131_late_priority",
-    "q36_approx_sketches",
-    "q106_sketch_grains",
-    "q101_json_roundtrip",
-    "q102_csv_roundtrip",
-    "q108_interval_coalesce",
-    "q109_daily_coverage",
-    "sample_hash_bernoulli",
-    "split_train_test",
-    "sample_stratified",
-    "sample_fixed_per_stratum",
     "pipeline_incremental_ingest",
     "pipeline_sequence_examples",
     "pipeline_targeted_deletion",
@@ -249,11 +196,11 @@ def load_all() -> dict[str, QuerySpec]:
     registry front-to-back with a bounded window (~50 queries/round), so
     families whose driver-side evidence is thinnest come first. The
     explicit ``_WINDOW_PRIORITY`` list holds every query still lacking a
-    driver CORRECTNESS row after rounds 1-3 (112 queries, plus the two
-    sketch queries whose rows were ``no_oracle`` err shapes until this
-    round's restructure) — the round-4 window drains the front 50, the
-    round-5 window the rest; everything already driver-green trails
-    behind in registration order. Coverage accumulates across rounds.
+    driver CORRECTNESS row after rounds 1-4 (107 queries), oldest debt
+    first, with round-5 additions appended at the end — the round-5
+    window drains the front 50, round 6 the rest; everything already
+    driver-green trails behind in registration order. Coverage
+    accumulates across rounds.
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
     import spark_stream_kudu_spark.operators.drift  # noqa: F401
