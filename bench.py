@@ -10,6 +10,11 @@ MinHash-LSH dedup, vector top-k, text scoring) against
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q01_pricing_summary": sec, ...}, "sf": "<dir>"}
 
+plus, since round 5, a second frozen suite over the families the
+original 34 never timed (graph/sketch/drift/dedup/ANN/retrieval/
+pipeline/stream-e2e) reported in the same line as ``metric_v2`` /
+``value_v2`` / ``queries_v2`` / ``value_v2_normalized``.
+
 Timing is end-to-end per query: plan construction + ONE full execution
 to the ``noop`` sink, which materializes every output column on the
 executors (unlike ``count()``, which lets Catalyst prune the plan to a
@@ -39,6 +44,32 @@ from spark_stream_kudu_spark.session import get_spark  # noqa: E402
 # Single-threaded on purpose — per-core speed is what scales every
 # Spark task on this box.
 CALIB_REF_SEC = 0.156
+
+# headline_v2 (round 5): the frozen-34 suite predates ~200 of the 304
+# registered queries — it times nothing from the graph (beyond q86),
+# sketch, drift, dedup-verify, ANN-trained, retrieval, or pipeline
+# families. This second frozen suite samples 15 representative queries
+# from exactly those untimed families so the "bench within 2x" bar is
+# met on the engine's whole surface, not a shrinking slice. The
+# original suite keeps its metric name and membership for
+# round-over-round comparability; v2 is additive.
+BENCH_V2: tuple[str, ...] = (
+    "q156_hierarchy_closure",       # recursive closure via pointer doubling
+    "q157_topk_rank_error",         # mergeable Space-Saving + exact anchors
+    "q163_histogram_quantiles",     # log-linear histogram quantile sketch
+    "q138_heavy_hitters_mg",        # Misra-Gries heavy hitters
+    "dedup_prefix_filter",          # exact-verify prefix-filter dedup
+    "dedup_clusters_starcontraction",  # O(log n)-round connected components
+    "sim_topk_ivf_trained",         # trained-IVF ANN
+    "text_bm25_search",             # BM25 ranked retrieval
+    "q165_shortest_paths",          # bounded Bellman-Ford
+    "q127_ks_drift",                # KS two-sample drift
+    "q144_rfm_segmentation",        # RFM behavioral segmentation
+    "q166_fifo_allocation",         # cumulative-axis FIFO range join
+    "pipeline_incremental_lsh",     # incremental LSH index maintenance
+    "q134_weighted_median",         # weighted median
+    "stream_rollup_incremental_e2e",  # streaming incremental rollup e2e
+)
 
 
 def _calibrate() -> float:
@@ -71,40 +102,49 @@ def main() -> None:
     spark = get_spark("engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    specs = {n: s for n, s in load_all().items() if s.bench}
+    registry = load_all()
+    specs = {n: s for n, s in registry.items() if s.bench}
+    specs_v2 = {n: registry[n] for n in BENCH_V2}
 
-    # JVM/codegen warmup: run the whole suite once at the smallest
-    # fixture so timed runs measure steady-state throughput (what a
-    # long-running cluster job sees), not one-time codegen compilation
-    # of each query's expression trees.
-    for spec in specs.values():
-        spec.builder(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+    def run_suite(suite: dict) -> dict[str, float]:
+        # JVM/codegen warmup: run the whole suite once at the smallest
+        # fixture so timed runs measure steady-state throughput (what a
+        # long-running cluster job sees), not one-time codegen
+        # compilation of each query's expression trees.
+        for spec in suite.values():
+            spec.builder(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
 
-    # One-time layout setup (bucketed / hive-partitioned table writes)
-    # runs OUTSIDE the timed region: layout is a write-time decision
-    # amortized over every later query against it, not per-query cost.
-    for spec in specs.values():
-        if spec.prepare is not None:
-            spec.prepare(spark, sf_dir)
+        # One-time layout setup (bucketed / hive-partitioned table
+        # writes) runs OUTSIDE the timed region: layout is a write-time
+        # decision amortized over every later query against it, not
+        # per-query cost.
+        for spec in suite.values():
+            if spec.prepare is not None:
+                spec.prepare(spark, sf_dir)
 
-    # Per-query time = best of 2 runs. The sandbox is a shared-host VM
-    # with bursty CPU steal (observed 6-8x transient inflation on
-    # individual queries); min-of-N measures the engine's steady-state
-    # cost rather than the host's worst moment.
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        spec = specs[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # Per-query time = best of 2 runs. The sandbox is a shared-host
+        # VM with bursty CPU steal (observed 6-8x transient inflation on
+        # individual queries); min-of-N measures the engine's
+        # steady-state cost rather than the host's worst moment.
+        out: dict[str, float] = {}
+        for name in sorted(suite):
+            spec = suite[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    timings = run_suite(specs)
+    timings_v2 = run_suite(specs_v2)
 
     total = round(sum(timings.values()), 3)
+    total_v2 = round(sum(timings_v2.values()), 3)
     calib = min(calib_pre, _calibrate())
     host_factor = round(calib / CALIB_REF_SEC, 3)
     print(
@@ -119,6 +159,10 @@ def main() -> None:
                 "calib_ref_sec": CALIB_REF_SEC,
                 "host_factor": host_factor,
                 "value_normalized": round(total / host_factor, 3),
+                "metric_v2": "headline_v2_total_sec",
+                "value_v2": total_v2,
+                "queries_v2": timings_v2,
+                "value_v2_normalized": round(total_v2 / host_factor, 3),
             }
         )
     )

@@ -168,6 +168,12 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("rank"),
             )
         )
+        # Cadence measured, not guessed: local_interval 2/3/6 over the
+        # 5-round loop at sf0.1 local[32] (5 interleaved reps) gave
+        # medians 3.30/3.34/3.38 s — the eager localCheckpoint is NOT
+        # the dominant cost here, so keep 2: lineage stays <=2 rounds
+        # deep for free, which is the setting that also survives a
+        # longer-horizon loop at web scale.
         ranks = cut_lineage(ranks, i, reliable, local_interval=2)
     return ranks.select("node", F.col("rank").alias("rank_e9"))
 
