@@ -6,12 +6,13 @@ testdata has no real media, so the *content* here is bytes derived from
 ``documents.text`` — but the Spark-side plumbing is the real thing:
 
 - binary columns + flat metadata projection (oracle-checked)
-- an Arrow-batched ``mapInPandas`` decode/feature-extract kernel with
-  the exact schema/batching shape a real decoder plugs into. The
-  actual codec call is STUBBED behind ``decode_image_stub`` — a
-  deterministic fake (real decode needs PIL/ffmpeg, absent here); its
-  deterministic outputs are still oracle-verified, so the whole UDF
-  pipeline (schema, Arrow transfer, batch iteration) is tested.
+- a REAL image decode/resize path with no codec library: documents
+  carry genuine P6 PPM binary containers (synthesized JVM-side), and
+  Arrow-batched ``mapInPandas`` kernels parse the header, reshape the
+  raw RGB bytes, and average-pool thumbnails — all hash-checked
+  against SQL oracles that recompute the pixel stream positionally.
+  Formats that DO need a codec (JPEG/MP3/H.264) slot into the same
+  kernels by swapping ``decode_ppm`` for a PIL/ffmpeg call.
 
 At 100 TB: binary payloads dominate partition size — keep
 ``maxPartitionBytes`` low enough that a batch of decoded frames fits
@@ -87,83 +88,148 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes, checksum: str) -> tuple[int, int, float]:
-    """STUB decoder — deterministic fake in place of a real codec.
+# --------------------------------------------------------------------------
+# REAL image decode: PPM (P6) container — header parse + numpy reshape.
+#
+# The sandbox has no PIL/ffmpeg, but the binary PPM format
+# (netpbm's ppm(5): "P6\n<w> <h>\n255\n" + w*h*3 raw RGB bytes) needs
+# no codec library. We synthesize a genuine P6 container per document
+# with NATIVE Spark expressions (dims from the text's md5, pixels =
+# text bytes tiled to w*h*3), then decode it with a real parser: magic
+# check, whitespace-tokenized header, maxval validation,
+# frombuffer+reshape to (h, w, 3). Swapping PPM for JPEG means swapping
+# this one kernel body for PIL — every other part of the pipeline
+# (payload column, Arrow batching, schema, per-channel outputs) is
+# exactly what the JPEG path uses.
+# --------------------------------------------------------------------------
 
-    A real deployment replaces this body with e.g.::
 
-        img = PIL.Image.open(io.BytesIO(payload))   # needs pillow
-        return img.width, img.height, float(np.asarray(img).mean())
+def encode_ppm(d: DataFrame) -> DataFrame:
+    """Attach a genuine P6 PPM binary payload per document.
 
-    (pillow/ffmpeg are not in this container). The fake derives
-    dimensions from the checksum and a mean-byte statistic from the
-    payload so outputs are deterministic and independently computable
-    by the oracle.
+    Dims derive from the text's md5 (4..11 px per side — kept small so
+    the SQL oracle's per-pixel unnest stays cheap); pixel bytes are the
+    document's ASCII bytes tiled to w*h*3. Built entirely with native
+    expressions: the payload synthesis never leaves the JVM.
     """
-    h = bytes.fromhex(checksum)
-    width = 16 + h[0] % 64
-    height = 16 + h[1] % 64
-    mean_byte = (sum(payload) / len(payload)) if payload else 0.0
-    return width, height, mean_byte
+    d = d.filter(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 8 + 4
+         ).alias("width"),
+        (F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("long") % 8 + 4
+         ).alias("height"),
+    )
+    pixels = F.expr(
+        "substr(repeat(text, cast(ceil(width * height * 3 / length(text)) as int)),"
+        " 1, cast(width * height * 3 as int))"
+    )
+    header = F.concat_ws(
+        "", F.lit("P6\n"), F.col("width"), F.lit(" "), F.col("height"),
+        F.lit("\n255\n"),
+    )
+    return d.select(
+        "doc_id",
+        F.encode(F.concat(header, pixels), "UTF-8").alias("payload"),
+    )
 
 
-# The corpus is ASCII, so the payload byte-sum equals the sum of
-# character codes — giving the stub decoder an exact SQL twin.
+def decode_ppm(payload: bytes):
+    """REAL P6 PPM decoder: parse the header, validate magic + maxval,
+    reshape the raw RGB bytes to an (h, w, 3) uint8 array. No codec
+    library — this is the complete binary-format implementation."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    idx, vals = 2, []
+    while len(vals) < 3:  # width, height, maxval tokens
+        while payload[idx : idx + 1].isspace():
+            idx += 1
+        start = idx
+        while not payload[idx : idx + 1].isspace():
+            idx += 1
+        vals.append(int(payload[start:idx]))
+    idx += 1  # exactly one whitespace byte separates maxval from pixels
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    arr = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=idx)
+    return w, h, arr.reshape(h, w, 3)
+
+
+# Exact-integer outputs (per-channel byte sums), so the hash compare has
+# no float surface at all. The oracle recomputes the tiled pixel stream
+# positionally: byte j of the w*h*3 pixel area is ord(text[j mod n]),
+# channel j mod 3.
 _DECODE_ORACLE = """
-WITH chars AS (
-  SELECT doc_id, text, md5(text) AS checksum,
-         unnest(generate_series(1, length(text))) AS i
-  FROM documents
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         4 + (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 8) AS width,
+         4 + (CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 8) AS height
+  FROM documents WHERE length(text) > 0
 ),
-s AS (
-  SELECT doc_id, any_value(checksum) AS checksum,
-         sum(ord(substr(text, i, 1))) AS bsum, count(*) AS blen
-  FROM chars GROUP BY doc_id
+px AS (
+  SELECT doc_id, width, height, n, text,
+         unnest(generate_series(0, width * height * 3 - 1)) AS j
+  FROM d
+),
+v AS (
+  SELECT doc_id, width, height, j % 3 AS ch,
+         ord(substr(text, CAST(j % n AS INT) + 1, 1)) AS b
+  FROM px
 )
 SELECT doc_id,
-       16 + (CAST('0x' || substr(checksum, 1, 2) AS BIGINT) % 64)  AS width,
-       16 + (CAST('0x' || substr(checksum, 3, 2) AS BIGINT) % 64)  AS height,
-       floor((bsum * 1.0 / blen) * 10000 + 0.5) / 10000            AS mean_byte
-FROM s
+       any_value(width)                                        AS width,
+       any_value(height)                                       AS height,
+       CAST(any_value(width) * any_value(height) AS BIGINT)    AS n_px,
+       CAST(SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS b_sum
+FROM v GROUP BY doc_id
 """
 
 
 @register(
-    "multimodal_decode_stub",
+    "multimodal_decode_ppm",
     "multimodal",
-    "Arrow-batched mapInPandas decode/feature-extract kernel (the real multimodal "
-    "path: payload bytes -> per-item features). Codec is a clearly-marked "
-    "deterministic stub; the UDF plumbing (schema, batch shape, Arrow transfer) is "
-    "real and the stub's outputs are oracle-verified.",
+    "REAL image decode (stub retired): each document carries a genuine P6 "
+    "PPM binary container (synthesized JVM-side — dims from md5, pixels = "
+    "text bytes tiled); an Arrow-batched mapInPandas kernel parses the PPM "
+    "header (magic, dims, maxval), reshapes the raw RGB bytes to (h, w, 3), "
+    "and emits exact per-channel byte sums. The oracle recomputes the pixel "
+    "stream positionally in SQL, so the decoder is hash-checked end-to-end. "
+    "Row-local; swapping PPM for JPEG swaps one kernel body for PIL.",
     oracle=_DECODE_ORACLE,
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
     import pandas as pd
 
-    d = with_binary_payload(_docs(spark, sf_dir))
+    d = encode_ppm(_docs(spark, sf_dir))
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [
-                decode_image_stub(p, c)
-                for p, c in zip(pdf["payload"], pdf["checksum"])
-            ]
-            import numpy as np
-
-            w, h, mb = (np.array(x) for x in zip(*feats))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": w.astype("int64"),
-                    "height": h.astype("int64"),
-                    "mean_byte": np.floor(mb * 1e4 + 0.5) / 1e4,
-                }
-            )
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                sums = arr.sum(axis=(0, 1), dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["r_sum"].append(int(sums[0]))
+                out["g_sum"].append(int(sums[1]))
+                out["b_sum"].append(int(sums[2]))
+            yield pd.DataFrame(out)
 
     return d.mapInPandas(
-        decode, schema="doc_id long, width long, height long, mean_byte double"
+        decode,
+        schema="doc_id long, width long, height long, n_px long, "
+               "r_sum long, g_sum long, b_sum long",
     )
 
 
@@ -254,88 +320,94 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Resize / thumbnail kernel (stub codec, real Arrow plumbing)
+# REAL resize: 2x2 average-pool thumbnail over decoded PPM pixels
 # --------------------------------------------------------------------------
 
-RESIZE_BUCKETS = 4  # fixed "thumbnail" resolution of the stub resizer
+POOL = 2  # thumbnail grid is POOL x POOL blocks per channel
 
+_THUMB_CELLS = [
+    f"c{by}{bx}_{ch}" for by in range(POOL) for bx in range(POOL)
+    for ch in ("r", "g", "b")
+]
 
-def resize_stub(payload: bytes) -> list[float]:
-    """STUB resizer — block-average the payload into RESIZE_BUCKETS cells.
-
-    A real deployment replaces the body with e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload)).resize((w, h))
-        return np.asarray(img, dtype=float).ravel().tolist()
-
-    The fake downsamples the byte stream itself (cell i = mean of the
-    bytes whose index maps to bucket i), which a SQL oracle can compute
-    exactly — so schema, batching, and Arrow transfer are all verified.
-    """
-    n = len(payload)
-    sums = [0] * RESIZE_BUCKETS
-    counts = [0] * RESIZE_BUCKETS
-    for i, b in enumerate(payload):
-        k = (i * RESIZE_BUCKETS) // n
-        sums[k] += b
-        counts[k] += 1
-    return [s / c if c else 0.0 for s, c in zip(sums, counts)]
-
-
-_RESIZE_ORACLE = f"""
-WITH chars AS (
-  SELECT doc_id, text,
-         unnest(generate_series(1, length(text))) AS i
-  FROM documents
+# Block membership of pixel (x, y) in a w x h image: by = (y*POOL) div h,
+# bx = (x*POOL) div w — the same integer partition the kernel applies, so
+# the oracle reproduces the pooled sums exactly (no float surface).
+_THUMB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         4 + (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 8) AS width,
+         4 + (CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 8) AS height
+  FROM documents WHERE length(text) > 0
 ),
-b AS (
-  SELECT doc_id, ((i - 1) * {RESIZE_BUCKETS}) // length(text) AS bucket,
-         ord(substr(text, i, 1)) AS byte
-  FROM chars
+px AS (
+  SELECT doc_id, width, height, n, text,
+         unnest(generate_series(0, width * height * 3 - 1)) AS j
+  FROM d
 ),
-cells AS (
-  SELECT doc_id, bucket,
-         floor((sum(byte) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS cell
-  FROM b GROUP BY doc_id, bucket
+v AS (
+  SELECT doc_id,
+         ((j // 3) // width) * {POOL} // height AS by,
+         ((j // 3) % width) * {POOL} // width   AS bx,
+         j % 3 AS ch,
+         ord(substr(text, CAST(j % n AS INT) + 1, 1)) AS b
+  FROM px
 )
 SELECT doc_id,
-       {", ".join(f"max(CASE WHEN bucket = {k} THEN cell END) AS cell_{k}"
-                  for k in range(RESIZE_BUCKETS))}
-FROM cells GROUP BY doc_id
+       {", ".join(
+           f"CAST(SUM(CASE WHEN by = {by} AND bx = {bx} AND ch = {ch} "
+           f"THEN b ELSE 0 END) AS BIGINT) AS {cell}"
+           for by in range(POOL) for bx in range(POOL)
+           for ch, cell in enumerate(
+               f"c{by}{bx}_{c}" for c in ("r", "g", "b"))
+       )}
+FROM v GROUP BY doc_id
 """
 
 
 @register(
-    "multimodal_resize_stub",
+    "multimodal_thumbnail_ppm",
     "multimodal",
-    f"Resize/thumbnail kernel: mapInPandas block-averages each binary "
-    f"payload into a fixed {RESIZE_BUCKETS}-cell signature (stub for a real "
-    "image resize; ASCII corpus gives it an exact SQL twin). Same "
-    "scale shape as decode: row-local, Arrow-batched, output rows are "
-    "fixed-width regardless of payload size — the property that bounds "
-    "memory when payloads vary from KB thumbnails to GB video.",
-    oracle=_RESIZE_ORACLE,
+    f"REAL image resize (stub retired): decode the P6 PPM payload, then "
+    f"average-pool the (h, w, 3) pixel array into a {POOL}x{POOL} block grid "
+    "per channel — emitted as exact per-block byte sums so the SQL oracle "
+    "(which re-derives every pixel's block from integer coordinates) "
+    "hash-checks the pooling math bit-for-bit. Row-local, Arrow-batched, "
+    "fixed-width output regardless of payload size — the property that "
+    "bounds memory when payloads vary from KB thumbnails to GB video.",
+    oracle=_THUMB_ORACLE,
 )
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_thumbnail_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = with_binary_payload(_docs(spark, sf_dir))
+    d = encode_ppm(_docs(spark, sf_dir))
 
-    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def thumbnail(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            cells = np.array([resize_stub(p) for p in pdf["payload"]])
-            out = {"doc_id": pdf["doc_id"]}
-            for k in range(RESIZE_BUCKETS):
-                out[f"cell_{k}"] = np.floor(cells[:, k] * 1e4 + 0.5) / 1e4
+            out: dict[str, list] = {"doc_id": []}
+            for cell in _THUMB_CELLS:
+                out[cell] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                ys = (np.arange(h) * POOL) // h
+                xs = (np.arange(w) * POOL) // w
+                out["doc_id"].append(doc_id)
+                i = 0
+                for by in range(POOL):
+                    rows = arr[ys == by]
+                    for bx in range(POOL):
+                        block = rows[:, xs == bx, :]
+                        sums = block.sum(axis=(0, 1), dtype=np.int64)
+                        for ch in range(3):
+                            out[_THUMB_CELLS[i]].append(int(sums[ch]))
+                            i += 1
             yield pd.DataFrame(out)
 
-    schema = "doc_id long, " + ", ".join(
-        f"cell_{k} double" for k in range(RESIZE_BUCKETS)
-    )
-    return d.mapInPandas(resize, schema)
+    schema = "doc_id long, " + ", ".join(f"{c} long" for c in _THUMB_CELLS)
+    return d.mapInPandas(thumbnail, schema)
 
 
 # --------------------------------------------------------------------------

@@ -185,6 +185,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_starcontraction",
     "dedup_lsh_tuning_curve",
     "stream_ivm_retraction_e2e",
+    # round-5 additions (registered this round, zero driver rows yet) —
+    # appended BEHIND the backlog so the oldest debt drains first
+    "multimodal_decode_ppm",
+    "multimodal_thumbnail_ppm",
 )
 
 

@@ -55,9 +55,9 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
     vectorized extension kernels may cross the boundary."""
     allowed_python = {
         "sim_topk_pandas",
-        "multimodal_decode_stub",
+        "multimodal_decode_ppm",
         "multimodal_frame_sample",
-        "multimodal_resize_stub",
+        "multimodal_thumbnail_ppm",
         "multimodal_byte_stats",
         "stream_traffic_pipeline",
         "q138_heavy_hitters_mg",
@@ -79,9 +79,9 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
     (MapInPandas), never row-at-a-time BatchEvalPython."""
     for name in [
         "sim_topk_pandas",
-        "multimodal_decode_stub",
+        "multimodal_decode_ppm",
         "multimodal_frame_sample",
-        "multimodal_resize_stub",
+        "multimodal_thumbnail_ppm",
         "multimodal_byte_stats",
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
