@@ -440,3 +440,89 @@ def test_blockhash_kernel_matches_python_mirror(sess, payloads):
     got = {int(r["doc_id"]): (int(r["h1"]), int(r["h2"])) for _, r in out.iterrows()}
     for i, p in enumerate(payloads):
         assert got[i] == _py_blockhash(p), (i, p)
+
+
+# --------------------------------------------------------------------------
+# q157 Space-Saving: per-partition invariants + merge bound containment
+# (same treatment as the MG kernel and the histogram bin formula —
+# hypothesis-generated adversarial streams, tiny capacities that force
+# evictions, and the REAL Spark merge math on the resulting summaries)
+# --------------------------------------------------------------------------
+
+_SS_ITEM = st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}")
+_SS_STREAM = st.lists(_SS_ITEM, min_size=1, max_size=120)
+
+
+@SETTINGS
+@given(
+    parts=st.lists(_SS_STREAM, min_size=1, max_size=4),
+    m=st.sampled_from([2, 4, 8]),
+    cuts=st.lists(st.integers(0, 119), max_size=3),
+)
+def test_space_saving_bounds_for_any_stream(sess, parts, m, cuts):
+    """For ANY stream, ANY batch slicing of it, and capacities small
+    enough to force evictions: every kept counter satisfies
+    est >= true_partition_count >= est - err, every item absent from a
+    partition's summary has true count <= that partition's floor
+    offset, and after merging the summaries through the REAL Spark
+    ss_merge_bounds every item's TOTAL true count lies in
+    [lower, upper] (items surfacing in no summary are bounded by the
+    summed floors). This is the math q157 and stream_topk_e2e both
+    stand on — valid for any disjoint slicing of the stream."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from spark_stream_kudu_spark.operators import sketches as sk
+
+    orig_m = sk._SS_M
+    sk._SS_M = m
+    try:
+        rows = []
+        offsets: dict[int, int] = {}
+        for pid, stream in enumerate(parts):
+            idx = sorted({c % (len(stream) + 1) for c in cuts})
+            marks = [0] + idx + [len(stream)]
+            batches = [
+                pd.DataFrame({"item": stream[a:b], "pid": pid})
+                for a, b in zip(marks, marks[1:])
+            ]
+            out = list(sk.ss_summarize(iter(batches)))
+            summ = pd.concat(out) if out else pd.DataFrame(
+                columns=["item", "est", "err", "pid", "absent_ub"]
+            )
+            true_p = Counter(stream)
+            kept = set()
+            for _, r in summ.iterrows():
+                kept.add(r["item"])
+                t = true_p[r["item"]]
+                assert r["est"] >= t >= r["est"] - r["err"], (pid, dict(r))
+            offset = int(summ["absent_ub"].max()) if len(summ) else 0
+            offsets[pid] = offset
+            for item, t in true_p.items():
+                if item not in kept:
+                    assert t <= offset, (pid, item, t, offset)
+            rows.extend(summ.to_dict("records"))
+
+        from spark_stream_kudu_spark.operators.sketches import (
+            ss_merge_bounds,
+            ss_summary_schema,
+        )
+
+        summ_df = sess.createDataFrame(rows, ss_summary_schema())
+        bounds = {
+            r["cand"]: (r["lower"], r["upper"])
+            for r in ss_merge_bounds(summ_df).collect()
+        }
+        total = Counter()
+        for stream in parts:
+            total.update(stream)
+        total_ub = sum(offsets.values())
+        for item, t in total.items():
+            if item in bounds:
+                lo, hi = bounds[item]
+                assert lo <= t <= hi, (item, t, lo, hi)
+            else:
+                assert t <= total_ub, (item, t, total_ub)
+    finally:
+        sk._SS_M = orig_m
