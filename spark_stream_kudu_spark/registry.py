@@ -189,6 +189,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # appended BEHIND the backlog so the oldest debt drains first
     "multimodal_decode_ppm",
     "multimodal_thumbnail_ppm",
+    "stream_full_outer_interval_join_e2e",
 )
 
 

@@ -592,6 +592,106 @@ def stream_outer_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join (both sides emit on timeout)
+# --------------------------------------------------------------------------
+
+_FULL_OUTER_JOIN_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, event_id AS view_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.purchase_id,
+       COALESCE(p.user_id, v.user_id) AS user_id,
+       epoch_ms(p.p_ts) AS purchase_ms,
+       v.view_id,
+       epoch_ms(v.v_ts) AS view_ms
+FROM p FULL JOIN v
+  ON v.user_id = p.user_id
+ AND v.v_ts >= p.p_ts - INTERVAL 3600 SECOND
+ AND v.v_ts <= p.p_ts
+"""
+
+
+@register(
+    "stream_full_outer_interval_join_e2e",
+    "streaming",
+    "END-TO-END stream-stream FULL OUTER interval join — the last "
+    "Spark-supported variant, closing the matrix with the inner and "
+    "left-outer twins: matched purchase/view pairs emit once, purchases "
+    "with NO view in the prior hour emit with null views, AND views "
+    "followed by NO purchase within an hour emit with null purchases — "
+    "both emit-on-timeout paths a real pipeline hits (attribution gaps "
+    "on one side, abandoned sessions on the other). Each side's "
+    "unmatched rows finalize when the OPPOSITE watermark passes their "
+    "interval bound, so one far-future sentinel per side (unmatchable "
+    "user, filtered from the result) advances the global watermark past "
+    "every real row and the trailing no-data batch flushes both null "
+    "populations. State/eviction identical to the inner join: O(rate x "
+    "horizon), independent of stream age. Final table equals the batch "
+    "FULL JOIN, value-checked by the oracle.",
+    oracle=_FULL_OUTER_JOIN_ORACLE,
+)
+def stream_full_outer_interval_join_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_stream_kudu_spark.streaming.joins import interval_join_full_outer
+
+    ev = _ev(spark, sf_dir)
+    base = new_run_dir("fovj")
+    p_dir = os.path.join(base, "purchases")
+    v_dir = os.path.join(base, "views")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    # Sentinels: one unmatchable row far past every real event on EACH
+    # side — unmatched-row finalization (both directions here) is gated
+    # by the GLOBAL watermark (min across inputs), so both streams must
+    # advance past the last real row's interval bound before its null
+    # row can emit.
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m  # bounded: 1 row
+    v_sentinel = spark.createDataFrame(
+        [(-1, -1, max_ts)], "user_id long, view_id long, v_ts timestamp"
+    ).select(
+        "user_id", "view_id", (F.col("v_ts") + F.expr("INTERVAL 30 DAYS")).alias("v_ts")
+    )
+    p_sentinel = spark.createDataFrame(
+        [(-1, -1, max_ts)], "user_id long, purchase_id long, p_ts timestamp"
+    ).select(
+        "user_id",
+        "purchase_id",
+        (F.col("p_ts") + F.expr("INTERVAL 30 DAYS")).alias("p_ts"),
+    )
+    purchases.unionByName(p_sentinel).write.mode("overwrite").parquet(p_dir)
+    views.unionByName(v_sentinel).write.mode("overwrite").parquet(v_dir)
+
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    v_stream = spark.readStream.schema(views.schema).parquet(v_dir)
+    joined = interval_join_full_outer(
+        p_stream, v_stream, key="user_id", left_ts="p_ts", right_ts="v_ts",
+        horizon_sec=3600,
+    )
+    out = _run_to_parquet(joined, base)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_millis("p_ts").alias("purchase_ms"),
+            "view_id",
+            F.unix_millis("v_ts").alias("view_ms"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming incremental content-digest maintenance (CDC integrity monitor)
 # --------------------------------------------------------------------------
 

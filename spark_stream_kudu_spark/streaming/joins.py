@@ -84,3 +84,37 @@ def interval_join_left_outer(
         & (r[right_ts] <= lw[left_ts])
     )
     return lw.join(r, cond, "left_outer").drop(f"r_{key}")
+
+
+def interval_join_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon_sec: int = DEFAULT_HORIZON_SEC,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Full-outer variant, closing the Spark-supported stream-stream
+    join matrix (inner / left-outer / full-outer): every row on EITHER
+    side emits — matched pairs once, unmatched rows with nulls across
+    the other side, on BOTH sides (left rows with no right match AND
+    right rows with no left match). Each side's unmatched rows finalize
+    once the opposite watermark passes their interval bound, so both
+    emit-on-timeout paths are live; state/eviction is identical to the
+    inner join — O(rate x (horizon + delay)), independent of stream
+    age. The join key is re-exposed as ``key`` via COALESCE across the
+    two sides (a right-only row has a null left key)."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    r = rw.withColumnRenamed(key, f"r_{key}")
+    cond = (
+        (lw[key] == r[f"r_{key}"])
+        & (r[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {horizon_sec} SECONDS"))
+        & (r[right_ts] <= lw[left_ts])
+    )
+    return (
+        lw.join(r, cond, "full_outer")
+        .withColumn(key, F.coalesce(lw[key], r[f"r_{key}"]))
+        .drop(f"r_{key}")
+    )
