@@ -449,6 +449,8 @@ def q156_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c_custkey div 2").cast("long").alias("ancestor"),
         F.lit(1).cast("long").alias("dist"),
     )
+    # bounded collect: 1-row MAX aggregate (sets the pointer-doubling
+    # round count; never row data)
     max_key = c.agg(F.max("c_custkey")).collect()[0][0] or 1
     depth = max(1, int(max_key).bit_length() - 1)
     rounds = max(1, (depth - 1).bit_length())

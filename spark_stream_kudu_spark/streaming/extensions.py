@@ -1100,7 +1100,11 @@ def _ss_oracle() -> str:
     "summaries: the merge math is valid for ANY disjoint slicing of "
     "the stream, so (batch x partition) slices work exactly like "
     "q157's static scan partitions, and the same exact-anchor oracle "
-    "checks coverage and bound containment. Store growth is O(m) rows "
+    "checks coverage and bound containment. The finalize's exact "
+    "full-corpus anchor scan is GATE-ONLY (q157's convention): it "
+    "exists so the driver sees sketch regressions as red rows; a "
+    "production deployment reports the merged bounds alone and never "
+    "rescans the corpus. Store growth is O(m) rows "
     "per batch partition — never the token stream; this is the "
     "trending-terms dashboard feed whose state stays sketch-sized "
     "forever.",
