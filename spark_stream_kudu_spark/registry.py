@@ -190,6 +190,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_ppm",
     "multimodal_thumbnail_ppm",
     "stream_full_outer_interval_join_e2e",
+    "multimodal_audio_wav",
+    "multimodal_video_demux",
 )
 
 

@@ -59,6 +59,8 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "multimodal_frame_sample",
         "multimodal_thumbnail_ppm",
         "multimodal_byte_stats",
+        "multimodal_audio_wav",
+        "multimodal_video_demux",
         "stream_traffic_pipeline",
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
@@ -83,6 +85,8 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
         "multimodal_frame_sample",
         "multimodal_thumbnail_ppm",
         "multimodal_byte_stats",
+        "multimodal_audio_wav",
+        "multimodal_video_demux",
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
         "q157_topk_rank_error",
