@@ -1005,6 +1005,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
     """Exact J >= t pairs of ``(doc_id, text)`` rows via prefix filtering."""
+    # Spread the corpus across every core BEFORE tokenizing: a small
+    # parquet lands as one scan partition (a single row group can't be
+    # split), which would serialize the tokenize+shingle map — the most
+    # expensive per-row work in the query — on one task. One narrow
+    # shuffle of raw (id, text) rows buys full-width CPU; the explicit
+    # count keeps AQE from coalescing it back down by byte size (the
+    # cost here is CPU per row, not bytes).
+    n_cores = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < n_cores:
+        d = d.repartition(n_cores, F.col("doc_id"))
     sh = d.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
@@ -1042,14 +1052,27 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_distinct(F.array_intersect("sa", "sb")))
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
-    jac = fround(inter * F.lit(1.0) / union, 6)
+    # Verify against the ORDERED shingle arrays from `ranked`, not a
+    # re-derivation of `sh` from raw text: intersection size is
+    # order-independent and `os` is distinct, so |A u B| = |A| + |B| -
+    # |A n B| (inclusion-exclusion — no union array ever built). Reusing
+    # `ranked` makes the probe and both verify sides identical subplans,
+    # so the scan + tokenize + shingle + df-rank work runs ONCE and the
+    # plan reuses the exchange (3 tokenization passes collapse to 1 —
+    # at 100 TB that is 2 full corpus scans saved).
+    ra = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("os").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    rb = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("os").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = fround(inter * F.lit(1.0) / (F.col("na") + F.col("nb") - inter), 6)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ra, "doc_a")
+        .join(rb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= F.lit(t))
     )
