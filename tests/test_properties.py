@@ -526,3 +526,114 @@ def test_space_saving_bounds_for_any_stream(sess, parts, m, cuts):
                 assert t <= total_ub, (item, t, total_ub)
     finally:
         sk._SS_M = orig_m
+
+
+# --------------------------------------------------------------------------
+# Multimodal container decoders: encode/decode round-trip for ANY content
+# (the PPM/WAV/clip kernels are real binary-format implementations; these
+# pin them against plain-Python re-encodings and malformed-input rejection)
+# --------------------------------------------------------------------------
+
+
+def _py_ppm(w: int, h: int, pix: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + pix
+
+
+@SETTINGS
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    data=st.data(),
+)
+def test_ppm_decoder_roundtrip_any_image(sess, w, h, data):
+    """decode_ppm inverts the straightforward P6 encoding for ANY pixel
+    content (including bytes that look like header whitespace), and
+    rejects payloads with a wrong magic or maxval."""
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_stream_kudu_spark.operators.multimodal import decode_ppm
+
+    pix = data.draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3), label="pix"
+    )
+    got_w, got_h, arr = decode_ppm(_py_ppm(w, h, pix))
+    assert (got_w, got_h) == (w, h)
+    assert arr.shape == (h, w, 3)
+    assert arr.tobytes() == pix
+    assert arr.dtype == np.uint8
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n" + b"\x00" * 3)
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 3)
+
+
+@SETTINGS
+@given(samples=st.binary(min_size=1, max_size=256), rate=st.integers(1, 48000))
+def test_wav_decoder_roundtrip_any_pcm(sess, samples, rate):
+    """decode_wav inverts a straightforward RIFF/WAVE encoding for ANY
+    8-bit sample content and rate, tolerates an extra (skippable) chunk
+    before data, and rejects non-PCM formats."""
+    import pytest as _pytest
+
+    from spark_stream_kudu_spark.operators.multimodal import decode_wav
+
+    def wav(fmt: int = 1, extra: bytes = b"") -> bytes:
+        fmt_body = (
+            fmt.to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + rate.to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (8).to_bytes(2, "little")
+        )
+        chunks = (
+            b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+            + extra
+            + b"data" + len(samples).to_bytes(4, "little") + samples
+            + (b"\x00" if len(samples) % 2 else b"")
+        )
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    got_rate, arr = decode_wav(wav())
+    assert got_rate == rate
+    assert arr.tobytes() == samples
+    # a LIST-style chunk between fmt and data must be skipped, not parsed
+    junk = b"LIST" + (6).to_bytes(4, "little") + b"junk12"
+    got_rate2, arr2 = decode_wav(wav(extra=junk))
+    assert (got_rate2, arr2.tobytes()) == (rate, samples)
+    with _pytest.raises(ValueError):
+        decode_wav(wav(fmt=3))  # IEEE float PCM: unsupported
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav()[4:])
+
+
+@SETTINGS
+@given(
+    frames=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 5)), min_size=1, max_size=4
+    ),
+    data=st.data(),
+)
+def test_ppm_stream_demux_any_clip(sess, frames, data):
+    """demux_ppm_stream recovers every frame of a concatenated-PPM clip
+    in order — frames may have different dims and arbitrary pixel
+    bytes — and raises on a corrupt mid-stream magic."""
+    from spark_stream_kudu_spark.operators.multimodal import demux_ppm_stream
+
+    blobs = []
+    for i, (w, h) in enumerate(frames):
+        pix = data.draw(
+            st.binary(min_size=w * h * 3, max_size=w * h * 3), label=f"pix{i}"
+        )
+        blobs.append((w, h, pix))
+    clip = b"".join(_py_ppm(w, h, p) for w, h, p in blobs)
+    out = list(demux_ppm_stream(clip))
+    assert len(out) == len(blobs)
+    for (w, h, pix), (gw, gh, arr) in zip(blobs, out):
+        assert (gw, gh) == (w, h)
+        assert arr.tobytes() == pix
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(demux_ppm_stream(clip + b"XX garbage"))
