@@ -206,10 +206,18 @@ FROM v GROUP BY doc_id
     oracle=_DECODE_ORACLE,
 )
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ppm_decode_features(_docs(spark, sf_dir))
+
+
+def ppm_decode_features(docs: DataFrame) -> DataFrame:
+    """Attach PPM payloads to ``(doc_id, text)`` rows and decode them to
+    exact per-channel feature rows — the shared kernel behind the batch
+    query and its streaming ingest twin (identical math per row, so the
+    two paths share one oracle)."""
     import numpy as np
     import pandas as pd
 
-    d = encode_ppm(_docs(spark, sf_dir))
+    d = encode_ppm(docs)
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -192,6 +192,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_full_outer_interval_join_e2e",
     "multimodal_audio_wav",
     "multimodal_video_demux",
+    "stream_media_decode_e2e",
 )
 
 

@@ -692,6 +692,67 @@ def stream_full_outer_interval_join_e2e(
 
 
 # --------------------------------------------------------------------------
+# Streaming media ingest: continuous decode + feature extraction
+# --------------------------------------------------------------------------
+
+
+def _media_decode_oracle() -> str:
+    from spark_stream_kudu_spark.operators.multimodal import _DECODE_ORACLE
+
+    return _DECODE_ORACLE
+
+
+@register(
+    "stream_media_decode_e2e",
+    "streaming",
+    "END-TO-END streaming media ingest — the continuous form of the "
+    "multimodal decode path: documents replayed as 4 micro-batches; each "
+    "batch synthesizes its PPM payloads and runs the SAME Arrow decode "
+    "kernel as batch multimodal_decode_ppm (header parse, RGB reshape, "
+    "exact per-channel sums), upserted into a doc_id-keyed store "
+    "(idempotent under replay). Decode cost scales with the BATCH, never "
+    "the corpus — the property a 100 TB media crawl needs — and the "
+    "maintained feature table equals the one-shot batch decode, checked "
+    "by the identical positional-recompute oracle. Payload bytes live "
+    "only inside the batch: the store holds fixed-width feature rows.",
+    oracle=_media_decode_oracle(),
+)
+def stream_media_decode_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.multimodal import ppm_decode_features
+    from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
+    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = new_run_dir("smd")
+    for k in range(4):
+        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+
+    sink = UpsertParquetSink(os.path.join(base, "features"), key=["doc_id"])
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(ppm_decode_features(batch_df), batch_id)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read(spark).select(
+        "doc_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum"
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming incremental content-digest maintenance (CDC integrity monitor)
 # --------------------------------------------------------------------------
 
