@@ -618,9 +618,15 @@ SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
     oracle=_VERIFIED_ORACLE,
 )
 def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     d = _docs(spark, sf_dir)
     cand = dedup_minhash_pairs(spark, sf_dir)
-    sh = d.select(
+    # Spread before shingling: with the candidate set broadcast, the
+    # verify sides never shuffle, so a one-file scan would tokenize the
+    # whole corpus on a single task (see spread_small_scan — no-op at
+    # real scale).
+    sh = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
     )
@@ -689,9 +695,12 @@ WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_THRESHOLD}
     oracle=_CONTAIN_ORACLE,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     d = _docs(spark, sf_dir)
     cand = dedup_minhash_pairs(spark, sf_dir)
-    sh = d.select(
+    # Spread before shingling — same rationale as dedup_verified_pairs.
+    sh = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
     )
@@ -1297,7 +1306,10 @@ def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", "m")
         .distinct()
     )
-    sh = d.select(
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    # Spread before shingling — same rationale as dedup_verified_pairs.
+    sh = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
     )
