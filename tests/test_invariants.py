@@ -1100,3 +1100,61 @@ def test_schema_evolution_surfaces_legacy_class(spark, sf_smoke):
     assert "LEGACY" in rows and len(rows) == 6
     total = load_table(spark, sf_smoke, "orders").count()
     assert sum(rows.values()) == total
+
+
+# --------------------------------------------------------------------------
+# Multimodal container synthesis: the JVM-side binary encoders (hex/unhex
+# little-endian header math, header concat, pixel tiling) must produce
+# byte-identical containers to straightforward pure-Python encoders —
+# pinning the synthesis itself, not just the decoded feature sums.
+# --------------------------------------------------------------------------
+
+
+def _py_encode_ppm(text: str) -> bytes:
+    import hashlib
+
+    md5 = hashlib.md5(text.encode()).hexdigest()
+    w = int(md5[0:2], 16) % 8 + 4
+    h = int(md5[2:4], 16) % 8 + 4
+    need = w * h * 3
+    reps = -(-need // len(text))
+    pix = (text * reps)[:need].encode()
+    return b"P6\n%d %d\n255\n" % (w, h) + pix
+
+
+def _py_encode_wav(text: str) -> bytes:
+    import hashlib
+
+    md5 = hashlib.md5(text.encode()).hexdigest()
+    ns = int(md5[4:7], 16) % 113 + 16
+    reps = -(-ns // len(text))
+    samples = (text * reps)[:ns].encode()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + fmt \
+        + b"data" + ns.to_bytes(4, "little")
+    return b"RIFF" + (36 + ns).to_bytes(4, "little") + body + samples
+
+
+def test_spark_container_encoders_match_python_bytes(spark, sf_smoke):
+    """encode_ppm / encode_wav (native-expression synthesis) produce
+    byte-identical containers to the plain-Python encoders for every
+    document in the fixture."""
+    from spark_stream_kudu_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav,
+    )
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(50).collect()}
+    sub = docs.filter(docs.doc_id.isin(*texts))
+    for enc, py in ((encode_ppm, _py_encode_ppm), (encode_wav, _py_encode_wav)):
+        got = {r["doc_id"]: bytes(r["payload"]) for r in enc(sub).collect()}
+        for doc_id, text in texts.items():
+            if not text:
+                continue
+            assert got[doc_id] == py(text), (enc.__name__, doc_id)
