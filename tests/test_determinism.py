@@ -46,6 +46,15 @@ CLAIMED_INVARIANT = [
     "q175_data_contract",
     "text_dataset_card",
     "sim_hybrid_rrf",
+    # round-5 additions claiming integer-exactness: the materialized
+    # partsupp stand-in (integer cents/quantity rollups re-summed) and
+    # the multimodal container kernels (exact per-channel byte sums)
+    "q158_min_cost_supplier",
+    "q161_important_stock",
+    "q162_excess_suppliers",
+    "multimodal_decode_ppm",
+    "multimodal_audio_wav",
+    "multimodal_video_demux",
 ]
 
 
