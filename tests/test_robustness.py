@@ -212,3 +212,31 @@ def test_incompatible_schema_evolution_fails_loudly(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         spark.read.option("mergeSchema", "true").parquet(a, b).collect()
     assert "merge" in str(ei.value).lower() or "incompatible" in str(ei.value).lower()
+
+
+def test_corrupt_media_payload_fails_loudly(spark):
+    """Round 5: a corrupt container in a decode batch must FAIL the
+    query (the kernel's ValueError propagates as a task failure), never
+    silently drop the row — a partial feature table poisons downstream
+    training with no signal. Complements the pure-Python rejection
+    property tests by asserting the failure crosses the Arrow boundary."""
+    import pandas as pd
+
+    from spark_stream_kudu_spark.operators.multimodal import decode_ppm, decode_wav
+
+    d = spark.createDataFrame(
+        [(1, bytearray(b"JFIF not a supported container"))],
+        "doc_id long, payload binary",
+    )
+
+    def make_kernel(decode):
+        def kernel(batches):
+            for pdf in batches:
+                for p in pdf["payload"]:
+                    decode(bytes(p))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"]})
+        return kernel
+
+    for decode in (decode_ppm, decode_wav):
+        with pytest.raises(Exception):
+            d.mapInPandas(make_kernel(decode), "doc_id long").collect()
