@@ -944,3 +944,84 @@ def q173_resharding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hrw.unionByName(mod)
+
+
+# --------------------------------------------------------------------------
+# Small-partition compaction planner (file-metadata-driven maintenance)
+# --------------------------------------------------------------------------
+
+# Bin-pack the hive partitions of the date-partitioned event log into
+# this many compaction groups (scale-free: bins track total volume, so
+# the plan is meaningful at every sf and at 100 TB alike).
+COMPACTION_BINS = 8
+
+_COMPACTION_ORACLE = f"""
+WITH f AS (
+  SELECT 'event_date=' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS part_dir,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT part_dir, n_rows,
+       CAST((COALESCE(sum(n_rows) OVER (
+               ORDER BY part_dir
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             * {COMPACTION_BINS}) // (sum(n_rows) OVER ()) AS BIGINT) AS bin_id
+FROM f
+"""
+
+
+@register(
+    "q177_compaction_plan",
+    "layout",
+    "Small-partition compaction planner: per-partition row volumes read "
+    "from the date-partitioned table's OWN scan metadata "
+    "(input_file_name grouped to the hive partition dir — no payload "
+    f"columns read), then sequential bin-packing into {COMPACTION_BINS} "
+    "volume-balanced compaction groups via an exact integer "
+    "cumulative-share formula (bin = floor(rows_before * k / total)) — "
+    "the maintenance plan that merges a year of too-small daily "
+    "partitions into right-sized files WITHOUT moving any data at "
+    "planning time. The oracle recomputes the identical plan from the "
+    "raw events semantics (partition dir = event date by construction), "
+    "so the metadata-derived and data-derived views are hash-pinned to "
+    "agree. The planning windows run over |partitions| metadata rows "
+    "(bounded by design), never event rows; at 100 TB the scan cost is "
+    "footer counts only and the executed compaction (a later job) "
+    "touches exactly the bins this plan names.",
+    oracle=_COMPACTION_ORACLE,
+    prepare=lambda spark, sf_dir: partitioned_events(spark, sf_dir) and None,
+)
+def q177_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = partitioned_events(spark, sf_dir)
+    per_dir = (
+        ev.groupBy(
+            F.regexp_extract(
+                F.input_file_name(), r"(event_date=[^/]+)/", 1
+            ).alias("part_dir")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    # |partitions| metadata rows: the single-partition windows below are
+    # bounded by design (they never see event rows).
+    w_before = (
+        Window.orderBy("part_dir")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per_dir.select(
+        "part_dir",
+        "n_rows",
+        (
+            F.coalesce(F.sum("n_rows").over(w_before), F.lit(0))
+            * COMPACTION_BINS
+        ).cast("long").alias("share_num"),
+        F.sum("n_rows").over(w_all).cast("long").alias("total_rows"),
+    )
+    # Exact integer floor division — no float surface in the bin cut.
+    return staged.select(
+        "part_dir",
+        "n_rows",
+        F.expr("share_num div total_rows").cast("long").alias("bin_id"),
+    )

@@ -193,6 +193,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_wav",
     "multimodal_video_demux",
     "stream_media_decode_e2e",
+    "q177_compaction_plan",
 )
 
 
