@@ -854,28 +854,36 @@ WITH europe_supply AS (
   WHERE r.r_name = 'EUROPE'
   GROUP BY 1
 ), total AS (
-  SELECT CAST(sum(value_e2) AS BIGINT) AS t FROM europe_supply
+  SELECT CAST(sum(value_e2) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM europe_supply
 )
 SELECT e.l_partkey AS p_partkey, e.value_e2
 FROM europe_supply e CROSS JOIN total
-WHERE e.value_e2 * 1000 > total.t
+WHERE e.value_e2 * total.n_parts * 2 > 3 * total.t
 """
 
 
 @register(
     "q161_important_stock",
     "subquery",
-    "TPC-H Q11 shape: parts whose EUROPE-supplied value exceeds 0.1% "
-    "of the region's total — per-part value rollup (exact integer "
-    "cents), a one-row total via the same aggregate re-reduced, and "
-    "the HAVING-vs-scalar-subquery comparison as a broadcast cross "
-    "join with the threshold CROSS-MULTIPLIED (value * 1000 > total: "
-    "no float fraction, no rounding ambiguity at the cut). Supply is "
-    "the MATERIALIZED partsupp stand-in (supply_table, prepared "
-    "parquet): the per-part rollup sums the stored per-(part, "
-    "supplier) values — integer sums re-associate bit-exactly — so "
-    "the scan prices the small stored relation, not a lineitem "
-    "re-shuffle.",
+    "TPC-H Q11 shape: parts whose EUROPE-supplied value exceeds 1.5x "
+    "the mean per-part share of the region's total — Q11's own "
+    "scale-adaptive cut (the spec's fraction is 0.0001/SF precisely so "
+    "output survives scale-up; here the 1/|parts| mean share derives "
+    "from the data, so no SF constant is baked in and the query is "
+    "non-vacuous at every fixture scale — a fixed 0.1% cut went empty "
+    "at sf0.1, caught by the round-5 sf0.1 certification sweep). "
+    "Per-part value rollup (exact integer cents), one-row total+count "
+    "via the same aggregate re-reduced, and the HAVING-vs-scalar-"
+    "subquery comparison as a broadcast cross join with the threshold "
+    "CROSS-MULTIPLIED (value * n_parts * 2 > 3 * total: no float "
+    "fraction, no rounding ambiguity at the cut). Supply is the "
+    "MATERIALIZED partsupp "
+    "stand-in (supply_table, prepared parquet): the per-part rollup "
+    "sums the stored per-(part, supplier) values — integer sums "
+    "re-associate bit-exactly — so the scan prices the small stored "
+    "relation, not a lineitem re-shuffle.",
     oracle=_Q161_ORACLE,
     prepare=lambda spark, sf_dir: supply_table(spark, sf_dir) and None,
 )
@@ -899,10 +907,13 @@ def q161_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ps_partkey").alias("p_partkey"))
         .agg(F.sum("ps_value_e2").alias("value_e2"))
     )
-    total = europe_supply.agg(F.sum("value_e2").alias("t"))
+    total = europe_supply.agg(
+        F.sum("value_e2").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
     return (
         europe_supply.crossJoin(F.broadcast(total))
-        .filter(F.col("value_e2") * 1000 > F.col("t"))
+        .filter(F.col("value_e2") * F.col("n_parts") * 2 > 3 * F.col("t"))
         .select("p_partkey", "value_e2")
     )
 
