@@ -36,3 +36,23 @@ def test_generated_catalog_is_committed_in_sync(capsys):
     with open("QUERIES.md") as f:
         committed = f.read()
     assert committed == generated
+
+
+def test_bench_suites_reference_only_registered_queries():
+    """The driver records BENCH_r{N}.json from bench.py; a renamed or
+    dropped query would otherwise break that run at round end, silently
+    costing the round its perf artifact. Pin both frozen suites to the
+    registry here instead."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import BENCH_V2
+
+    from spark_stream_kudu_spark.registry import load_all
+
+    all_q = load_all()
+    missing_v2 = [n for n in BENCH_V2 if n not in all_q]
+    assert not missing_v2, missing_v2
+    assert len(BENCH_V2) == 15
+    n_bench = sum(1 for s in all_q.values() if s.bench)
+    assert n_bench == 34, f"frozen headline suite changed size: {n_bench}"
