@@ -351,3 +351,174 @@ def ss_summarize(batches):
                 "absent_ub": offset,
             }
         )
+
+
+# --------------------------------------------------------------------------
+# q178: Count-Min point-frequency sketch — additive grid merge + exact anchors
+# --------------------------------------------------------------------------
+
+_CM_D = 4  # hash rows
+_CM_W = 2048  # counters per row; eps ~ e/W of the stream length
+_CM_K = 20  # reported top-k anchor rows
+
+_CM_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({sql_tokens('text')}) AS item FROM documents
+), cnts AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY item
+), rk AS (
+  SELECT item, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, item ASC) AS BIGINT) AS rank
+  FROM cnts
+)
+SELECT item, cnt, rank,
+       CAST(1 AS BIGINT) AS overest_ok,
+       CAST(1 AS BIGINT) AS eps_ok
+FROM rk WHERE rank <= {_CM_K}
+"""
+
+
+def cm_hash_col(row: int, item):
+    """CRC32-based Count-Min column index for hash row ``row`` — the
+    SAME formula as the Python kernel's ``_cm_col`` (zlib.crc32 of the
+    identical ``"r:item"`` bytes; Spark's crc32 and zlib's agree on the
+    standard polynomial), so JVM-side estimate lookups address the
+    grid the Arrow kernel populated."""
+    return (
+        F.crc32(F.concat(F.lit(f"{row}:"), item).cast("binary")) % _CM_W
+    ).cast("long")
+
+
+@register(
+    "q178_countmin_frequency",
+    "aggregation",
+    f"Count-Min point-frequency sketch over the corpus token stream — "
+    f"the mergeable-sketch tier's frequency-table member beside HLL "
+    f"(q36, cardinality), Misra-Gries (q138, heavy-hitter candidates), "
+    f"Space-Saving (q157, top-k bounds) and log-linear histograms "
+    f"(q163, quantiles): an Arrow mapInPandas kernel folds each "
+    f"partition into ONE {_CM_D}x{_CM_W} counter grid (state O(d*w) "
+    "per task regardless of partition size or key cardinality), grids "
+    "merge by plain elementwise addition — a groupBy(row, col) SUM, "
+    "valid for ANY disjoint slicing of the stream — and a point query "
+    "reads min over d cells. The reported rows are the EXACT top-k "
+    "token counts (anchor DuckDB reproduces); the sketch's two "
+    "deterministic claims ride along as hash-checked flags: overest_ok "
+    "(Count-Min NEVER underestimates — every cell sums a superset of "
+    "the item's occurrences) and eps_ok (estimate within the classic "
+    "e/w * n collision bound, deterministic here because the CRC32 "
+    "hash family is pinned). A kernel or merge regression flips a flag "
+    "to 0 and the driver row goes red. At 100 TB the merge shuffle "
+    "carries |partitions| x d*w cells, never the token stream, and the "
+    "merged grid (<= d*w rows) broadcasts into the estimate join.",
+    oracle=_CM_ORACLE,
+)
+def q178_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # Spread the thin (text) projection before the tokenize + kernel
+    # work: the fixture lands as one split, which would serialize the
+    # hashing on one core; no-op at real scale (see spread_small_scan).
+    toks = spread_small_scan(docs.select("text")).select(
+        F.explode(tokens(F.col("text"))).alias("item")
+    )
+
+    grid = (
+        toks.mapInPandas(cm_summarize, cm_grid_schema())
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cellsum"))
+    )
+
+    cnts = toks.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    wrk = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    topk = (
+        cnts.withColumn("rank", F.row_number().over(wrk).cast("long"))
+        .filter(F.col("rank") <= _CM_K)
+    )
+    # d probe rows per anchor item, joined against the broadcast merged
+    # grid; est = min over the d addressed cells.
+    probes = topk.select(
+        "item",
+        "cnt",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        cm_hash_col(r, F.col("item")).alias("c"),
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "cnt", "rank", F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    est = (
+        probes.join(F.broadcast(grid), ["r", "c"])
+        .groupBy("item", "cnt", "rank")
+        .agg(F.min("cellsum").alias("est"))
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Integer-exact eps bound: ceil(e) = 3 stands in for e in e/w * n —
+    # slightly loose, deterministic, no float rounding in the flag.
+    return est.crossJoin(F.broadcast(total)).select(
+        "item",
+        "cnt",
+        "rank",
+        (F.col("est") >= F.col("cnt")).cast("bigint").alias("overest_ok"),
+        (
+            F.col("est") - F.col("cnt")
+            <= F.greatest(F.lit(1).cast("long"), F.expr(f"(3 * n) div {_CM_W}"))
+        ).cast("bigint").alias("eps_ok"),
+    )
+
+
+def cm_grid_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("r", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+
+def _cm_col(row: int, item: str) -> int:
+    """Python twin of ``cm_hash_col`` — identical bytes, identical CRC32."""
+    import zlib
+
+    return zlib.crc32(f"{row}:{item}".encode("utf-8")) % _CM_W
+
+
+def cm_summarize(batches):
+    """One Count-Min grid per partition over an ``item`` column: d=_CM_D
+    rows of w=_CM_W counters; every occurrence of an item increments one
+    cell per row (addressed by the pinned CRC32 family). Emitted as the
+    nonzero (r, c, cnt) cells; grids from any disjoint slicing of the
+    stream merge by cell-wise addition."""
+    import numpy as np
+    import pandas as pd
+
+    grid = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        for item, c in pdf["item"].value_counts().items():
+            c = int(c)
+            for r in range(_CM_D):
+                grid[r, _cm_col(r, str(item))] += c
+    rs, cs = np.nonzero(grid)
+    if len(rs):
+        yield pd.DataFrame(
+            {
+                "r": rs.astype("int64"),
+                "c": cs.astype("int64"),
+                "cnt": grid[rs, cs],
+            }
+        )

@@ -194,6 +194,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_video_demux",
     "stream_media_decode_e2e",
     "q177_compaction_plan",
+    "q178_countmin_frequency",
 )
 
 

@@ -637,3 +637,77 @@ def test_ppm_stream_demux_any_clip(sess, frames, data):
 
     with _pytest.raises(ValueError):
         list(demux_ppm_stream(clip + b"XX garbage"))
+
+
+# --------------------------------------------------------------------------
+# q178 Count-Min: kernel == plain-Python grid, merge additivity, and the
+# never-underestimate guarantee for ANY stream / slicing / tiny widths
+# that force heavy collisions
+# --------------------------------------------------------------------------
+
+_CM_ITEM = st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}")
+_CM_STREAM = st.lists(_CM_ITEM, min_size=1, max_size=120)
+
+
+@SETTINGS
+@given(
+    parts=st.lists(_CM_STREAM, min_size=1, max_size=4),
+    w=st.sampled_from([4, 8, 16]),
+    cuts=st.lists(st.integers(0, 119), max_size=3),
+)
+def test_countmin_grid_merge_and_overestimate(sess, parts, w, cuts):
+    """For ANY stream, ANY batch slicing, and widths small enough to
+    force collisions: (1) the Arrow kernel's grid equals a plain-Python
+    recount cell-for-cell, (2) per-partition grids merged by cell-wise
+    addition equal the one-shot grid over the concatenated stream (the
+    additivity q178's groupBy-SUM merge stands on, valid for any
+    disjoint slicing), and (3) the point query min over d cells NEVER
+    underestimates any item's total count — Count-Min's deterministic
+    guarantee, which holds regardless of collision pressure."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_stream_kudu_spark.operators import sketches as sk
+
+    orig_w = sk._CM_W
+    sk._CM_W = w
+    try:
+        def grid_of(rows):
+            g = np.zeros((sk._CM_D, w), dtype=np.int64)
+            for r in rows:
+                g[int(r["r"]), int(r["c"])] += int(r["cnt"])
+            return g
+
+        merged = np.zeros((sk._CM_D, w), dtype=np.int64)
+        for stream in parts:
+            idx = sorted({c % (len(stream) + 1) for c in cuts})
+            marks = [0] + idx + [len(stream)]
+            batches = [
+                pd.DataFrame({"item": stream[a:b]})
+                for a, b in zip(marks, marks[1:])
+            ]
+            out = list(sk.cm_summarize(iter(batches)))
+            got = grid_of(pd.concat(out).to_dict("records") if out else [])
+            want = np.zeros((sk._CM_D, w), dtype=np.int64)
+            for item, c in Counter(stream).items():
+                for r in range(sk._CM_D):
+                    want[r, sk._cm_col(r, item)] += c
+            assert (got == want).all(), (stream, got, want)
+            merged += got
+
+        whole = []
+        for stream in parts:
+            whole.extend(stream)
+        out = list(sk.cm_summarize(iter([pd.DataFrame({"item": whole})])))
+        one_shot = grid_of(pd.concat(out).to_dict("records") if out else [])
+        assert (merged == one_shot).all()
+
+        for item, t in Counter(whole).items():
+            est = min(
+                int(merged[r, sk._cm_col(r, item)]) for r in range(sk._CM_D)
+            )
+            assert est >= t, (item, est, t)
+    finally:
+        sk._CM_W = orig_w
