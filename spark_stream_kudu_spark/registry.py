@@ -195,6 +195,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_media_decode_e2e",
     "q177_compaction_plan",
     "q178_countmin_frequency",
+    "stream_countmin_e2e",
 )
 
 

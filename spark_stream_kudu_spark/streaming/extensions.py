@@ -1296,6 +1296,83 @@ def stream_quantile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming Count-Min — the q178 frequency grid maintained incrementally
+# --------------------------------------------------------------------------
+
+
+def _cm_oracle() -> str:
+    from spark_stream_kudu_spark.operators.sketches import _CM_ORACLE
+
+    return _CM_ORACLE
+
+
+@register(
+    "stream_countmin_e2e",
+    "streaming",
+    "END-TO-END streaming Count-Min: the corpus replayed as 4 document "
+    "micro-batches; each batch's token stream folds through the SAME "
+    "Arrow kernel as batch q178 into per-partition d x w grids, reduced "
+    "to one per-batch (r, c) count partial that an AdditiveRollupSink "
+    "SUM-merges into the keyed cell store — cell-wise addition IS the "
+    "Count-Min merge, so the stored grid equals the one-shot batch grid "
+    "for any batch slicing, and replay is idempotent because the sink "
+    "keys on (r, c) per batch. The finalize answers the point queries "
+    "from the stored grid with the batch query's own code and the same "
+    "exact-anchor oracle (the full-corpus anchor scan is GATE-ONLY, "
+    "q157's convention — production reads the broadcast grid alone). "
+    "State is <= d*w cells FOREVER regardless of stream age or token "
+    "cardinality; raw tokens are never stored or rescanned.",
+    oracle=_cm_oracle(),
+)
+def stream_countmin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.textutil import tokens
+    from spark_stream_kudu_spark.operators.sketches import (
+        cm_finalize_topk,
+        cm_grid_schema,
+        cm_summarize,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = new_run_dir("scm")
+    for k in range(4):
+        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "cells"), key=["r", "c"], sum_cols=["cnt"]
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(F.explode(tokens(F.col("text"))).alias("item"))
+        partial = (
+            toks.mapInPandas(cm_summarize, cm_grid_schema())
+            .groupBy("r", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    grid = sink.read(spark).select("r", "c", F.col("cnt").alias("cellsum"))
+    all_toks = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    return cm_finalize_topk(all_toks, grid)
+
+
+# --------------------------------------------------------------------------
 # Streaming incremental near-dup dedup — continuous-crawl LSH maintenance
 # --------------------------------------------------------------------------
 
