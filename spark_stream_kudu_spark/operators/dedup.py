@@ -1764,3 +1764,152 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication audit (Lee et al. 2022, Spark-first)
+# --------------------------------------------------------------------------
+
+_SUBSTR_K = 8  # span width in tokens; production corpora use ~50
+
+_SUBSTR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(t) - {_SUBSTR_K} + 1, 0))) AS pos,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {_SUBSTR_K} + 1, 0)),
+           i -> {sql_md5_int32(f"array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')")}
+         )) AS gh
+  FROM tok
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, pos, pos + {_SUBSTR_K} AS e FROM g JOIN dup USING (gh)
+), uni AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM hits
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS dup_spans,
+         CAST(sum(greatest(0, e - greatest(pos, coalesce(pmax, 0)))) AS BIGINT)
+           AS dup_tokens
+  FROM uni GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       CAST(len(tok.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(p.dup_tokens, 0) * 1000000 // len(tok.t) AS BIGINT)
+         AS dup_frac_x1e6
+FROM tok LEFT JOIN per_doc p ON tok.doc_id = p.doc_id
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    "dedup",
+    f"Exact-substring duplication audit at {_SUBSTR_K}-token span "
+    "granularity (the Lee et al. 2022 'Deduplicating Training Data "
+    "Makes Language Models Better' operation, re-expressed Spark-first: "
+    "a hash aggregation over fixed-width token spans replaces the "
+    "suffix array — same spans found, embarrassingly parallel instead "
+    "of a global sort). Every doc's token spans fingerprint row-locally "
+    f"(sequence/transform/slice + md5_int32, no explode until the span "
+    "table); a span held by >= 2 DISTINCT docs is duplicated text, and "
+    "each doc reports its duplicated-span count plus the number of "
+    "TOKENS covered by at least one duplicated span — an exact interval "
+    "union via one running-max window per doc (gaps-and-islands), not "
+    "an approximation — and the integer-exact duplicated fraction in "
+    "micro-units. This is the span-level complement to the doc-level "
+    "MinHash family: it tells you WHICH text to cut (boilerplate, "
+    "licenses, templated spans) rather than which documents pair up. "
+    "At 100 TB the one heavy shuffle is the span-hash aggregation "
+    "(|tokens| rows of (hash, doc) pairs, partial-agg map-side); "
+    "within-doc work never shuffles, and the audit runs on 32-bit span "
+    "fingerprints in both engines so the oracle is exact.",
+    oracle=_SUBSTR_ORACLE,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    k = _SUBSTR_K
+    d = _docs(spark, sf_dir)
+    base = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    # Span fingerprints stay row-local until the single explode; docs
+    # shorter than k tokens contribute no spans (empty array).
+    gh = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - k),
+            lambda i: md5_int32(F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = base.select(
+        "doc_id", F.posexplode(gh).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = g.join(dup, "gh", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + k).alias("e")
+    )
+    per_doc = interval_union_per_key(hits, "doc_id", "pos", "e").select(
+        "doc_id",
+        F.col("n_intervals").alias("dup_spans"),
+        F.col("union_len").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.expr("coalesce(dup_tokens, 0) * 1000000 div n_tokens")
+            .cast("long")
+            .alias("dup_frac_x1e6"),
+        )
+    )
+
+
+def interval_union_per_key(
+    iv: DataFrame, key: str, start: str, end: str
+) -> DataFrame:
+    """Exact length of the union of half-open [start, end) intervals per
+    key, in ONE running-max window pass (gaps-and-islands): each
+    interval contributes the part of itself past the running maximum of
+    all earlier ends — overlaps are never double-counted, contained
+    intervals contribute 0. Requires non-negative integer bounds; returns
+    (key, n_intervals, union_len). One shuffle on the key, O(1) state
+    per row — the scale shape for span-coverage/occupancy audits."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(start), F.col(end))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col(end)
+        - F.greatest(F.col(start), F.coalesce(F.max(end).over(w), F.lit(0))),
+    )
+    return (
+        iv.select(key, contrib.alias("c"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("c").cast("long").alias("union_len"),
+        )
+    )

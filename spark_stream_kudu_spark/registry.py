@@ -196,6 +196,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q177_compaction_plan",
     "q178_countmin_frequency",
     "stream_countmin_e2e",
+    "dedup_exact_substring",
 )
 
 

@@ -711,3 +711,50 @@ def test_countmin_grid_merge_and_overestimate(sess, parts, w, cuts):
             assert est >= t, (item, est, t)
     finally:
         sk._CM_W = orig_w
+
+
+# --------------------------------------------------------------------------
+# dedup_exact_substring: the one-window-pass interval union vs a plain
+# interval merge, for ANY interval multiset (overlaps, containment,
+# duplicates, touching spans)
+# --------------------------------------------------------------------------
+
+_IV = st.tuples(st.integers(0, 40), st.integers(1, 12)).map(
+    lambda t: (t[0], t[0] + t[1])
+)
+
+
+@SETTINGS
+@given(
+    ivs=st.lists(st.tuples(st.integers(0, 2), _IV), min_size=1, max_size=25)
+)
+def test_interval_union_matches_sweep(sess, ivs):
+    """interval_union_per_key's running-max window formula must equal a
+    textbook sorted interval merge for ANY multiset of half-open
+    integer intervals per key — including exact duplicates, nested
+    containment, shared starts, and intervals that touch end-to-start
+    (which union seamlessly for half-open semantics)."""
+    from collections import defaultdict
+
+    from spark_stream_kudu_spark.operators.dedup import interval_union_per_key
+
+    df = sess.createDataFrame(
+        [(k, s, e) for k, (s, e) in ivs], "doc_id int, pos long, e long"
+    )
+    got = {
+        r["doc_id"]: (r["n_intervals"], r["union_len"])
+        for r in interval_union_per_key(df, "doc_id", "pos", "e").collect()
+    }
+
+    per_key = defaultdict(list)
+    for k, (s, e) in ivs:
+        per_key[k].append((s, e))
+    for k, spans in per_key.items():
+        merged = []
+        for s, e in sorted(spans):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want = sum(e - s for s, e in merged)
+        assert got[k] == (len(spans), want), (k, spans, got[k], want)
