@@ -1538,6 +1538,25 @@ def star_contraction_components(
     canon = _canon_pairs(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).localCheckpoint(eager=True)
+
+    def _digest(e: DataFrame) -> tuple[int, int]:
+        """(row count, order-independent xxhash64 checksum) in one
+        1-row aggregate job over the checkpointed edge set — the cheap
+        NECESSARY condition for the fixed point; never trusted alone
+        (a colliding checksum must not end the loop early), only used
+        to skip the exact set-equality join on rounds that visibly
+        still moved."""
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # decimal(38,0) sum: exact and overflow-free under ANSI
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return int(r["n"]), int(r["h"])
+
+    prev_digest = _digest(canon)
     converged = False
     for i in range(max_rounds):
         e = _sym(canon)
@@ -1570,10 +1589,26 @@ def star_contraction_components(
             small.select(F.col("a").alias("u"), F.col("b").alias("v"))
         )
         new_canon = cut_lineage(new_canon, i, False, local_interval=1)
-        same = (
-            new_canon.exceptAll(canon).limit(1).count() == 0
-            and canon.exceptAll(new_canon).limit(1).count() == 0
-        )
+        # Fixed-point test, two tiers (was two exceptAll count jobs per
+        # round): a 1-row digest aggregate rules out rounds that still
+        # moved; only a digest match runs the EXACT set-equality check —
+        # one full-outer join on the edge key (both sides are canonical
+        # distinct sets, so a missing row on either side is the only
+        # way they differ). Convergence is never declared on the
+        # checksum alone.
+        new_digest = _digest(new_canon)
+        same = False
+        if new_digest == prev_digest:
+            mismatch = (
+                new_canon.withColumn("_l", F.lit(1))
+                .join(
+                    canon.withColumn("_r", F.lit(1)), ["a", "b"], "full_outer"
+                )
+                .filter(F.col("_l").isNull() | F.col("_r").isNull())
+                .limit(1)
+            )
+            same = mismatch.count() == 0
+        prev_digest = new_digest
         canon = new_canon
         if same:
             converged = True
