@@ -40,7 +40,7 @@ from spark_stream_kudu_spark.operators.series import _HOLT_ORACLE
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
-from spark_stream_kudu_spark.streaming.workdir import new_run_dir, stage_one_slice
+from spark_stream_kudu_spark.streaming.workdir import new_run_dir, stage_mod_slices
 
 
 @register(
@@ -67,8 +67,7 @@ def stream_psi_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (maxFilesPerTrigger=1), staged via the canonical helper:
     # additive counts must not care which batch a row lands in, and
     # this slicing exercises exactly that.
-    for k in range(4):
-        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "counts"),
@@ -134,8 +133,7 @@ def stream_ks_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (maxFilesPerTrigger=1), staged via the canonical helper:
     # additive counts must not care which batch a row lands in, and
     # this slicing exercises exactly that.
-    for k in range(4):
-        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "counts"),
@@ -193,8 +191,7 @@ def stream_chisq_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (maxFilesPerTrigger=1), staged via the canonical helper:
     # additive counts must not care which batch a row lands in, and
     # this slicing exercises exactly that.
-    for k in range(4):
-        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "counts"), key=["event_type"], sum_cols=["ca", "cb"]

@@ -34,7 +34,7 @@ from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
 from spark_stream_kudu_spark.streaming.joins import interval_join
 from spark_stream_kudu_spark.streaming.stateful import dedup_within_watermark
-from spark_stream_kudu_spark.streaming.workdir import new_run_dir
+from spark_stream_kudu_spark.streaming.workdir import new_run_dir, stage_mod_slices
 
 
 
@@ -285,28 +285,14 @@ GROUP BY 1, 2
     oracle=_ROLLUP_ORACLE,
 )
 def stream_rollup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
 
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
 
     ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
     base = new_run_dir("roll")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
-    # 4 replay files = 4 micro-batches (maxFilesPerTrigger=1), written
-    # executor-side (single part file each), then staged into the source
-    # dir under stable names — no driver-side collect of the fixture.
-    for k in range(4):
-        stage = os.path.join(base, f"stage_{k}")
-        (
-            ev.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+    # 4 replay files = 4 micro-batches (maxFilesPerTrigger=1), all
+    # staged executor-side in ONE scan (no driver collect).
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "rollup"),
@@ -440,8 +426,6 @@ def _trend_oracle() -> str:
     oracle=_trend_oracle(),
 )
 def stream_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
 
     from pyspark.sql import Window
 
@@ -450,18 +434,7 @@ def stream_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type")
     base = new_run_dir("trend")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
-    for k in range(4):
-        stage = os.path.join(base, f"stage_{k}")
-        (
-            ev.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "counts"),
@@ -720,13 +693,11 @@ def _media_decode_oracle() -> str:
 def stream_media_decode_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.operators.multimodal import ppm_decode_features
     from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
-    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = new_run_dir("smd")
-    for k in range(4):
-        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+    src = stage_mod_slices(docs, base, "doc_id")
 
     sink = UpsertParquetSink(os.path.join(base, "features"), key=["doc_id"])
 
@@ -790,26 +761,13 @@ GROUP BY event_type
     oracle=_stream_digest_oracle(),
 )
 def stream_digest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
 
     from spark_stream_kudu_spark.functions.hashing import md5_int32
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
 
     ev = _ev(spark, sf_dir).select("event_id", "user_id", "event_type", "ts", "value")
     base = new_run_dir("dig")
-    src = os.path.join(base, "src")
-    os.makedirs(src, exist_ok=True)
-    for k in range(4):
-        stage = os.path.join(base, f"stage_{k}")
-        (
-            ev.filter(F.col("event_id") % 4 == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        shutil.move(part, os.path.join(src, f"batch_{k}.parquet"))
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "digest"),
@@ -1105,12 +1063,10 @@ def run_stream_hll(spark: SparkSession, sf_dir: str):
     merged sketches (the registered query finalizes to exact-anchor +
     flag columns for the oracle gate)."""
     from spark_stream_kudu_spark.streaming.sinks import SketchUnionSink
-    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
     ev = _ev(spark, sf_dir).select("event_id", "event_type", "user_id")
     base = new_run_dir("hll")
-    for k in range(4):
-        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = SketchUnionSink(
         os.path.join(base, "sketches"), key="event_type", sketch_col="sk"
@@ -1180,13 +1136,11 @@ def stream_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss_summary_schema,
     )
     from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
-    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = new_run_dir("sstk")
-    for k in range(4):
-        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+    src = stage_mod_slices(docs, base, "doc_id")
 
     sink = UpsertParquetSink(
         os.path.join(base, "summaries"), key=["pid", "item"]
@@ -1252,13 +1206,11 @@ def stream_quantile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         hq_quantiles_from_bins,
     )
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
-    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     base = new_run_dir("hq")
-    for k in range(4):
-        src = stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+    src = stage_mod_slices(ev, base, "event_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "bins"),
@@ -1332,13 +1284,11 @@ def stream_countmin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm_summarize,
     )
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
-    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = new_run_dir("scm")
-    for k in range(4):
-        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+    src = stage_mod_slices(docs, base, "doc_id")
 
     sink = AdditiveRollupSink(
         os.path.join(base, "cells"), key=["r", "c"], sum_cols=["cnt"]
@@ -1446,13 +1396,11 @@ def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_bands,
     )
     from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
-    from spark_stream_kudu_spark.streaming.workdir import stage_one_slice
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = new_run_dir("incd")
-    for k in range(4):
-        src = stage_one_slice(docs.filter(F.col("doc_id") % 4 == k), base, k)
+    src = stage_mod_slices(docs, base, "doc_id")
 
     band_store = UpsertParquetSink(
         os.path.join(base, "bands"), key=["doc_id", "band"]
@@ -1573,13 +1521,12 @@ def stream_skew_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
     from spark_stream_kudu_spark.streaming.workdir import (
         new_run_dir,
-        stage_one_slice,
+        stage_mod_slices,
     )
 
     ev = _ev(spark, sf_dir).select("event_id", "user_id")
     base = new_run_dir("skew")
-    for k in range(4):
-        stage_one_slice(ev.filter(F.col("event_id") % 4 == k), base, k)
+    stage_mod_slices(ev, base, "event_id")
     src = os.path.join(base, "src")
 
     sink = AdditiveRollupSink(
@@ -1640,15 +1587,14 @@ def stream_contract_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
     from spark_stream_kudu_spark.streaming.workdir import (
         new_run_dir,
-        stage_one_slice,
+        stage_mod_slices,
     )
 
     tune_session(spark)
     o = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     base = new_run_dir("contract")
-    for k in range(4):
-        stage_one_slice(o.filter(F.col("o_orderkey") % 4 == k), base, k)
+    stage_mod_slices(o, base, "o_orderkey")
     src = os.path.join(base, "src")
 
     sink = AdditiveRollupSink(
@@ -1762,7 +1708,7 @@ def stream_ivm_retraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
     from spark_stream_kudu_spark.streaming.workdir import (
         new_run_dir,
-        stage_one_slice,
+        stage_mod_slices,
     )
 
     tune_session(spark)
@@ -1783,8 +1729,7 @@ def stream_ivm_retraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     run = new_run_dir("ivm")
-    for k in range(4):
-        stage_one_slice(changes.filter(F.col("okey") % 4 == k), run, k)
+    stage_mod_slices(changes, run, "okey")
     src = os.path.join(run, "src")
 
     # The store holds DELTAS ONLY (the sink's replay marker rejects
