@@ -109,7 +109,8 @@ def time_slice(df, lo: str | None, hi: str | None, ts_col: str = "ts"):
 
 
 def stage_mod_slices(df, base: str, key_col: str, n: int = 4) -> str:
-    """Stage ALL ``n`` replay slices (``key_col % n == k`` -> file k) in
+    """Stage ALL ``n`` replay slices (``pmod(key_col, n) == k`` -> file
+    k; pmod so negative keys still land in a staged bucket) in
     ONE scan of ``df``: a partitionBy write splits the buckets
     executor-side (repartition on the bucket puts each bucket in
     exactly one task, so each bucket directory holds exactly one part
@@ -132,7 +133,10 @@ def stage_mod_slices(df, base: str, key_col: str, n: int = 4) -> str:
     os.makedirs(src, exist_ok=True)
     stage = os.path.join(base, "stage_all")
     (
-        df.withColumn("_b", (F.col(key_col) % n).cast("int"))
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative key would land in a _b=-1 directory no mover looks
+        # at and its rows would silently vanish from the replay.
+        df.withColumn("_b", F.pmod(F.col(key_col), F.lit(n)).cast("int"))
         .repartition(n, "_b")
         .write.partitionBy("_b")
         .mode("overwrite")

@@ -535,3 +535,37 @@ def test_stream_hll_equals_batch_sketch_exactly(spark, sf_smoke):
     }
     for et, est in streaming.items():
         assert abs(est - exact[et]) <= 0.05 * exact[et]
+
+
+def test_stage_mod_slices_matches_per_slice_filters(spark):
+    """The one-scan partitionBy staging must produce byte-identical
+    slice MEMBERSHIP to the n filtered scans it replaced — including a
+    negative key (pmod bucket, never a dropped _b=-1 directory) and an
+    empty bucket (still staged, so the replay keeps n batches)."""
+    import glob
+
+    from spark_stream_kudu_spark.streaming.workdir import (
+        new_run_dir,
+        stage_mod_slices,
+    )
+
+    rows = [(i, f"v{i}") for i in range(11)] + [(-3, "neg")]
+    # bucket 2 empty: drop keys == 2 mod 4 (2, 6, 10)
+    rows = [r for r in rows if r[0] % 4 != 2 or r[0] < 0]  # -3 % 4 == 1 in py
+    df = spark.createDataFrame(rows, "k long, payload string")
+    base = new_run_dir("stagemod")
+    src = stage_mod_slices(df, base, "k", n=4)
+
+    files = sorted(glob.glob(os.path.join(src, "batch_*.parquet")))
+    assert len(files) == 4
+    got = {
+        i: {tuple(r) for r in spark.read.parquet(f).collect()}
+        for i, f in enumerate(files)
+    }
+    want = {
+        i: {(k, p) for k, p in rows if k % 4 == i}  # python % == pmod
+        for i in range(4)
+    }
+    assert got == want
+    # schema preserved, no _b column leaks into the staged files
+    assert spark.read.parquet(files[0]).columns == ["k", "payload"]
