@@ -38,6 +38,21 @@ _RUNTIME_CONFS: dict[str, str] = {
     # TIMESTAMP_NTZ, so epoch arithmetic (unix_millis etc.) resolves and
     # values align with the oracle under the UTC session timezone.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # InferFiltersFromGenerate rewrites explode(expr) into
+    # Filter(size(expr) > 0 AND isnotnull(expr)) + Generate(expr) — the
+    # generator's child expression is duplicated into a filter that
+    # ALSO gets pushed below exchanges. For this engine's hot path
+    # (explode over a COMPUTED array: tokenize -> shingle -> explode in
+    # the whole dedup/text family) that re-evaluates the most expensive
+    # map expression 2 extra times, below the spread repartition — i.e.
+    # serially on an unsplit scan. Measured on dedup_prefix_filter at
+    # sf0.1: 5.6s -> 2.3s end-to-end with the rule excluded. The rule
+    # only ever prunes rows a non-outer explode drops anyway, so
+    # excluding it is semantics-preserving; the win holds at any scale
+    # because the duplicated expression cost is per-row, not per-split.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 

@@ -65,6 +65,7 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
         "q157_topk_rank_error",
+        "q178_countmin_frequency",
         "emb_norm_stats_pandas",
         "multimodal_byte_histogram",
     }
@@ -90,6 +91,7 @@ def test_extension_kernels_are_arrow_vectorized(spark, sf_smoke):
         "q138_heavy_hitters_mg",
         "q140_holt_forecast",
         "q157_topk_rank_error",
+        "q178_countmin_frequency",
         "emb_norm_stats_pandas",
         "multimodal_byte_histogram",
     ]:
