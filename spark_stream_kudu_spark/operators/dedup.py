@@ -1871,13 +1871,17 @@ FROM tok LEFT JOIN per_doc p ON tok.doc_id = p.doc_id
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.session import spread_small_scan
 
+    d = spread_small_scan(_docs(spark, sf_dir).select("doc_id", "text"))
+    return substr_audit_from_spans(substr_spans(d), substr_doc_sizes(d))
+
+
+def substr_spans(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, gh) span-fingerprint rows of ``(doc_id, text)``
+    rows: md5_int32 of each _SUBSTR_K-token window. Fingerprints stay
+    row-local until the single explode; docs shorter than k tokens
+    contribute no spans (empty array)."""
     k = _SUBSTR_K
-    d = _docs(spark, sf_dir)
-    base = spread_small_scan(d.select("doc_id", "text")).select(
-        "doc_id", tokens(F.col("text")).alias("t")
-    )
-    # Span fingerprints stay row-local until the single explode; docs
-    # shorter than k tokens contribute no spans (empty array).
+    base = d.select("doc_id", tokens(F.col("text")).alias("t"))
     gh = F.when(
         F.size("t") >= k,
         F.transform(
@@ -1885,10 +1889,28 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: md5_int32(F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    g = base.select(
+    return base.select(
         "doc_id", F.posexplode(gh).alias("pos0", "gh")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
 
+
+def substr_doc_sizes(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) for every document (including the short ones
+    that contribute no spans — they still appear in the audit)."""
+    return d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+
+
+def substr_audit_from_spans(g: DataFrame, sizes: DataFrame) -> DataFrame:
+    """The span-level duplication audit given ANY validly-derived
+    (doc_id, pos, gh) span table and (doc_id, n_tokens) sizes — the
+    batch scan (dedup_exact_substring) or an incrementally-accumulated
+    span store (stream_substring_audit_e2e): the audit is a pure
+    function of the span fingerprints, so raw text never needs to be
+    rescanned. A span in >= 2 distinct docs is duplicated text;
+    coverage is the exact interval union per doc."""
+    k = _SUBSTR_K
     dup = (
         g.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1904,8 +1926,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("union_len").alias("dup_tokens"),
     )
     return (
-        base.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
-        .join(per_doc, "doc_id", "left")
+        sizes.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

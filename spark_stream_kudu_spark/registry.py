@@ -197,6 +197,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q178_countmin_frequency",
     "stream_countmin_e2e",
     "dedup_exact_substring",
+    "stream_substring_audit_e2e",
 )
 
 

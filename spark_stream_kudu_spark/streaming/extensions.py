@@ -1323,6 +1323,79 @@ def stream_countmin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Streaming exact-substring audit — the span store maintained incrementally
+# --------------------------------------------------------------------------
+
+
+def _substr_oracle() -> str:
+    from spark_stream_kudu_spark.operators.dedup import _SUBSTR_ORACLE
+
+    return _SUBSTR_ORACLE
+
+
+@register(
+    "stream_substring_audit_e2e",
+    "streaming",
+    "END-TO-END streaming exact-substring duplication audit (the "
+    "continuous contamination/boilerplate monitor): documents arrive "
+    "as 4 micro-batches; each batch's span fingerprints (the SAME "
+    "row-local derivation as batch dedup_exact_substring) upsert into "
+    "a (doc_id, pos)-keyed span store and its doc sizes into a doc "
+    "store — both replay-idempotent keyed upserts, per-batch cost "
+    "O(batch spans). The audit finalizes from the STORES with the "
+    "batch query's own code: duplication is a pure function of the "
+    "span fingerprints, so raw text is never rescanned, and "
+    "RETROACTIVE coverage is free — when a new arrival duplicates an "
+    "old document's text, the old document's coverage rises at the "
+    "next read because the dup decision lives in the store, not in a "
+    "per-batch result. Same exact-anchor oracle as the batch twin. "
+    "State is O(corpus spans) fingerprint rows (the honest cost, same "
+    "class as the incremental-LSH band store), never text.",
+    oracle=_substr_oracle(),
+)
+def stream_substring_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.dedup import (
+        substr_audit_from_spans,
+        substr_doc_sizes,
+        substr_spans,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = new_run_dir("ssub")
+    src = stage_mod_slices(docs, base, "doc_id")
+
+    span_store = UpsertParquetSink(
+        os.path.join(base, "spans"), key=["doc_id", "pos"]
+    )
+    doc_store = UpsertParquetSink(os.path.join(base, "docs"), key=["doc_id"])
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        span_store(substr_spans(batch_df), batch_id)
+        doc_store(substr_doc_sizes(batch_df), batch_id)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return substr_audit_from_spans(
+        span_store.read(spark).select("doc_id", "pos", "gh"),
+        doc_store.read(spark).select("doc_id", "n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming incremental near-dup dedup — continuous-crawl LSH maintenance
 # --------------------------------------------------------------------------
 
