@@ -55,6 +55,11 @@ CLAIMED_INVARIANT = [
     "multimodal_decode_ppm",
     "multimodal_audio_wav",
     "multimodal_video_demux",
+    # late round-5 additions claiming integer-exactness: Count-Min
+    # (cell-wise long sums + exact anchors) and the exact-substring
+    # audit (span counts, interval-union lengths, micro-unit fractions)
+    "q178_countmin_frequency",
+    "dedup_exact_substring",
 ]
 
 
