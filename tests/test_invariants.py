@@ -1158,3 +1158,45 @@ def test_spark_container_encoders_match_python_bytes(spark, sf_smoke):
             if not text:
                 continue
             assert got[doc_id] == py(text), (enc.__name__, doc_id)
+
+
+def test_substring_audit_semantics_handcrafted(spark):
+    """Pin the exact-substring audit's SEMANTICS (not just oracle
+    parity) on handcrafted documents: a verbatim copy pair is fully
+    covered, within-doc repetition alone is NOT duplication (spans
+    must appear in >= 2 DISTINCT docs), a partial overlap covers
+    exactly the shared window, and a short doc (< k tokens) reports
+    zeros but still appears."""
+    from spark_stream_kudu_spark.operators.dedup import (
+        _SUBSTR_K,
+        substr_audit_from_spans,
+        substr_doc_sizes,
+        substr_spans,
+    )
+
+    assert _SUBSTR_K == 8, "expected widths below assume k=8"
+    w = [f"w{i}" for i in range(12)]          # 12 distinct tokens
+    copy_text = " ".join(w)                   # docs 1 and 2: verbatim copy
+    rep = " ".join(["r0 r1 r2 r3 r4 r5 r6 r7"] * 2)  # doc 3: self-repeat only
+    # doc 4 shares exactly tokens w2..w9 (one 8-window) with doc 1/2,
+    # embedded in otherwise-unique context
+    partial = " ".join(["x0", "x1"] + w[2:10] + ["x2", "x3"])
+    short = "s0 s1 s2"                        # doc 5: < k tokens
+    d = spark.createDataFrame(
+        [(1, copy_text), (2, copy_text), (3, rep), (4, partial), (5, short)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"], r["dup_frac_x1e6"])
+        for r in substr_audit_from_spans(substr_spans(d), substr_doc_sizes(d)).collect()
+    }
+    # copies: every one of the 12-8+1=5 spans duplicated, all 12 tokens covered
+    assert out[1] == (12, 5, 12, 1000000)
+    assert out[2] == (12, 5, 12, 1000000)
+    # self-repetition: the repeated 8-gram lives in ONE doc -> zero
+    assert out[3] == (16, 0, 0, 0)
+    # partial: exactly the one shared window w2..w9 -> 1 span, 8 tokens,
+    # floor(8e6/12) of the 12-token doc
+    assert out[4] == (12, 1, 8, 666666)
+    # short doc appears with zeros
+    assert out[5] == (3, 0, 0, 0)
