@@ -758,3 +758,24 @@ def test_interval_union_matches_sweep(sess, ivs):
                 merged.append([s, e])
         want = sum(e - s for s, e in merged)
         assert got[k] == (len(spans), want), (k, spans, got[k], want)
+
+
+@SETTINGS
+@given(items=st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=24, unique=True))
+def test_countmin_hash_agrees_across_the_arrow_boundary(sess, items):
+    """q178's one cross-boundary contract: the JVM-side cm_hash_col
+    (crc32 of the UTF-8 bytes of 'r:item') must equal the Python
+    kernel's _cm_col for ANY string content — including unicode,
+    whitespace, and empty strings — or estimate probes address cells
+    the kernel never populated and the never-underestimate flag lies."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.operators import sketches as sk
+
+    df = sess.createDataFrame([(i,) for i in items], "item string")
+    rows = df.select(
+        "item", *[sk.cm_hash_col(r, F.col("item")).alias(f"c{r}") for r in range(sk._CM_D)]
+    ).collect()
+    for row in rows:
+        for r in range(sk._CM_D):
+            assert row[f"c{r}"] == sk._cm_col(r, row["item"]), (row["item"], r)
