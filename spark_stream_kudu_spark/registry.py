@@ -65,68 +65,18 @@ def register(
 
 
 # Explicit front-of-registry ordering for the driver's bounded
-# correctness window (~50 queries/round). Round-5 rotation: the 50
-# names that led the round-4 list all earned green driver rows in
-# CORRECTNESS_r04 and have dropped out (they now trail in registration
-# order like every other driver-green query). What remains is exactly
-# the 107-query backlog with NO driver CORRECTNESS row after round 4 —
-# all pytest-oracle-green locally — ordered oldest-debt-first per the
-# round-4 verdict: the late-round-3 pipeline/stream/dedup/text families
-# and q132-q155 first, then every round-4 registration. Round-5
+# correctness window (~50 queries/round). Round-6 rotation: the 50
+# names that led the round-5 list all earned green driver rows in
+# CORRECTNESS_r05 (50/50 green) and have dropped out (they now trail
+# in registration order like every other driver-green query). What
+# remains is exactly the 68-query backlog with NO driver CORRECTNESS
+# row after round 5 — all pytest-oracle-green at three scales —
+# ordered oldest-debt-first per the round-4 verdict: q143-q155 and the
+# round-4 registrations first, then the round-5 additions. Round-6
 # additions append at the END of this list so the driver drains the
-# oldest debt before ever seeing new surface; the round-5 window takes
-# the front 50, round 6 the rest.
+# oldest debt before ever seeing new surface; the round-6 window takes
+# the front 50, round 7 the rest.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "pipeline_incremental_ingest",
-    "pipeline_sequence_examples",
-    "pipeline_targeted_deletion",
-    "pipeline_rate_limit",
-    "pipeline_cdc_apply",
-    "pipeline_sequence_pack",
-    "stream_enrich_static_e2e",
-    "stream_trending_e2e",
-    "stream_outer_interval_join_e2e",
-    "stream_digest_e2e",
-    "stream_ann_e2e",
-    "stream_rate_limit_e2e",
-    "stream_scd2_e2e",
-    "dedup_containment",
-    "dedup_prefix_filter",
-    "dedup_recall_eval",
-    "pipeline_contrastive_triplets",
-    "emb_kmeans_lloyd",
-    "sim_topk_ivf_trained",
-    "text_bpe_merge",
-    "text_pii_redact",
-    "quality_curriculum",
-    "multimodal_byte_stats",
-    "pipeline_shard_export",
-    "mv_incremental_join",
-    "stream_late_audit_e2e",
-    "stream_attribution_e2e",
-    "stream_transitions_restart_e2e",
-    "stream_hll_e2e",
-    "stream_session_ttl_e2e",
-    "stats_bootstrap_replicates",
-    "sample_quota_allocation",
-    "stream_cusum_e2e",
-    "text_langid_eval",
-    "stream_psi_drift_e2e",
-    "text_bpe_encode",
-    "q132_asof_forward",
-    "q133_decayed_leaderboard",
-    "q134_weighted_median",
-    "q135_pareto_curve",
-    "q136_gini",
-    "q137_label_propagation",
-    "stream_ks_drift_e2e",
-    "q138_heavy_hitters_mg",
-    "stream_chisq_drift_e2e",
-    "q139_autocorrelation",
-    "q140_holt_forecast",
-    "stream_holt_e2e",
-    "q141_cross_correlation",
-    "q142_mutual_information",
     "q143_motif_discovery",
     "q144_rfm_segmentation",
     "q145_zipf_fit",
@@ -209,9 +159,9 @@ def load_all() -> dict[str, QuerySpec]:
     registry front-to-back with a bounded window (~50 queries/round), so
     families whose driver-side evidence is thinnest come first. The
     explicit ``_WINDOW_PRIORITY`` list holds every query still lacking a
-    driver CORRECTNESS row after rounds 1-4 (107 queries), oldest debt
-    first, with round-5 additions appended at the end — the round-5
-    window drains the front 50, round 6 the rest; everything already
+    driver CORRECTNESS row after rounds 1-5 (68 queries), oldest debt
+    first, with round-6 additions appended at the end — the round-6
+    window drains the front 50, round 7 the rest; everything already
     driver-green trails behind in registration order. Coverage
     accumulates across rounds.
     """
