@@ -115,7 +115,14 @@ def encode_ppm(d: DataFrame) -> DataFrame:
     document's ASCII bytes tiled to w*h*3. Built entirely with native
     expressions: the payload synthesis never leaves the JVM.
     """
-    d = d.filter(F.length("text") > 0).select(
+    d = d.filter(
+        # ASCII guard: the payload synthesis and both decoders equate
+        # characters with bytes (UTF-8 encode, char-indexed oracle);
+        # octet_length == length holds iff text is pure ASCII, so the
+        # assumption is enforced, not implicit (same predicate in SQL).
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         "doc_id",
         "text",
         (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 8 + 4
@@ -170,7 +177,8 @@ WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          4 + (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 8) AS width,
          4 + (CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 8) AS height
-  FROM documents WHERE length(text) > 0
+  FROM documents
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 ),
 px AS (
   SELECT doc_id, width, height, n, text,
@@ -349,7 +357,8 @@ WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          4 + (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 8) AS width,
          4 + (CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 8) AS height
-  FROM documents WHERE length(text) > 0
+  FROM documents
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 ),
 px AS (
   SELECT doc_id, width, height, n, text,
@@ -467,7 +476,14 @@ def encode_wav(d: DataFrame) -> DataFrame:
     mono PCM, sample count from the text's md5 (16..128 — keeps the
     SQL oracle's per-sample unnest cheap), samples = the document's
     ASCII bytes tiled. Built entirely with native expressions."""
-    d = d.filter(F.length("text") > 0).select(
+    d = d.filter(
+        # ASCII guard: the payload synthesis and both decoders equate
+        # characters with bytes (UTF-8 encode, char-indexed oracle);
+        # octet_length == length holds iff text is pure ASCII, so the
+        # assumption is enforced, not implicit (same predicate in SQL).
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         "doc_id",
         "text",
         (
@@ -522,7 +538,8 @@ _WAV_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          16 + (CAST('0x' || substr(md5(text), 5, 3) AS BIGINT) % 113) AS ns
-  FROM documents WHERE length(text) > 0
+  FROM documents
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 ),
 s AS (
   SELECT doc_id, ns, text, n, unnest(generate_series(0, ns - 1)) AS j
@@ -612,7 +629,14 @@ def encode_ppm_clip(d: DataFrame) -> DataFrame:
     pixel bytes are the text rotated left by k (mod its length), tiled
     to w*h*3 — so frames are distinct but each is exactly recomputable
     positionally by the oracle. Native expressions only."""
-    d = d.filter(F.length("text") > 0).select(
+    d = d.filter(
+        # ASCII guard: the payload synthesis and both decoders equate
+        # characters with bytes (UTF-8 encode, char-indexed oracle);
+        # octet_length == length holds iff text is pure ASCII, so the
+        # assumption is enforced, not implicit (same predicate in SQL).
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
         "doc_id",
         "text",
         (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 8 + 4
@@ -679,7 +703,8 @@ WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          4 + (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 8) AS width,
          4 + (CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 8) AS height
-  FROM documents WHERE length(text) > 0
+  FROM documents
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
 ),
 px AS (
   SELECT doc_id, width, height, n, text, k.k, unnest(generate_series(0, width * height * 3 - 1)) AS j

@@ -403,11 +403,16 @@ def cm_hash_col(row: int, item):
     "valid for ANY disjoint slicing of the stream — and a point query "
     "reads min over d cells. The reported rows are the EXACT top-k "
     "token counts (anchor DuckDB reproduces); the sketch's two "
-    "deterministic claims ride along as hash-checked flags: overest_ok "
-    "(Count-Min NEVER underestimates — every cell sums a superset of "
-    "the item's occurrences) and eps_ok (estimate within the classic "
-    "e/w * n collision bound, deterministic here because the CRC32 "
-    "hash family is pinned). A kernel or merge regression flips a flag "
+    "claims ride along as hash-checked flags: overest_ok (Count-Min "
+    "NEVER underestimates — every cell sums a superset of the item's "
+    "occurrences; a UNIVERSAL guarantee, the real correctness gate) "
+    "and eps_ok (estimate within the classic e/w * n collision bound "
+    "— that bound is PROBABILISTIC over hash draws, so this flag is "
+    "FIXTURE-PINNED: deterministic only because the CRC32 family is "
+    "pinned and empirically tight on this corpus; a corpus change "
+    "could legitimately flip it with no code regression, at which "
+    "point re-anchor the oracle rather than suspect the kernel). A "
+    "kernel or merge regression flips a flag "
     "to 0 and the driver row goes red. At 100 TB the merge shuffle "
     "carries |partitions| x d*w cells, never the token stream, and the "
     "merged grid (<= d*w rows) broadcasts into the estimate join.",
@@ -477,7 +482,12 @@ def cm_finalize_topk(toks: DataFrame, grid: DataFrame) -> DataFrame:
     )
     total = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
     # Integer-exact eps bound: ceil(e) = 3 stands in for e in e/w * n —
-    # slightly loose, deterministic, no float rounding in the flag.
+    # slightly loose, no float rounding in the flag. NOTE the bound is
+    # probabilistic over hash draws; with the pinned CRC32 family it is
+    # deterministic per-corpus but fixture-pinned as an oracle claim —
+    # overest_ok above is the universal guarantee (see registration
+    # docstring). If a new corpus flips eps_ok, that is the bound's
+    # expected tail, not a kernel bug.
     return est.crossJoin(F.broadcast(total)).select(
         "item",
         "cnt",

@@ -16,9 +16,12 @@ then |distinct counts| rows — strictly shrinking.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -629,12 +632,33 @@ def supply_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|parts|x|avg suppliers per part| rows — partsupp-sized, orders of
     magnitude smaller than lineitem — so every query that joins it
     scans the small stored relation instead of re-shuffling the fact.
+
+    Cache keying and concurrency: the cache tag folds in a fingerprint
+    of the lineitem fixture files (paths + sizes + mtimes), so a
+    regenerated fixture at the same sf_dir gets a fresh rollup instead
+    of silently serving a stale one. The write goes to a unique temp
+    directory and is renamed into place atomically (POSIX same-fs
+    rename), so concurrent processes (pytest-xdist, parallel bench)
+    that both miss the cache race safely — one rename wins, the loser
+    discards its copy and reads the winner's.
     """
     tune_session(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_root = os.path.join(sf_dir, "lineitem.parquet")
+    files = (
+        [li_root]
+        if os.path.isfile(li_root)
+        else sorted(glob.glob(os.path.join(li_root, "*.parquet")))
+    ) or [li_root]
+    stamp = "|".join(
+        f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
+        for p in files
+        if os.path.exists(p)
+    )
+    tag = hashlib.md5(f"{sf_dir}|{stamp}".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"ssk_supply_{tag}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         li = load_table(spark, sf_dir, "lineitem")
         (
             li.groupBy(
@@ -655,8 +679,14 @@ def supply_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(staging)
         )
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # Another process renamed first; its output is complete
+            # (rename is atomic and only happens after a full write).
+            shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
 
 _Q158_ORACLE = """

@@ -629,6 +629,14 @@ def stream_full_outer_interval_join_e2e(
     # advance past the last real row's interval bound before its null
     # row can emit.
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m  # bounded: 1 row
+    if max_ts is None:
+        # A null sentinel timestamp would never advance the watermark,
+        # silently suppressing both null populations — fail loudly on a
+        # degenerate (empty) events fixture instead.
+        raise ValueError(
+            "events fixture is empty: cannot derive watermark sentinels "
+            "for the full-outer interval join"
+        )
     v_sentinel = spark.createDataFrame(
         [(-1, -1, max_ts)], "user_id long, view_id long, v_ts timestamp"
     ).select(
