@@ -1571,7 +1571,18 @@ def star_contraction_components(
             .join(m_all, "u")
             .select(F.col("v").alias("a"), F.col("mu").alias("b"))
         )
-        e2 = _sym(_canon_pairs(large.select(F.col("a").alias("u"), F.col("b").alias("v"))))
+        # Normalize large-star output WITHOUT a distinct(): the only
+        # consumers are min-aggregations (m_less) and the small-star
+        # rewiring join, and min over a multiset equals min over its
+        # set — duplicate edges change no result, and map-side partial
+        # aggs absorb them. Saves one full shuffle per round; the
+        # round's OUTPUT (new_canon) still deduplicates, so the
+        # fixed-point set equality is unaffected.
+        e2 = _sym(
+            large.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            ).filter(F.col("a") != F.col("b"))
+        )
         # small-star: neighbors v < u (and u itself) rewire to
         # min({u} u {v in N(u): v < u})
         lesser = e2.filter(F.col("v") < F.col("u"))
