@@ -148,6 +148,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_countmin_e2e",
     "dedup_exact_substring",
     "stream_substring_audit_e2e",
+    # round-6 additions (registered this round, zero driver rows yet) —
+    # appended BEHIND the backlog so the oldest debt drains first
+    "q179_bitmap_rollup",
+    "stream_bitmap_distinct_e2e",
 )
 
 

@@ -1877,3 +1877,65 @@ def stream_ivm_retraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dcents").cast("long").alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact distinct via bitmap OR — the q179 twin
+# --------------------------------------------------------------------------
+
+
+def _bitmap_oracle() -> str:
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "stream_bitmap_distinct_e2e",
+    "streaming",
+    "END-TO-END streaming EXACT distinct counting: each micro-batch "
+    "reduces to (event_type, word, mask) bitmap partials (word = "
+    "user_id div 63, mask = OR of single-bit words — q179's kernel) "
+    "and a BitmapOrSink bitwise-OR-merges them into the keyed store. "
+    "OR is commutative, associative AND idempotent, so the final "
+    "popcount equals the one-shot batch distinct count for ANY batch "
+    "slicing, merge order, or replay — the exact counterpart of "
+    "stream_hll_e2e, and unlike it the oracle checks STRICT equality "
+    "with count(DISTINCT), no tolerance flag. State is |types| x "
+    "|id-space/63| words; raw user ids never persist past their "
+    "micro-batch.",
+    oracle=_bitmap_oracle(),
+)
+def stream_bitmap_distinct_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.sketches import bitmap_words
+    from spark_stream_kudu_spark.streaming.sinks import BitmapOrSink
+
+    ev = _ev(spark, sf_dir).select("event_id", "event_type", "user_id")
+    base = new_run_dir("bitmap")
+    src = stage_mod_slices(ev, base, "event_id")
+
+    sink = BitmapOrSink(
+        os.path.join(base, "words"), key=["event_type", "word"]
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(bitmap_words(batch_df), batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store = spark.read.parquet(os.path.join(base, "words", "data"))
+    return store.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("distinct_users")
+    )

