@@ -152,6 +152,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # appended BEHIND the backlog so the oldest debt drains first
     "q179_bitmap_rollup",
     "stream_bitmap_distinct_e2e",
+    "q180_clustering_coefficient",
 )
 
 
