@@ -1025,3 +1025,63 @@ def q177_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.expr("share_num div total_rows").cast("long").alias("bin_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q181: global dense row-id assignment — two-phase, no single-partition sort
+# --------------------------------------------------------------------------
+
+_ROWID_ORACLE = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+            AS BIGINT) AS rowid
+FROM orders
+"""
+
+
+@register(
+    "q181_global_rowid",
+    "layout",
+    "Global dense row ids 0..n-1 in (o_orderdate, o_orderkey) order "
+    "WITHOUT the single-partition global sort a naive row_number() "
+    "plans: phase 1 counts rows per day bucket and turns them into "
+    "exclusive prefix offsets (a window over |days| rows — thousands, "
+    "not billions; itself recursively bucketable if ever needed), "
+    "phase 2 ranks WITHIN each day (parallel across days — the window "
+    "partitions by bucket, so no task ever sees more than one day) "
+    "and adds the broadcast offset: rowid = offset[day] + rank - 1. "
+    "Within-day order (o_orderdate, o_orderkey) refines the bucket "
+    "order, so concatenated bucket ranks equal the global ordering "
+    "exactly. This is how stable surrogate keys / training-example "
+    "ids are assigned at 100 TB: one shuffle of the fact by bucket, "
+    "one tiny aggregate, zero driver-side loops — where "
+    "monotonically_increasing_id() gives non-dense partition-dependent "
+    "ids and row_number() without PARTITION BY funnels the table "
+    "through one task.",
+    oracle=_ROWID_ORACLE,
+)
+def q181_global_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.date_trunc("day", F.col("o_orderdate")).alias("bucket"),
+    )
+    counts = o.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_pre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_pre), F.lit(0)).cast("long").alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.row_number().over(w_in) - 1)
+            .cast("long")
+            .alias("rowid"),
+        )
+    )

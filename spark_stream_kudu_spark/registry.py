@@ -153,6 +153,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q179_bitmap_rollup",
     "stream_bitmap_distinct_e2e",
     "q180_clustering_coefficient",
+    "q181_global_rowid",
 )
 
 

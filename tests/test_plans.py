@@ -388,3 +388,16 @@ def test_federated_union_pushes_per_arm_filters(spark, sf_smoke):
     # parquet arm pushes to the scan; csv/json arms filter post-scan but
     # BEFORE the union/aggregate (three separate filter sites).
     assert plan.count("o_orderstatus") >= 3, plan
+
+
+def test_global_rowid_fact_window_is_partitioned(spark, sf_smoke):
+    """The fact-side row_number window must partition by the day bucket
+    (parallel across days); only the tiny per-day offsets window may run
+    SinglePartition. A regression to a global unpartitioned row_number
+    would funnel the whole table through one task."""
+    df = ALL["q181_global_rowid"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one SinglePartition exchange: the |days|-row offsets side
+    assert plan.count("SinglePartition") == 1, plan
+    # the fact window's spec partitions by bucket
+    assert "windowspecdefinition(bucket" in plan, plan
