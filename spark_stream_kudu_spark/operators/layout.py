@@ -1085,3 +1085,141 @@ def q181_global_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rowid"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q182: columnar encoding advisor — run/cardinality audit under layout order
+# --------------------------------------------------------------------------
+
+# Coarse bucket over the layout-order prefix: per-bucket run counting
+# parallelizes, and only the |buckets|-row boundary summary crosses
+# buckets (itself recursively bucketable). 512 orders/bucket keeps the
+# summary tiny at every fixture scale while bounding per-task windows.
+_ENC_BUCKET = 512
+
+_ENC_ORACLE = """
+WITH s AS (
+  SELECT 'l_returnflag' AS col, CAST(ord(l_returnflag) AS BIGINT) AS val,
+         l_orderkey AS okey, l_linenumber AS lineno FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(ord(l_linestatus) AS BIGINT),
+         l_orderkey, l_linenumber FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate',
+         CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+              AS BIGINT),
+         l_orderkey, l_linenumber FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey, l_orderkey, l_linenumber FROM lineitem
+), r AS (
+  SELECT col, val,
+         CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w <> val
+              THEN 1 ELSE 0 END AS new_run
+  FROM s WINDOW w AS (PARTITION BY col ORDER BY okey, lineno, val)
+), agg AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM r GROUP BY col
+)
+SELECT col, n_rows, n_distinct, n_runs,
+       CAST((n_rows * 100) // n_runs AS BIGINT) AS avg_run_e2,
+       CASE WHEN (n_rows * 100) // n_runs >= 400 THEN 'rle'
+            WHEN n_distinct * 50 <= n_rows THEN 'dictionary'
+            ELSE 'plain' END AS advice
+FROM agg
+"""
+
+
+@register(
+    "q182_encoding_advisor",
+    "layout",
+    "Columnar encoding advisor: for four lineitem columns (flags, ship "
+    "day, part key — all mapped injectively to BIGINT so both engines "
+    "compare identical values) under the physical layout order "
+    "(l_orderkey, l_linenumber), measure row count, distinct count, "
+    "and RUN count (ties in the layout key are broken by the value "
+    "itself, so the count is total-order deterministic in both "
+    "engines), then recommend rle / dictionary / plain from "
+    "integer thresholds (avg run >= 4 -> rle; distinct ratio <= 2% -> "
+    "dictionary) — the write-time analysis behind parquet encoding "
+    "choices and sort-key selection (pair with q85's z-order scan). "
+    "Runs are counted two-phase so NO column funnels the fact through "
+    f"one task: each {_ENC_BUCKET}-order bucket counts its runs in "
+    "parallel (window partitioned by column x bucket), and a "
+    "|buckets|-row boundary summary subtracts runs that continue "
+    "across bucket edges (prev bucket's last value == next bucket's "
+    "first). The oracle counts runs with one flat global window per "
+    "column — same totals, scale-naive formulation — pinning the "
+    "boundary arithmetic exactly.",
+    oracle=_ENC_ORACLE,
+)
+def q182_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.expr(
+            "stack(4,"
+            " 'l_returnflag', CAST(ascii(l_returnflag) AS BIGINT),"
+            " 'l_linestatus', CAST(ascii(l_linestatus) AS BIGINT),"
+            " 'l_shipdate', CAST(datediff(CAST(l_shipdate AS DATE),"
+            "                             DATE '1970-01-01') AS BIGINT),"
+            " 'l_partkey', l_partkey) AS (col, val)"
+        ),
+    ).withColumn("bucket", F.expr(f"okey div {_ENC_BUCKET}"))
+    w = Window.partitionBy("col", "bucket").orderBy("okey", "lineno", "val")
+    lagv = F.lag("val").over(w)
+    flagged = s.select(
+        "col",
+        "bucket",
+        "val",
+        F.when(lagv.isNull() | (lagv != F.col("val")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+        F.struct("okey", "lineno", "val").alias("pos"),
+    )
+    per_bucket = flagged.groupBy("col", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("new_run").alias("runs_in"),
+        F.min("pos").getField("val").alias("first_val"),
+        F.max("pos").getField("val").alias("last_val"),
+    )
+    # Boundary summary: |cols| x |buckets| rows — a run continuing across
+    # a bucket edge was double-counted as a new run in the later bucket.
+    wb = Window.partitionBy("col").orderBy("bucket")
+    stitched = per_bucket.select(
+        "col",
+        "n_rows",
+        "runs_in",
+        F.when(
+            F.lag("last_val").over(wb) == F.col("first_val"), 1
+        ).otherwise(0).alias("merged"),
+    )
+    distinct = (
+        s.groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("col")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+    agg = (
+        stitched.groupBy("col")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            (F.sum("runs_in") - F.sum("merged")).cast("long").alias("n_runs"),
+        )
+        .join(distinct, "col")
+    )
+    avg_run = F.expr("(n_rows * 100) div n_runs")
+    return agg.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        avg_run.cast("long").alias("avg_run_e2"),
+        F.when(avg_run >= 400, F.lit("rle"))
+        .when(F.col("n_distinct") * 50 <= F.col("n_rows"), F.lit("dictionary"))
+        .otherwise(F.lit("plain"))
+        .alias("advice"),
+    )

@@ -154,6 +154,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_bitmap_distinct_e2e",
     "q180_clustering_coefficient",
     "q181_global_rowid",
+    "q182_encoding_advisor",
 )
 
 
