@@ -385,3 +385,91 @@ def holt_fold(xs: list[float]) -> tuple[float, float]:
         trend = _HOLT_BETA * (new_level - level) + (1 - _HOLT_BETA) * trend
         level = new_level
     return level, trend
+
+
+# --------------------------------------------------------------------------
+# q183: classical seasonal decomposition (trend / weekly seasonal / residual)
+# --------------------------------------------------------------------------
+
+_SEAS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, cnt,
+         CAST(sum(cnt) OVER w AS BIGINT)  AS s7,
+         CAST(count(*) OVER w AS BIGINT)  AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT day, cnt,
+         (s7 * 1000000) // 7 AS trend_e6,
+         cnt * 1000000 - (s7 * 1000000) // 7 AS detr_e6,
+         CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS wd
+  FROM t WHERE n7 = 7
+), seas AS (
+  SELECT wd, CAST(sum(detr_e6) // count(*) AS BIGINT) AS seasonal_e6
+  FROM d GROUP BY wd
+)
+SELECT d.day, d.cnt,
+       CAST(d.trend_e6 AS BIGINT)                 AS trend_e6,
+       s.seasonal_e6,
+       CAST(d.detr_e6 - s.seasonal_e6 AS BIGINT)  AS resid_e6
+FROM d JOIN seas s ON s.wd = d.wd
+"""
+
+
+@register(
+    "q183_seasonal_decompose",
+    "series",
+    "Classical additive seasonal decomposition of the daily event "
+    "series: trend = centered 7-row moving average (full windows "
+    "only), weekly seasonal = mean detrended value per weekday "
+    "(weekday as epoch-day mod 7 — engine-neutral, unlike dayofweek's "
+    "differing origins), residual = detrended minus seasonal. All "
+    "three components are e6-scaled integers: the only divisions are "
+    "integer div by 7 and by the per-weekday count, and BOTH engines "
+    "truncate integer division toward zero, so every component is "
+    "bit-identical — no float surface anywhere, unlike textbook STL. "
+    "The daily rollup is one partial-agg shuffle of the event stream; "
+    "the moving-average window runs over |days| rows (calendar-"
+    "bounded — thousands of rows even at 100 TB of events, the "
+    "deliberate contrast to q181's bucketed fact window), and the "
+    "7-row seasonal table broadcasts back. Extends the family: q73 "
+    "EWMA, q140 Holt, q129 seasonal-naive eval, q139 autocorrelation.",
+    oracle=_SEAS_ORACLE,
+)
+def q183_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n7"),
+    ).filter(F.col("n7") == 7)
+    d = t.select(
+        "day",
+        "cnt",
+        F.expr("(s7 * 1000000) div 7").cast("long").alias("trend_e6"),
+        F.expr("cnt * 1000000 - (s7 * 1000000) div 7")
+        .cast("long")
+        .alias("detr_e6"),
+        F.expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT)").alias(
+            "wd"
+        ),
+    )
+    seas = d.groupBy("wd").agg(
+        F.expr("sum(detr_e6) div count(*)").cast("long").alias("seasonal_e6")
+    )
+    return d.join(F.broadcast(seas), "wd").select(
+        "day",
+        "cnt",
+        "trend_e6",
+        "seasonal_e6",
+        (F.col("detr_e6") - F.col("seasonal_e6")).cast("long").alias("resid_e6"),
+    )

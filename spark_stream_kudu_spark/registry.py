@@ -155,6 +155,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q180_clustering_coefficient",
     "q181_global_rowid",
     "q182_encoding_advisor",
+    "q183_seasonal_decompose",
 )
 
 
