@@ -1838,3 +1838,93 @@ def q176_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("global_rank").cast("long").alias("global_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q184: exact equi-depth binning — two-phase global rank, no global sort
+# --------------------------------------------------------------------------
+
+# Value-range pre-buckets for the rank's first phase: $1000 strides over
+# the cent-scaled price. The stride is a domain constant (not data-
+# derived), so phase-1 bucketing is a scan-local map; skew across
+# strides only widens one bucket's window, never a global funnel.
+_EQD_STRIDE_E2 = 100_000
+_EQD_K = 10
+
+_EQD_ORACLE = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2, o_orderkey
+  FROM orders
+), r AS (
+  SELECT price_e2,
+         CAST(row_number() OVER (ORDER BY price_e2, o_orderkey) AS BIGINT)
+           AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM o
+)
+SELECT CAST(((rnk - 1) * {_EQD_K}) // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT)      AS n_orders,
+       CAST(min(price_e2) AS BIGINT) AS min_price_e2,
+       CAST(max(price_e2) AS BIGINT) AS max_price_e2,
+       CAST(sum(price_e2) AS BIGINT) AS sum_price_e2
+FROM r GROUP BY 1
+"""
+
+
+@register(
+    "q184_equidepth_bins",
+    "analytics",
+    f"EXACT equi-depth decile binning of orders by total price without "
+    "a global sort: phase 1 counts rows per $1000 value stride (a "
+    "domain-constant pre-bucket — scan-local map, no data-derived "
+    "boundaries) and prefix-sums the tiny stride table into exclusive "
+    "rank offsets; phase 2 ranks within each stride in parallel "
+    "(window partitioned by stride, ties broken by order key) and "
+    f"adds the broadcast offset; decile = ((rank-1)*{_EQD_K}) div n. "
+    "Every bin then reports exact depth and cent-scaled min/max/sum — "
+    "equi-DEPTH boundaries (same rows per bin), where q76's histogram "
+    "is equi-WIDTH and q163's sketch is approximate. The q181 "
+    "two-phase-rank machinery applied to a VALUE axis instead of a "
+    "time axis: the same pattern that makes exact gains tables / "
+    "quantile features feasible at 100 TB, where a naive "
+    "ntile()/row_number() OVER (ORDER BY price) funnels the table "
+    "through one task. Oracle ranks flat and applies the identical "
+    "decile formula.",
+    oracle=_EQD_ORACLE,
+)
+def q184_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_e2"),
+        "o_orderkey",
+    ).withColumn("stride", F.expr(f"price_e2 div {_EQD_STRIDE_E2}"))
+    counts = o.groupBy("stride").agg(F.count(F.lit(1)).alias("cnt"))
+    w_pre = Window.orderBy("stride").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "stride",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).cast("long").alias("off"),
+        F.sum(F.col("cnt")).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    )
+    w_in = Window.partitionBy("stride").orderBy("price_e2", "o_orderkey")
+    ranked = o.join(F.broadcast(offsets), "stride").select(
+        "price_e2",
+        (F.col("off") + F.row_number().over(w_in)).cast("long").alias("rnk"),
+        "n",
+    )
+    return (
+        ranked.groupBy(
+            F.expr(f"((rnk - 1) * {_EQD_K}) div n").cast("long").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("price_e2").cast("long").alias("min_price_e2"),
+            F.max("price_e2").cast("long").alias("max_price_e2"),
+            F.sum("price_e2").cast("long").alias("sum_price_e2"),
+        )
+    )

@@ -156,6 +156,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q181_global_rowid",
     "q182_encoding_advisor",
     "q183_seasonal_decompose",
+    "q184_equidepth_bins",
 )
 
 
