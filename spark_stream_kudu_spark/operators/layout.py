@@ -1067,23 +1067,40 @@ def q181_global_rowid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.date_trunc("day", F.col("o_orderdate")).alias("bucket"),
     )
-    counts = o.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    w_pre = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    return two_phase_rowid(o, "bucket", ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "rowid"
     )
+
+
+def two_phase_rowid(
+    df: DataFrame, bucket: str, order_cols: list[str], id_alias: str = "rowid"
+) -> DataFrame:
+    """0-based dense row ids in (bucket, *order_cols) order without a
+    single-partition sort over ``df``: per-bucket counts prefix-sum into
+    exclusive offsets (a window over |buckets| rows only), each bucket
+    ranks internally in parallel, id = broadcast offset + rank - 1.
+
+    ``bucket`` must coarsen the intended global order (every row of an
+    earlier bucket precedes every row of a later one under
+    ``order_cols``) and (bucket, *order_cols) must be a total order for
+    the ids to be deterministic. Shared by q181 (time axis) and the
+    streaming rowid twin (per micro-batch, plus a persistent offset)."""
+    counts = df.groupBy(bucket).agg(F.count(F.lit(1)).alias("__n"))
+    w_pre = Window.orderBy(bucket).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "bucket",
-        F.coalesce(F.sum("n").over(w_pre), F.lit(0)).cast("long").alias("offset"),
+        bucket,
+        F.coalesce(F.sum("__n").over(w_pre), F.lit(0))
+        .cast("long")
+        .alias("__off"),
     )
-    w_in = Window.partitionBy("bucket").orderBy("o_orderdate", "o_orderkey")
+    w_in = Window.partitionBy(bucket).orderBy(*order_cols)
     return (
-        o.join(F.broadcast(offsets), "bucket")
-        .select(
-            "o_orderkey",
-            (F.col("offset") + F.row_number().over(w_in) - 1)
-            .cast("long")
-            .alias("rowid"),
+        df.join(F.broadcast(offsets), bucket)
+        .withColumn(
+            id_alias,
+            (F.col("__off") + F.row_number().over(w_in) - 1).cast("long"),
         )
+        .drop("__off")
     )
 
 

@@ -157,6 +157,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q182_encoding_advisor",
     "q183_seasonal_decompose",
     "q184_equidepth_bins",
+    "stream_global_rowid_e2e",
 )
 
 

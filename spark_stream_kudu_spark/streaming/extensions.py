@@ -1939,3 +1939,73 @@ def stream_bitmap_distinct_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.groupBy("event_type").agg(
         F.sum(F.bit_count("mask")).cast("long").alias("distinct_users")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dense row-id assignment — the q181 twin
+# --------------------------------------------------------------------------
+
+
+def _rowid_oracle() -> str:
+    return """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY event_id % 4, ts, event_id) - 1
+            AS BIGINT) AS rowid
+FROM events
+"""
+
+
+@register(
+    "stream_global_rowid_e2e",
+    "streaming",
+    "END-TO-END streaming dense id assignment: each micro-batch ranks "
+    "its rows with the SAME two-phase kernel as q181 (day buckets, "
+    "(ts, event_id) order — no single-partition sort even when one "
+    "batch is huge) and shifts by the store's current size, so ids "
+    "stay contiguous 0..n-1 across the whole ingest; the idempotent "
+    "batch marker makes replays no-ops, so a restart never burns or "
+    "duplicates ids. This is how training-example ids / surrogate "
+    "keys are minted by a continuous ingest pipeline. The oracle "
+    "reproduces the full assignment as one flat rank over (slice, ts, "
+    "event_id) — batch boundaries are the staged event_id%4 slices, "
+    "so the streaming result is exactly SQL-expressible and "
+    "hash-checked, not just counted.",
+    oracle=_rowid_oracle(),
+)
+def stream_global_rowid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.layout import two_phase_rowid
+    from spark_stream_kudu_spark.streaming.sinks import UpsertParquetSink
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "user_id")
+    base = new_run_dir("rowid")
+    src = stage_mod_slices(ev, base, "event_id")
+
+    sink = UpsertParquetSink(os.path.join(base, "ids"), key="event_id")
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        current = sink.read(batch_df.sparkSession)
+        offset = 0 if current is None else current.count()  # 1-value job
+        ids = two_phase_rowid(
+            batch_df.withColumn("bucket", F.col("ts").cast("date")),
+            "bucket",
+            ["ts", "event_id"],
+        ).select(
+            "event_id", (F.col("rowid") + F.lit(offset)).cast("long").alias("rowid")
+        )
+        sink(ids, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "ids", "data")).select(
+        "event_id", "rowid"
+    )
