@@ -62,8 +62,16 @@ CLAIMED_INVARIANT = [
     "dedup_exact_substring",
     # round-6 additions claiming integer-exactness: bitmap rollup
     # (bitwise OR is commutative/associative/idempotent, popcount sums
-    # are integer)
+    # are integer), per-node clustering coefficient (e6 integer div),
+    # the two-phase rank pair (total-order rank is partitioning-
+    # independent), the encoding advisor (tie-broken run counts), and
+    # the seasonal decomposition (all-integer components)
     "q179_bitmap_rollup",
+    "q180_clustering_coefficient",
+    "q181_global_rowid",
+    "q182_encoding_advisor",
+    "q183_seasonal_decompose",
+    "q184_equidepth_bins",
 ]
 
 
