@@ -910,3 +910,70 @@ def q175_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.unionByName(fk)
+
+
+# --------------------------------------------------------------------------
+# q186: functional-dependency audit — schema-constraint discovery
+# --------------------------------------------------------------------------
+
+# Candidate FDs declared up front (the audit VERIFIES, it does not mine
+# the exponential FD lattice): one true key dependency and three
+# plausible-but-false ones a schema reviewer would actually test.
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+)
+
+_FD_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{lhs}->{rhs}' AS fd,
+       CAST(count(*) AS BIGINT)                            AS n_lhs,
+       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(max(k) AS BIGINT)                              AS max_rhs_per_lhs,
+       CAST(CASE WHEN max(k) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM (SELECT {lhs}, CAST(count(DISTINCT {rhs}) AS BIGINT) AS k
+      FROM {tbl} GROUP BY {lhs})
+"""
+    for tbl, lhs, rhs in _FD_CANDIDATES
+)
+
+
+@register(
+    "q186_fd_audit",
+    "profiling",
+    "Functional-dependency audit: for each declared candidate FD "
+    "(lhs -> rhs) report the number of lhs groups, how many violate "
+    "(more than one distinct rhs), the worst fan-out, and a holds "
+    "flag — the schema-constraint verification a data-contract "
+    "reviewer runs before trusting a column as a join key or "
+    "denormalization target (complements q78's referential orphan "
+    "audit and q175's row-level contract gate with COLUMN-level "
+    "dependency structure). Each candidate costs one "
+    "partially-aggregated groupBy(lhs) + a 1-row rollup — "
+    "verification of a declared list, NOT mining of the exponential "
+    "FD lattice; at 100 TB each check is a single keyed shuffle of "
+    "the (lhs, rhs) projection, embarrassingly parallel across "
+    "candidates.",
+    oracle=_FD_ORACLE,
+)
+def q186_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        per_lhs = t.groupBy(lhs).agg(
+            F.count_distinct(rhs).cast("long").alias("k")
+        )
+        one = per_lhs.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("k").cast("long").alias("max_rhs_per_lhs"),
+            F.when(F.max("k") == 1, 1).otherwise(0).cast("long").alias("holds"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -621,3 +621,91 @@ def q179_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return bitmap_finalize(bitmap_words(ev))
+
+
+# --------------------------------------------------------------------------
+# q185: bitmap set algebra — exact pairwise audience overlap
+# --------------------------------------------------------------------------
+
+_BITMAP_OPS_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS users_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       ca.n AS users_a, cb.n AS users_b, p.users_both,
+       CAST(ca.n + cb.n - p.users_both AS BIGINT) AS users_either,
+       CAST((p.users_both * 1000000)
+            // (ca.n + cb.n - p.users_both) AS BIGINT) AS jaccard_e6
+FROM p
+JOIN c ca ON ca.event_type = p.type_a
+JOIN c cb ON cb.event_type = p.type_b
+"""
+
+
+@register(
+    "q185_bitmap_set_ops",
+    "aggregation",
+    "Exact pairwise audience overlap via bitmap set algebra: the q179 "
+    "words become an algebra — intersection = popcount(mask_a AND "
+    "mask_b) summed over shared words, union by inclusion-exclusion, "
+    "Jaccard as an e6 integer ratio — for every event-type pair. The "
+    "pair join runs WORD-level (|types|^2 x |id-space/63| 8-byte "
+    "rows), never user-level: the classic audience-overlap / cohort-"
+    "intersection query that a raw DISTINCT self-join answers with an "
+    "|events|^2-prone shuffle, answered here from the same mergeable "
+    "words the rollup already maintains (compute once, answer both). "
+    "Pairs whose bitmaps share no set bit are dropped (users_both > "
+    "0), matching the oracle's inner user-level join. At 100 TB the "
+    "words table is ~|types| x |id-space|/63 rows — the overlap "
+    "matrix costs one word-keyed join over it, independent of event "
+    "volume.",
+    oracle=_BITMAP_OPS_ORACLE,
+)
+def q185_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = bitmap_words(ev)
+    wa = words.select(
+        F.col("event_type").alias("type_a"), "word", F.col("mask").alias("ma")
+    )
+    wb = words.select(
+        F.col("event_type").alias("type_b"), "word", F.col("mask").alias("mb")
+    )
+    inter = (
+        wa.join(wb, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.expr("bit_count(ma & mb)")).cast("long").alias("users_both"))
+        .filter(F.col("users_both") > 0)
+    )
+    counts = bitmap_finalize(words).select(
+        "event_type", F.col("distinct_users").alias("n")
+    )
+    ca = counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("users_a"))
+    cb = counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("users_b"))
+    return (
+        inter.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "users_both",
+            (F.col("users_a") + F.col("users_b") - F.col("users_both"))
+            .cast("long")
+            .alias("users_either"),
+            F.expr(
+                "(users_both * 1000000)"
+                " div (users_a + users_b - users_both)"
+            ).cast("long").alias("jaccard_e6"),
+        )
+    )

@@ -158,6 +158,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q183_seasonal_decompose",
     "q184_equidepth_bins",
     "stream_global_rowid_e2e",
+    "q185_bitmap_set_ops",
+    "q186_fd_audit",
 )
 
 
