@@ -779,3 +779,58 @@ def test_countmin_hash_agrees_across_the_arrow_boundary(sess, items):
     for row in rows:
         for r in range(sk._CM_D):
             assert row[f"c{r}"] == sk._cm_col(r, row["item"]), (row["item"], r)
+
+
+_BM_IDS = st.lists(
+    st.integers(min_value=0, max_value=300), min_size=1, max_size=40
+)
+
+
+@SETTINGS
+@given(ids_a=_BM_IDS, ids_b=_BM_IDS)
+def test_bitmap_words_popcount_and_algebra_for_any_ids(sess, ids_a, ids_b):
+    """For ARBITRARY id lists (duplicates, word-boundary ids like 0 /
+    62 / 63 / multiples of 63), the Spark bitmap kernel's popcount
+    equals the true distinct count per key, splitting the input into
+    two halves and OR-merging the words reproduces the one-shot
+    bitmap EXACTLY, and the q185 AND-intersection equals the true set
+    intersection — all through the real JVM expressions, not a Python
+    re-derivation."""
+    from spark_stream_kudu_spark.operators.sketches import (
+        bitmap_finalize,
+        bitmap_words,
+    )
+
+    rows = [("a", i) for i in ids_a] + [("b", i) for i in ids_b]
+    df = sess.createDataFrame(rows, "event_type string, user_id long")
+    words = {
+        (r["event_type"], r["word"]): r["mask"]
+        for r in bitmap_words(df).collect()
+    }
+    fin = {
+        r["event_type"]: r["distinct_users"]
+        for r in bitmap_finalize(bitmap_words(df)).collect()
+    }
+    assert fin == {"a": len(set(ids_a)), "b": len(set(ids_b))}
+    # split-merge: OR of half-bitmaps == one-shot bitmap, word for word
+    # (deterministic split by parity of user_id)
+    h1, h2 = df.filter("user_id % 2 = 0"), df.filter("user_id % 2 = 1")
+    merged = (
+        bitmap_words(h1)
+        .unionByName(bitmap_words(h2))
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )
+    words2 = {
+        (r["event_type"], r["word"]): r["mask"] for r in merged.collect()
+    }
+    assert words2 == words
+    # AND-intersection popcount == true set intersection size
+    inter_true = len(set(ids_a) & set(ids_b))
+    wa = {k[1]: v for k, v in words.items() if k[0] == "a"}
+    wb = {k[1]: v for k, v in words.items() if k[0] == "b"}
+    inter_df = sess.createDataFrame(
+        [(w, wa[w], wb[w]) for w in set(wa) & set(wb)] or [(0, 0, 0)],
+        "word long, ma long, mb long",
+    ).agg(F.sum(F.expr("bit_count(ma & mb)")).alias("n"))
+    assert (inter_df.collect()[0]["n"] or 0) == inter_true
