@@ -834,3 +834,82 @@ def test_bitmap_words_popcount_and_algebra_for_any_ids(sess, ids_a, ids_b):
         "word long, ma long, mb long",
     ).agg(F.sum(F.expr("bit_count(ma & mb)")).alias("n"))
     assert (inter_df.collect()[0]["n"] or 0) == inter_true
+
+
+_RID_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # bucket
+        st.integers(min_value=-50, max_value=50),  # order value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=_RID_ROWS)
+def test_two_phase_rowid_equals_flat_sort_for_any_rows(sess, rows):
+    """two_phase_rowid (bucket offsets + in-bucket ranks) must equal a
+    flat global sort's 0-based row numbering for ARBITRARY bucketed
+    rows, including duplicate (bucket, val) pairs — ties broken by a
+    unique key to keep the order total, exactly as the production
+    callers do."""
+    from spark_stream_kudu_spark.operators.layout import two_phase_rowid
+
+    data = [(b, v, i) for i, (b, v) in enumerate(rows)]  # i = unique key
+    df = sess.createDataFrame(data, "bucket long, val long, uid long")
+    got = {
+        r["uid"]: r["rowid"]
+        for r in two_phase_rowid(df, "bucket", ["val", "uid"]).collect()
+    }
+    want = {
+        uid: pos
+        for pos, (b, v, uid) in enumerate(
+            sorted(data, key=lambda t: (t[0], t[1], t[2]))
+        )
+    }
+    assert got == want
+
+
+_RUN_SEQ = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=1, max_size=40
+)
+
+
+@SETTINGS
+@given(vals=_RUN_SEQ, bucket_size=st.integers(min_value=1, max_value=7))
+def test_bucketed_run_count_stitch_equals_flat_runs(sess, vals, bucket_size):
+    """The encoding advisor's two-phase run count (per-bucket runs
+    minus boundary merges where prev bucket's last value equals the
+    next bucket's first) must equal the flat single-pass run count for
+    ANY value sequence and ANY bucket size — including runs spanning
+    several buckets."""
+    from pyspark.sql import Window
+
+    data = [(i // bucket_size, i, v) for i, v in enumerate(vals)]
+    df = sess.createDataFrame(data, "bucket long, pos long, val long")
+    w = Window.partitionBy("bucket").orderBy("pos")
+    lagv = F.lag("val").over(w)
+    flagged = df.select(
+        "bucket",
+        "val",
+        F.when(lagv.isNull() | (lagv != F.col("val")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+        F.struct("pos", "val").alias("p"),
+    )
+    per_bucket = flagged.groupBy("bucket").agg(
+        F.sum("new_run").alias("runs_in"),
+        F.min("p").getField("val").alias("first_val"),
+        F.max("p").getField("val").alias("last_val"),
+    )
+    wb = Window.orderBy("bucket")
+    stitched = per_bucket.select(
+        "runs_in",
+        F.when(F.lag("last_val").over(wb) == F.col("first_val"), 1)
+        .otherwise(0)
+        .alias("merged"),
+    ).agg((F.sum("runs_in") - F.sum("merged")).alias("n_runs"))
+    got = stitched.collect()[0]["n_runs"]
+    want = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+    assert got == want
