@@ -445,6 +445,15 @@ def q183_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    return seasonal_decompose_from_daily(daily)
+
+
+def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
+    """Decompose ANY (day, cnt) daily series — the one-shot rollup
+    (q183) or an additively-maintained streaming store
+    (stream_seasonal_e2e): plain count addition is the daily-rollup
+    merge, so both arrive at the identical series and therefore the
+    identical integer-exact components."""
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     t = daily.select(
         "day",

@@ -160,6 +160,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_global_rowid_e2e",
     "q185_bitmap_set_ops",
     "q186_fd_audit",
+    "stream_seasonal_e2e",
 )
 
 

@@ -2009,3 +2009,69 @@ def stream_global_rowid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base, "ids", "data")).select(
         "event_id", "rowid"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming seasonal decomposition — the q183 twin over a continuous rollup
+# --------------------------------------------------------------------------
+
+
+def _seasonal_oracle() -> str:
+    from spark_stream_kudu_spark.operators.series import _SEAS_ORACLE
+
+    return _SEAS_ORACLE
+
+
+@register(
+    "stream_seasonal_e2e",
+    "streaming",
+    "END-TO-END streaming seasonal decomposition: each micro-batch "
+    "reduces to per-day partial counts that SUM-merge into the keyed "
+    "daily store (AdditiveRollupSink — addition IS the daily-rollup "
+    "merge, so the store equals the one-shot series for any batch "
+    "slicing, replay-guarded by the batch marker), and the finalize "
+    "runs q183's integer-exact trend/seasonal/residual decomposition "
+    "over the store. The continuous-aggregate pattern for series "
+    "analytics: state is |days| rows FOREVER (calendar-bounded), raw "
+    "events are never rescanned, and re-decomposing after each day's "
+    "ingest costs a |days|-row window, not an event-stream pass. Same "
+    "oracle as q183 — the streaming result is value-hashed, not "
+    "counted.",
+    oracle=_seasonal_oracle(),
+)
+def stream_seasonal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.operators.series import (
+        seasonal_decompose_from_daily,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import AdditiveRollupSink
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts")
+    base = new_run_dir("seas")
+    src = stage_mod_slices(ev, base, "event_id")
+
+    sink = AdditiveRollupSink(
+        os.path.join(base, "daily"), key="day", sum_cols=["cnt"]
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        sink(partial, batch_id)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = spark.read.parquet(os.path.join(base, "daily", "data")).select(
+        "day", F.col("cnt").cast("long").alias("cnt")
+    )
+    return seasonal_decompose_from_daily(daily)
