@@ -747,3 +747,66 @@ def q164_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("boosted") / 10).cast("long").alias("cnt"),
         "boosted",
     )
+
+
+# --------------------------------------------------------------------------
+# q187: skew-safe two-phase top-k per group (shard-local candidates)
+# --------------------------------------------------------------------------
+
+_TOPK_SHARDS = 16
+
+_Q187_ORACLE = f"""
+SELECT event_type, event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_e2, rk
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY round(value * 100) DESC, event_id ASC
+         ) AS rk
+  FROM events
+)
+WHERE rk <= {_TOPK_PER_GROUP}
+"""
+
+
+@register(
+    "q187_topk_skewsafe",
+    "sort",
+    f"Top-{_TOPK_PER_GROUP} events per event type via SKEW-SAFE "
+    f"two-phase ranking: phase 1 ranks within (type, shard) — shard = "
+    f"event_id mod {_TOPK_SHARDS} — keeping each shard's local "
+    f"top-{_TOPK_PER_GROUP}; phase 2 re-ranks the <= "
+    f"{_TOPK_SHARDS}x{_TOPK_PER_GROUP} survivors per type. Exact by "
+    "the shard-superset argument: every global top-k row is its own "
+    "shard's top-k, so phase 1 never discards an answer. q46's "
+    "rank-then-filter window is the right plan when groups are "
+    "numerous and balanced; THIS is the form for few/huge groups "
+    "(here: a handful of event types over the whole fact), where a "
+    "plain PARTITION BY type window funnels each hot group through "
+    "one task — phase 1's "
+    f"{_TOPK_SHARDS}x-finer partitioning spreads the heavy sort, and "
+    "phase 2 touches survivors only. Exact integer cents with "
+    "unique-key tiebreak; oracle is the flat single-window form.",
+    oracle=_Q187_ORACLE,
+)
+def q187_topk_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    shard = F.pmod(F.col("event_id"), F.lit(_TOPK_SHARDS))
+    w1 = Window.partitionBy("event_type", shard).orderBy(
+        cents.desc(), F.col("event_id").asc()
+    )
+    survivors = (
+        ev.withColumn("_lrk", F.row_number().over(w1))
+        .filter(F.col("_lrk") <= _TOPK_PER_GROUP)
+        .select("event_type", "event_id", cents.alias("value_e2"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("value_e2").desc(), F.col("event_id").asc()
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _TOPK_PER_GROUP)
+        .select("event_type", "event_id", "value_e2", "rk")
+    )

@@ -161,6 +161,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q185_bitmap_set_ops",
     "q186_fd_audit",
     "stream_seasonal_e2e",
+    "q187_topk_skewsafe",
 )
 
 

@@ -72,6 +72,7 @@ CLAIMED_INVARIANT = [
     "q182_encoding_advisor",
     "q183_seasonal_decompose",
     "q184_equidepth_bins",
+    "q187_topk_skewsafe",
 ]
 
 
