@@ -401,3 +401,12 @@ def test_global_rowid_fact_window_is_partitioned(spark, sf_smoke):
     assert plan.count("SinglePartition") == 1, plan
     # the fact window's spec partitions by bucket
     assert "windowspecdefinition(bucket" in plan, plan
+
+
+def test_equidepth_fact_window_is_partitioned(spark, sf_smoke):
+    """q184's fact-side rank window must partition by the value stride;
+    only the tiny stride-offsets window may run SinglePartition."""
+    df = ALL["q184_equidepth_bins"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") == 1, plan
+    assert "windowspecdefinition(stride" in plan, plan
