@@ -1240,3 +1240,79 @@ def q182_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("plain"))
         .alias("advice"),
     )
+
+
+# --------------------------------------------------------------------------
+# q188: content-addressable chunk dedup — storage-level blob dedup ratio
+# --------------------------------------------------------------------------
+
+_CHUNK_BYTES = 256
+
+_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
+), ch AS (
+  SELECT source,
+         md5(substr(text, j * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})) AS chash
+  FROM d, LATERAL unnest(generate_series(
+         0, CAST(ceil(length(text) / {_CHUNK_BYTES}.0) AS INT) - 1)) AS t(j)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)               AS total_chunks,
+       CAST(count(DISTINCT chash) AS BIGINT)  AS distinct_chunks,
+       CAST(((count(*) - count(DISTINCT chash)) * 1000000)
+            // count(*) AS BIGINT)            AS dedup_ratio_e6
+FROM ch GROUP BY source
+"""
+
+
+@register(
+    "q188_chunk_dedup",
+    "layout",
+    f"Content-addressable chunk-level dedup ratio per source: each "
+    f"document's payload splits into fixed {_CHUNK_BYTES}-byte chunks "
+    "addressed by their md5 (the storage layer's unit of identity in "
+    "CAS / backup / blob-store dedup — borg/restic/VAST-style), and "
+    "the ratio of duplicate chunk addresses measures what a "
+    "dedup-aware store would NOT write. Pure Catalyst: chunking is "
+    "sequence + transform + substr + md5 (JVM codegen, zero Python — "
+    "where a naive implementation reaches for a per-row UDF), the "
+    "explode is row-local, and the only shuffle is the (source, "
+    "chash) distinct-aggregate, carrying 16-byte addresses, never "
+    "payload bytes. The storage-level complement to the token-span "
+    "audit (dedup_exact_substring: WHICH text is duplicated) and the "
+    "doc-level MinHash family (which documents pair up): this one "
+    "prices the BYTES a content-addressable store saves. ASCII guard "
+    "as in the multimodal encoders, so char indexing == byte "
+    "indexing in both engines.",
+    oracle=_CHUNK_ORACLE,
+)
+def q188_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    tune_session(spark)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    # Spread before the CPU-heavy chunk-hash map (one-file fixture scan
+    # would serialize it; no-op at real scale).
+    ch = spread_small_scan(d.select("source", "text")).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0,"
+                f" int(ceil(length(text) / {_CHUNK_BYTES}.0)) - 1),"
+                f" j -> md5(substr(text, j * {_CHUNK_BYTES} + 1,"
+                f" {_CHUNK_BYTES})))"
+            )
+        ).alias("chash"),
+    )
+    return ch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.count_distinct("chash").cast("long").alias("distinct_chunks"),
+        F.expr(
+            "((count(1) - count(DISTINCT chash)) * 1000000) div count(1)"
+        ).cast("long").alias("dedup_ratio_e6"),
+    )

@@ -162,6 +162,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q186_fd_audit",
     "stream_seasonal_e2e",
     "q187_topk_skewsafe",
+    "q188_chunk_dedup",
 )
 
 
