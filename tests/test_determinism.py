@@ -73,6 +73,7 @@ CLAIMED_INVARIANT = [
     "q183_seasonal_decompose",
     "q184_equidepth_bins",
     "q187_topk_skewsafe",
+    "q188_chunk_dedup",
 ]
 
 
