@@ -144,9 +144,16 @@ def mode_count(t: Column) -> Column:
     bench=True,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     d = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
-    base = d.select("doc_id", t.alias("t")).withColumn("big", _bigrams(F.col("t")))
+    # Spread the thin projection before the CPU-heavy per-doc map
+    # (tokenize + array_sort fold): the one-file fixture scan would
+    # otherwise serialize it on a single task (no-op at real scale).
+    base = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", t.alias("t")
+    ).withColumn("big", _bigrams(F.col("t")))
     distinct_ratio = F.size(F.array_distinct("t")) * F.lit(1.0) / F.size("t")
     top_ratio = mode_count(F.col("t")) * F.lit(1.0) / F.size("t")
     dup_bigram = F.when(F.size("big") == 0, F.lit(0.0)).otherwise(

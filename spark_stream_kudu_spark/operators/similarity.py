@@ -90,7 +90,12 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
     bench=True,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    # The broadcast join keeps the corpus side scan-local, so a one-file
+    # fixture scan would run every cosine on a single task — spread the
+    # thin projection first (no-op at real scale).
+    e = spread_small_scan(_emb(spark, sf_dir).select("vec_id", "embedding"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -307,7 +312,12 @@ def _plane_ints(i: int) -> list[int]:
     bench=True,
 )
 def sim_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    # Hyperplane signatures AND the candidate cosines are scan-local
+    # under the broadcast join — spread the one-file fixture scan so
+    # they parallelize (no-op at real scale).
+    e = spread_small_scan(_emb(spark, sf_dir).select("vec_id", "embedding"))
     scaled = F.transform(
         "embedding", lambda v: F.floor(v.cast("double") * _SCALE).cast("long")
     )
@@ -550,7 +560,13 @@ WHERE vrk = 1
     bench=True,
 )
 def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    # Scan-local cosines under the broadcast join: spread the one-file
+    # fixture scan first (no-op at real scale).
+    e = spread_small_scan(
+        _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )

@@ -163,8 +163,13 @@ FROM feat
     bench=True,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     d = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
+    # Spread the thin projection before the per-doc tokenize/regex map
+    # (one-file fixture scan would serialize it; no-op at real scale).
+    d = spread_small_scan(d.select("doc_id", "text"))
     base = d.select(
         "doc_id",
         F.length("text").alias("n_chars_obs"),
