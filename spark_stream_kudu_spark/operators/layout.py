@@ -1172,6 +1172,14 @@ FROM agg
     oracle=_ENC_ORACLE,
 )
 def q182_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window invariant (same contract as two_phase_rowid): the
+    fact-side run-flag window partitions by (col, bucket) — no task sees
+    more than one {col} x {_ENC_BUCKET}-order slice — and the boundary-
+    stitch window ``wb`` partitions by col over the PER-BUCKET ROLLUP
+    (|cols| x |buckets| rows, ~n_rows/512 — metadata-scale), so NO
+    window in this plan runs SinglePartition over the fact (or at all).
+    Plan-asserted in tests/test_plans.py::
+    test_encoding_advisor_has_no_single_partition_exchange."""
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
     s = li.select(

@@ -453,7 +453,15 @@ def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
     (q183) or an additively-maintained streaming store
     (stream_seasonal_e2e): plain count addition is the daily-rollup
     merge, so both arrive at the identical series and therefore the
-    identical integer-exact components."""
+    identical integer-exact components.
+
+    Bounded-window invariant (same contract as two_phase_rowid,
+    layout.py): ``w7`` is an unpartitioned ``Window.orderBy`` and
+    therefore plans a SinglePartition exchange — but it runs over the
+    DAILY ROLLUP, never the event fact, so the single task sees at most
+    |days| rows (calendar-bounded: ~36.5k rows for a century — KBs even
+    at 100 TB of events). Plan-asserted in tests/test_plans.py::
+    test_seasonal_single_partition_windows_are_rollup_only."""
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     t = daily.select(
         "day",

@@ -578,8 +578,21 @@ def bitmap_words(ev: DataFrame, key: str = "event_type") -> DataFrame:
     of the input produces; merging = bitwise OR per (key, word) —
     commutative, associative AND idempotent, so replayed or re-sliced
     inputs converge to the identical bitmap (same algebra class as HLL
-    register-max, but EXACT)."""
-    return ev.groupBy(
+    register-max, but EXACT).
+
+    Dense-id contract enforced loudly: a NEGATIVE id would make the
+    sign-following ``%`` produce a negative shift amount, which the
+    JVM silently masks to 6 bits (a corrupt mask, not an error) while
+    the DuckDB oracle's ``<<`` diverges — so the kernel asserts
+    ``user_id >= 0`` per row and a contract violation fails the job
+    instead of corrupting counts (``assert_true`` stays inside codegen;
+    one integer compare per row)."""
+    guarded = F.expr(
+        "COALESCE(CAST(assert_true(user_id >= 0, 'bitmap kernel: "
+        "negative user_id violates the dense non-negative id contract "
+        "(q179 registration)') AS BIGINT), user_id)"
+    )
+    return ev.withColumn("user_id", guarded).groupBy(
         key, F.expr(f"user_id div {_BITMAP_WORD}").alias("word")
     ).agg(
         F.expr(

@@ -684,9 +684,28 @@ def supply_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(staging, path)
         except OSError:
-            # Another process renamed first; its output is complete
-            # (rename is atomic and only happens after a full write).
-            shutil.rmtree(staging, ignore_errors=True)
+            # rename fails either because another process renamed a
+            # COMPLETE copy first (rename is atomic and only happens
+            # after a full write — its _SUCCESS marker is present), or
+            # because a stale partial directory occupies `path` (e.g. a
+            # crashed writer). Distinguish by the marker before
+            # discarding our good staging copy: reading a marker-less
+            # directory would silently serve an incomplete rollup.
+            if not os.path.exists(marker):
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(staging, path)
+                except OSError:
+                    # Lost a second race; only trust the winner if its
+                    # copy is complete — otherwise fail loudly.
+                    shutil.rmtree(staging, ignore_errors=True)
+                    if not os.path.exists(marker):
+                        raise RuntimeError(
+                            f"supply cache at {path} is incomplete "
+                            "(no _SUCCESS) and could not be replaced"
+                        )
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
 
 _Q158_ORACLE = """

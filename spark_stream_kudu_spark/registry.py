@@ -65,69 +65,32 @@ def register(
 
 
 # Explicit front-of-registry ordering for the driver's bounded
-# correctness window (~50 queries/round). Round-6 rotation: the 50
-# names that led the round-5 list all earned green driver rows in
-# CORRECTNESS_r05 (50/50 green) and have dropped out (they now trail
-# in registration order like every other driver-green query). What
-# remains is exactly the 68-query backlog with NO driver CORRECTNESS
-# row after round 5 — all pytest-oracle-green at three scales —
-# ordered oldest-debt-first per the round-4 verdict: q143-q155 and the
-# round-4 registrations first, then the round-5 additions. Round-6
-# additions append at the END of this list so the driver drains the
-# oldest debt before ever seeing new surface; the round-6 window takes
-# the front 50, round 7 the rest.
+# correctness window (~50 queries/round). Round-7 rotation: the 50
+# names that led the round-6 list all earned green driver rows in
+# CORRECTNESS_r06 (50/50 green) and have dropped out. The list now
+# holds, in order:
+#   1. the 31-query backlog with NO driver CORRECTNESS row after
+#      round 6 (all judge-verified green at sf0.01 in the round-6
+#      verdict and pytest-oracle-green at three scales) — oldest
+#      debt first, so the round-7 window retires the backlog
+#      completely;
+#   2. the 19 STALEST driver-green rows (q01-q19, last certified in
+#      round 1, BEFORE the session-wide InferFiltersFromGenerate
+#      exclusion changed every plan) — filling the window's spare
+#      slots with re-certification per the round-6 verdict;
+#   3. round-7 registrations (zero driver rows yet) — behind the
+#      re-certification per the round-6 surface-budget directive;
+#      they lead the round-8 window.
+# Everything else trails in DRIVER-ROW STALENESS order (oldest
+# CORRECTNESS row first — computed from the repo's CORRECTNESS_r*.json
+# artifacts by ``_driver_row_rounds``), so once the never-checked
+# backlog is empty the window becomes a freshness rotation: with ~345
+# registered queries and 50 rows/round, every query gets a fresh
+# driver row at least every ~7 rounds. Per-round rotation procedure:
+# drop the newly-green names from the front of this list, keep any
+# remaining backlog first, append new registrations last.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "q143_motif_discovery",
-    "q144_rfm_segmentation",
-    "q145_zipf_fit",
-    "q146_fano_factor",
-    "q147_vocab_drift",
-    "q148_behavior_entropy",
-    "q149_gap_percentiles",
-    "q150_new_vs_returning",
-    "q151_peak_detection",
-    "q152_weekday_index",
-    "q153_cohort_ltv",
-    "q154_stickiness",
-    "q155_abc_xyz",
-    # round-4 additions (registered this round, zero driver rows yet)
-    "q156_hierarchy_closure",
-    "q157_topk_rank_error",
-    "stream_topk_e2e",
-    "text_bm25_search",
-    "q158_min_cost_supplier",
-    "q159_order_priority_check",
-    "q160_product_profit",
-    "q161_important_stock",
-    "q162_excess_suppliers",
-    "q163_histogram_quantiles",
-    "stream_quantile_e2e",
-    "pipeline_incremental_lsh",
-    "stream_incremental_dedup_e2e",
-    "q164_map_functions",
-    "text_feature_hash",
-    "q165_shortest_paths",
-    "dedup_edit_distance",
-    "sim_recall_truncated",
-    "q166_fifo_allocation",
-    "q167_orc_roundtrip",
-    "q168_skew_audit",
-    "multimodal_blockhash_neardup",
-    "q169_partition_digests",
-    "q170_schema_evolution",
-    "q171_proration",
-    "dedup_golden_record",
-    "q172_federated_union",
-    "q173_resharding_plan",
-    "emb_norm_stats_pandas",
-    "stream_skew_audit_e2e",
-    "text_skipgram_pairs",
-    "text_chunk_overlap",
-    "pipeline_ivm_retraction",
-    "q174_k_anonymity",
-    "q175_data_contract",
-    "q176_diversified_topk",
-    "sample_temporal_holdout",
+    # --- 1. never-driver-checked backlog (31) ---
     "text_dataset_card",
     "stream_contract_gate_e2e",
     "sim_hybrid_rrf",
@@ -135,8 +98,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_starcontraction",
     "dedup_lsh_tuning_curve",
     "stream_ivm_retraction_e2e",
-    # round-5 additions (registered this round, zero driver rows yet) —
-    # appended BEHIND the backlog so the oldest debt drains first
     "multimodal_decode_ppm",
     "multimodal_thumbnail_ppm",
     "stream_full_outer_interval_join_e2e",
@@ -148,8 +109,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_countmin_e2e",
     "dedup_exact_substring",
     "stream_substring_audit_e2e",
-    # round-6 additions (registered this round, zero driver rows yet) —
-    # appended BEHIND the backlog so the oldest debt drains first
     "q179_bitmap_rollup",
     "stream_bitmap_distinct_e2e",
     "q180_clustering_coefficient",
@@ -163,7 +122,55 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_seasonal_e2e",
     "q187_topk_skewsafe",
     "q188_chunk_dedup",
+    # --- 2. stalest driver-green rows (19 re-certification slots:
+    #        last row round 1, pre-optimizer-exclusion plans) ---
+    "q01_pricing_summary",
+    "q02_filter_predicates",
+    "q03_topk_revenue",
+    "q04_semi_join",
+    "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q07_left_join_agg",
+    "q08_right_join",
+    "q09_full_outer_join",
+    "q10_anti_join",
+    "q11_multikey_join",
+    "q12_group_having",
+    "q13_count_distinct",
+    "q14_rollup",
+    "q15_cube",
+    "q16_grouping_sets",
+    "q17_window_ranks",
+    "q18_window_lag_lead",
+    "q19_running_agg",
+    # --- 3. round-7 registrations (zero driver rows yet; lead the
+    #        round-8 window) ---
 )
+
+
+def _driver_row_rounds() -> dict[str, int]:
+    """Latest driver CORRECTNESS round per query name, read from the
+    repo root's ``CORRECTNESS_r*.json`` artifacts. Returns {} when no
+    artifacts are readable (fresh checkout), in which case ``load_all``
+    degrades to plain registration order behind the priority prefix."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    rounds: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r0*(\d+)", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -172,12 +179,15 @@ def load_all() -> dict[str, QuerySpec]:
 
     Ordering is deliberate: the driver's correctness gate walks the
     registry front-to-back with a bounded window (~50 queries/round), so
-    families whose driver-side evidence is thinnest come first. The
-    explicit ``_WINDOW_PRIORITY`` list holds every query still lacking a
-    driver CORRECTNESS row after rounds 1-5 (68 queries), oldest debt
-    first, with round-6 additions appended at the end — the round-6
-    window drains the front 50, round 7 the rest; everything already
-    driver-green trails behind in registration order. Coverage
+    the thinnest driver-side evidence comes first. The explicit
+    ``_WINDOW_PRIORITY`` prefix holds (1) every query still lacking a
+    driver CORRECTNESS row (oldest debt first), (2) this round's
+    re-certification slots (the stalest driver-green rows), and (3) new
+    registrations. Behind the prefix, every other registered query is
+    ordered by DRIVER-ROW STALENESS — oldest CORRECTNESS round first,
+    registration order as the tiebreak — so spare window slots always
+    re-certify the stalest evidence and every query's row is refreshed
+    at least every ~7 rounds (round-6 verdict item 6). Coverage
     accumulates across rounds.
     """
     import spark_stream_kudu_spark.operators.analytics  # noqa: F401
@@ -216,9 +226,15 @@ def load_all() -> dict[str, QuerySpec]:
     if missing:  # defensive: a renamed query must not silently drop out
         raise KeyError(f"window-priority names not registered: {missing}")
     ordered = {n: _REGISTRY[n] for n in _WINDOW_PRIORITY}
-    ordered.update(
-        (n, spec) for n, spec in _REGISTRY.items() if n not in ordered
+    rounds = _driver_row_rounds()
+    reg_idx = {n: i for i, n in enumerate(_REGISTRY)}
+    tail = sorted(
+        (n for n in _REGISTRY if n not in ordered),
+        # Queries with no artifact row sort as round 0 (stalest) — a
+        # safe default for any future name that misses the prefix.
+        key=lambda n: (rounds.get(n, 0), reg_idx[n]),
     )
+    ordered.update((n, _REGISTRY[n]) for n in tail)
     return ordered
 
 

@@ -410,3 +410,28 @@ def test_equidepth_fact_window_is_partitioned(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SinglePartition") == 1, plan
     assert "windowspecdefinition(stride" in plan, plan
+
+
+def test_seasonal_single_partition_windows_are_rollup_only(spark, sf_smoke):
+    """q183's only SinglePartition exchanges are the two consumers of
+    the |days|-row daily-rollup moving-average window (seasonal side +
+    output side) — the event fact must never funnel through one task.
+    Both window specs order by `day`, i.e. they sit ABOVE the daily
+    groupBy, whose partial aggregation reduces the fact first."""
+    df = ALL["q183_seasonal_decompose"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") == 2, plan
+    assert "windowspecdefinition(day" in plan, plan
+    assert checks.has_partial_aggregate(df)
+
+
+def test_encoding_advisor_has_no_single_partition_exchange(spark, sf_smoke):
+    """q182 counts runs two-phase: the fact window partitions by
+    (col, bucket) and the boundary stitch partitions by col over the
+    per-bucket rollup — NO SinglePartition exchange anywhere in the
+    plan (the whole point of the bucketed formulation vs the oracle's
+    flat global window per column)."""
+    df = ALL["q182_encoding_advisor"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") == 0, plan
+    assert "windowspecdefinition(col" in plan, plan

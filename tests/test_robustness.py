@@ -240,3 +240,59 @@ def test_corrupt_media_payload_fails_loudly(spark):
     for decode in (decode_ppm, decode_wav):
         with pytest.raises(Exception):
             d.mapInPandas(make_kernel(decode), "doc_id long").collect()
+
+
+def test_bitmap_kernel_rejects_negative_ids_loudly(spark):
+    """Round-6 ADVICE: a negative user_id would hand shiftleft a
+    negative shift amount, which the JVM masks to 6 bits — a corrupt
+    mask, silently diverging from the DuckDB oracle. The kernel's
+    dense-id contract must therefore fail LOUDLY on negatives (per-row
+    assert_true), never fold them into a wrong bitmap."""
+    from spark_stream_kudu_spark.operators.sketches import (
+        bitmap_finalize,
+        bitmap_words,
+    )
+
+    ok = spark.createDataFrame(
+        [("a", 0), ("a", 62), ("a", 63), ("b", 1)],
+        "event_type string, user_id long",
+    )
+    rows = {
+        r["event_type"]: r["distinct_users"]
+        for r in bitmap_finalize(bitmap_words(ok)).collect()
+    }
+    assert rows == {"a": 3, "b": 1}
+
+    bad = spark.createDataFrame(
+        [("a", 5), ("a", -1)], "event_type string, user_id long"
+    )
+    with pytest.raises(Exception) as ei:
+        bitmap_finalize(bitmap_words(bad)).collect()
+    assert "dense non-negative id contract" in str(ei.value)
+
+
+def test_supply_cache_replaces_stale_partial_dir(spark, sf_smoke):
+    """Round-6 ADVICE: an os.rename failure used to be read as 'another
+    process won the race' unconditionally — but rename ALSO fails when a
+    stale partial directory (crashed writer, no _SUCCESS) occupies the
+    cache path, and the loser then read the incomplete directory. The
+    marker must be re-checked: a marker-less occupant gets replaced."""
+    import os
+    import shutil
+
+    from spark_stream_kudu_spark.operators.subqueries import supply_table
+
+    good = supply_table(spark, sf_smoke)
+    n = good.count()
+    assert n > 0
+    # locate the cache dir via the parquet scan's own input files
+    a_file = good.inputFiles()[0].replace("file:", "")
+    path = os.path.dirname(a_file)
+    # simulate a crashed writer: valid dir degraded to marker-less junk
+    shutil.rmtree(path)
+    os.makedirs(path)
+    with open(os.path.join(path, "part-zzz.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    again = supply_table(spark, sf_smoke)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert again.count() == n
