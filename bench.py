@@ -13,7 +13,8 @@ MinHash-LSH dedup, vector top-k, text scoring) against
 plus, since round 5, a second frozen suite over the families the
 original 34 never timed (graph/sketch/drift/dedup/ANN/retrieval/
 pipeline/stream-e2e) reported in the same line as ``metric_v2`` /
-``value_v2`` / ``queries_v2`` / ``value_v2_normalized``.
+``value_v2`` / ``queries_v2`` / ``value_v2_normalized``, and since
+round 7 a third suite (``*_v3``) sampling the round-6 additions.
 
 Timing is end-to-end per query: plan construction + ONE full execution
 to the ``noop`` sink, which materializes every output column on the
@@ -71,6 +72,20 @@ BENCH_V2: tuple[str, ...] = (
     "stream_rollup_incremental_e2e",  # streaming incremental rollup e2e
 )
 
+# headline_v3 (round 7): representatives of the round-6 additions —
+# the families v1/v2 predate (bitmap-exact distinct, two-phase global
+# rank, skew-safe top-k, content-addressable chunk dedup, integer
+# seasonal decomposition). v1/v2 stay frozen for round-over-round
+# comparability; v3 is additive so the perf bar tracks the surface the
+# correctness gate certifies. Membership pinned in tests/test_cli.py.
+BENCH_V3: tuple[str, ...] = (
+    "q179_bitmap_rollup",        # exact distinct via 63-bit bitmap words
+    "q181_global_rowid",         # two-phase dense global row ids
+    "q183_seasonal_decompose",   # integer-exact trend/seasonal/residual
+    "q187_topk_skewsafe",        # skew-safe two-phase top-k per group
+    "q188_chunk_dedup",          # content-addressable chunk dedup
+)
+
 
 def _calibrate() -> float:
     """Best-of-3 fixed CPU workload: numpy matmul + pure-Python loop
@@ -105,6 +120,7 @@ def main() -> None:
     registry = load_all()
     specs = {n: s for n, s in registry.items() if s.bench}
     specs_v2 = {n: registry[n] for n in BENCH_V2}
+    specs_v3 = {n: registry[n] for n in BENCH_V3}
 
     def run_suite(suite: dict) -> dict[str, float]:
         # JVM/codegen warmup: run the whole suite once at the smallest
@@ -142,9 +158,11 @@ def main() -> None:
 
     timings = run_suite(specs)
     timings_v2 = run_suite(specs_v2)
+    timings_v3 = run_suite(specs_v3)
 
     total = round(sum(timings.values()), 3)
     total_v2 = round(sum(timings_v2.values()), 3)
+    total_v3 = round(sum(timings_v3.values()), 3)
     calib = min(calib_pre, _calibrate())
     host_factor = round(calib / CALIB_REF_SEC, 3)
     print(
@@ -163,6 +181,10 @@ def main() -> None:
                 "value_v2": total_v2,
                 "queries_v2": timings_v2,
                 "value_v2_normalized": round(total_v2 / host_factor, 3),
+                "metric_v3": "headline_v3_total_sec",
+                "value_v3": total_v3,
+                "queries_v3": timings_v3,
+                "value_v3_normalized": round(total_v3 / host_factor, 3),
             }
         )
     )

@@ -715,3 +715,121 @@ def q180_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " div (deg * (deg - 1))"),
         ).otherwise(F.lit(0)).cast("long").alias("coeff_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# q190: k-core decomposition — iterative peeling with frontier gating
+# --------------------------------------------------------------------------
+
+_KCORE_K = 75
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled-CTE twin of the peeling loop (the q165/q86 pattern).
+    MATERIALIZED is load-bearing: e{r-1} and s{r} are each referenced
+    twice per round, and DuckDB's default CTE inlining would otherwise
+    duplicate the whole chain 2^rounds times."""
+    ctes = [
+        "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v"
+        " FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*) AS c FROM ("
+            f"SELECT u AS node FROM e{r - 1}"
+            f" UNION ALL SELECT v FROM e{r - 1}) GROUP BY node)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT node FROM d{r}"
+            f" WHERE c >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r - 1} e"
+            f" JOIN s{r} a ON a.node = e.u JOIN s{r} b ON b.node = e.v)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST((SELECT count(*) FROM s{r}) AS BIGINT) AS n_nodes,"
+        f" CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@register(
+    "q190_kcore",
+    "graph",
+    f"k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} peel rounds) "
+    "over the q114 co-purchase part graph — the fifth iterative graph "
+    "family beside components, PageRank, label propagation and "
+    "Bellman-Ford, and the standard graph-curation screen (spam/bot "
+    "subgraph pruning on interaction graphs) a training-data pipeline "
+    "runs before trusting link-derived signals. Each round drops every "
+    "node whose degree in the SURVIVING subgraph is below k and the "
+    "edges it carried; the output is the per-round (n_nodes, n_edges) "
+    "peel trajectory — the fixture's own core-collapse profile, "
+    "bit-exact. FRONTIER GATING: an unchanged edge count proves the "
+    "fixed point (a dropped node always carries away an edge, since "
+    "degrees come from the edge set itself), so later rounds emit the "
+    "converged row without launching further jobs. Per round: one "
+    "endpoint-count shuffle + one size-gated semijoin against the "
+    "survivor set (broadcast at dimension scale, shuffled-hash at web "
+    "scale), lineage cut per round — O(rounds), never O(rounds^2), "
+    "state is the edge list itself. The oracle unrolls the identical "
+    "rounds as MATERIALIZED chained CTEs (q165's pattern).",
+    oracle=_kcore_oracle(),
+)
+def q190_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    metrics: list[tuple[int, int, int]] = []
+    converged = False
+    reliable = configure_reliable_checkpoints(spark)
+    for r in range(1, _KCORE_ROUNDS + 1):
+        if converged:
+            # Fixed point reached: no edge left the graph last round,
+            # so no node can fall below k — emit the converged row
+            # without another job (the frontier gate).
+            metrics.append((r, metrics[-1][1], metrics[-1][2]))
+            continue
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        surv = deg.filter(F.col("c") >= _KCORE_K).select("node")
+        n_nodes = surv.count()
+        su = gated_broadcast(
+            surv.select(F.col("node").alias("u")), n_nodes, spark
+        )
+        sv = gated_broadcast(
+            surv.select(F.col("node").alias("v")), n_nodes, spark
+        )
+        nxt = edges.join(su, "u", "left_semi").join(sv, "v", "left_semi")
+        nxt = cut_lineage(nxt, r, reliable, local_interval=1).select("u", "v")
+        prev_edges = n_edges
+        n_edges = nxt.count()
+        metrics.append((r, n_nodes, n_edges))
+        edges = nxt
+        # Convergence check against the PREVIOUS round's edge count:
+        # later iterations hit the gate above and emit without jobs.
+        converged = n_edges == prev_edges
+    return spark.createDataFrame(
+        metrics, "round long, n_nodes long, n_edges long"
+    )

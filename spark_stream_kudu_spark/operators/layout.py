@@ -9,9 +9,12 @@ tests/test_plans.py::test_bucketed_join_is_shuffle_free).
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1323,4 +1326,204 @@ def q188_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "((count(1) - count(DISTINCT chash)) * 1000000) div count(1)"
         ).cast("long").alias("dedup_ratio_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q189: compaction plan EXECUTION — the OPTIMIZE primitive q177 advises
+# --------------------------------------------------------------------------
+
+# Canonical event-row string for the order-independent content digest
+# (q169's DECIMAL(38,0) md5 sum): every column canonicalized to an
+# engine-neutral integer/string form — ts as epoch microseconds, value
+# at e4 (the fixture's native 2-decimal precision), so the digest pins
+# BYTE-level payload fidelity across the rewrite.
+_EVENT_ROW_SPARK = (
+    "concat_ws('|', CAST(event_id AS STRING), "
+    "CAST(unix_micros(ts) AS STRING), CAST(user_id AS STRING), "
+    "event_type, CAST(CAST(round(value * 10000) AS BIGINT) AS STRING), "
+    "props)"
+)
+_EVENT_ROW_SQL = (
+    "concat_ws('|', CAST(event_id AS VARCHAR), "
+    "CAST(epoch_us(ts) AS VARCHAR), CAST(user_id AS VARCHAR), "
+    "event_type, CAST(CAST(round(value * 10000) AS BIGINT) AS VARCHAR), "
+    "props)"
+)
+
+
+def compaction_groups(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[datetime.date]]]:
+    """The q177 plan collected and grouped by compaction bin. The
+    collect is |partitions| METADATA rows (one per hive partition dir —
+    calendar-bounded, never event rows), the same bounded-sentinel class
+    as the registry's other driver-side collects."""
+    rows = q177_compaction_plan(spark, sf_dir).collect()
+    groups: dict[int, list[datetime.date]] = {}
+    for r in rows:
+        day = datetime.date.fromisoformat(r["part_dir"].split("=", 1)[1])
+        groups.setdefault(int(r["bin_id"]), []).append(day)
+    return sorted((b, sorted(ds)) for b, ds in groups.items())
+
+
+def compaction_bin_scan(
+    spark: SparkSession, sf_dir: str, dates: list[datetime.date]
+) -> DataFrame:
+    """One rewrite group's input: the partitioned source pruned to
+    exactly the group's partition values. The IN-list lands on the hive
+    partition column, so planning prunes to the flagged directories
+    (PartitionFilters — asserted in tests/test_plans.py::
+    test_compaction_rewrite_reads_only_flagged_partitions) and the
+    rewrite never opens a byte outside its own group."""
+    ev = partitioned_events(spark, sf_dir)
+    return ev.filter(F.col("event_date").isin(dates))
+
+
+def compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted layout: each q177 bin rewritten to ONE file under
+    ``bin_id=K/``, written once per (process, sf_dir) with the
+    staging + atomic-rename + marker-recheck protocol the supply cache
+    uses. coalesce(1) per bin is the plan's own contract — bins track
+    total volume, so one output file per bin IS the right-sized file
+    the planner promised; at 100 TB the bin count (not the file count)
+    scales with volume and each bin's rewrite is an independent,
+    restartable job over only its own partitions."""
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_compacted_events_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        for bin_id, dates in compaction_groups(spark, sf_dir):
+            (
+                compaction_bin_scan(spark, sf_dir, dates)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(staging, f"bin_id={bin_id}"))
+            )
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
+            pass
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.exists(marker):
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(staging, path)
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    if not os.path.exists(marker):
+                        raise RuntimeError(
+                            f"compacted layout at {path} is incomplete "
+                            "(no _SUCCESS) and could not be replaced"
+                        )
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+_COMPACT_EXEC_ORACLE = f"""
+WITH f AS (
+  SELECT 'event_date=' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS part_dir,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+), plan AS (
+  SELECT part_dir,
+         CAST((COALESCE(sum(n_rows) OVER (
+                 ORDER BY part_dir
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * {COMPACTION_BINS}) // (sum(n_rows) OVER ()) AS BIGINT)
+           AS bin_id
+  FROM f
+), m AS (
+  SELECT CAST(substr(part_dir, 12) AS DATE) AS event_date, bin_id FROM plan
+), agg AS (
+  SELECT m.bin_id,
+         CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS n_parts,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST({{h}} AS DECIMAL(38,0))) AS VARCHAR) AS digest
+  FROM events e JOIN m ON m.event_date = CAST(e.ts AS DATE)
+  GROUP BY 1
+)
+SELECT bin_id, n_parts, n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       digest,
+       TRUE AS content_match
+FROM agg
+"""
+
+
+def _compact_exec_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    return _COMPACT_EXEC_ORACLE.format(h=sql_md5_int32(_EVENT_ROW_SQL))
+
+
+@register(
+    "q189_compaction_execute",
+    "layout",
+    "EXECUTE the q177 compaction plan — the OPTIMIZE primitive: each "
+    f"of the {COMPACTION_BINS} volume-balanced bins is rewritten to "
+    "ONE right-sized file by a scan pruned to exactly that bin's hive "
+    "partitions (PartitionFilters plan-asserted; the rewrite never "
+    "reads outside its group), then the result PROVES itself: (a) "
+    "content fidelity — the q169-style order-independent "
+    "DECIMAL(38,0) md5 digest of every canonicalized event row, "
+    "computed on BOTH the pre-compaction partitioned source and the "
+    "compacted files, must match per bin (content_match), and (b) "
+    "file-count reduction — n_files counts the compacted bin's actual "
+    "files via input_file_name (1 per bin, vs one-or-more per daily "
+    "partition before). The oracle recomputes the expected plan, row "
+    "counts, and digests from raw events and pins n_files=1 / "
+    "content_match=TRUE as literals, so ANY rewrite corruption or "
+    "fragmentation hash-fails the gate. At 100 TB each bin rewrite is "
+    "an independent restartable job reading only its own partitions; "
+    "digesting is one scan-local map + per-bin sum on each side.",
+    oracle=_compact_exec_oracle(),
+    prepare=lambda spark, sf_dir: compacted_events(spark, sf_dir) and None,
+)
+def q189_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    # input_file_name() is non-deterministic to the analyzer — project
+    # it to a column before aggregating over it.
+    comp = compacted_events(spark, sf_dir).withColumn(
+        "__file", F.input_file_name()
+    )
+    row_hash = md5_int32(F.expr(_EVENT_ROW_SPARK)).cast("decimal(38,0)")
+    after = comp.groupBy(F.col("bin_id").cast("long").alias("bin_id")).agg(
+        F.count_distinct("event_date").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("__file").cast("long").alias("n_files"),
+        F.sum(row_hash).cast("string").alias("digest"),
+    )
+    # Source side: the pre-compaction partitioned table, bins assigned
+    # from the broadcast |partitions|-row plan map.
+    plan_map = spark.createDataFrame(
+        [
+            (day, bin_id)
+            for bin_id, dates in compaction_groups(spark, sf_dir)
+            for day in dates
+        ],
+        "event_date date, bin_id long",
+    )
+    src = partitioned_events(spark, sf_dir).join(
+        F.broadcast(plan_map), "event_date"
+    )
+    before = src.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("src_rows"),
+        F.sum(row_hash).cast("string").alias("src_digest"),
+    )
+    return after.join(before, "bin_id").select(
+        "bin_id",
+        "n_parts",
+        "n_rows",
+        "n_files",
+        "digest",
+        (
+            (F.col("n_rows") == F.col("src_rows"))
+            & (F.col("digest") == F.col("src_digest"))
+        ).alias("content_match"),
     )

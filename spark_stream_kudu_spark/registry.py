@@ -145,6 +145,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q19_running_agg",
     # --- 3. round-7 registrations (zero driver rows yet; lead the
     #        round-8 window) ---
+    "q189_compaction_execute",
+    "q190_kcore",
 )
 
 

@@ -425,6 +425,31 @@ def test_seasonal_single_partition_windows_are_rollup_only(spark, sf_smoke):
     assert checks.has_partial_aggregate(df)
 
 
+def test_compaction_rewrite_reads_only_flagged_partitions(spark, sf_smoke):
+    """q189's per-bin rewrite scan must prune to exactly its group's
+    hive partitions: PartitionFilters carries the bin's event_date
+    IN-list, and the executed scan opens one file per flagged partition
+    — never the rest of the table (the property that makes OPTIMIZE an
+    incremental maintenance job instead of a full rewrite)."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.operators.layout import (
+        compaction_bin_scan,
+        compaction_groups,
+    )
+
+    groups = compaction_groups(spark, sf_smoke)
+    assert len(groups) > 1
+    _, dates = groups[0]
+    df = compaction_bin_scan(spark, sf_smoke, dates)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [event_date" in plan, plan
+    n_files = (
+        df.withColumn("f", F.input_file_name()).select("f").distinct().count()
+    )
+    assert n_files == len(dates), (n_files, len(dates))
+
+
 def test_encoding_advisor_has_no_single_partition_exchange(spark, sf_smoke):
     """q182 counts runs two-phase: the fact window partitions by
     (col, bucket) and the boundary stitch partitions by col over the
