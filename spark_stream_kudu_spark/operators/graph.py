@@ -794,17 +794,32 @@ def q190_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    metrics = kcore_trajectory(spark, edges, _KCORE_K, _KCORE_ROUNDS)
+    return spark.createDataFrame(
+        metrics, "round long, n_nodes long, n_edges long"
+    )
+
+
+def kcore_trajectory(
+    spark: SparkSession, edges: DataFrame, k: int, rounds: int
+) -> list[tuple[int, int, int]]:
+    """``rounds`` peel iterations over an undirected (u, v) edge list
+    (canonical u < v, deduplicated): per round, nodes whose degree in
+    the surviving subgraph is below ``k`` drop with their edges.
+    Returns the (round, n_nodes, n_edges) trajectory. Frontier gate:
+    an unchanged edge count proves the fixed point (a dropped node
+    always carries away an edge, since degrees come from the edge set
+    itself), so converged rounds emit without launching jobs.
+    Property-tested against plain-Python peeling on arbitrary graphs
+    in tests/test_properties.py."""
+    edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
     metrics: list[tuple[int, int, int]] = []
     converged = False
     reliable = configure_reliable_checkpoints(spark)
-    for r in range(1, _KCORE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         if converged:
-            # Fixed point reached: no edge left the graph last round,
-            # so no node can fall below k — emit the converged row
-            # without another job (the frontier gate).
             metrics.append((r, metrics[-1][1], metrics[-1][2]))
             continue
         deg = (
@@ -813,7 +828,7 @@ def q190_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        surv = deg.filter(F.col("c") >= _KCORE_K).select("node")
+        surv = deg.filter(F.col("c") >= k).select("node")
         n_nodes = surv.count()
         su = gated_broadcast(
             surv.select(F.col("node").alias("u")), n_nodes, spark
@@ -830,6 +845,4 @@ def q190_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Convergence check against the PREVIOUS round's edge count:
         # later iterations hit the gate above and emit without jobs.
         converged = n_edges == prev_edges
-    return spark.createDataFrame(
-        metrics, "round long, n_nodes long, n_edges long"
-    )
+    return metrics

@@ -913,3 +913,44 @@ def test_bucketed_run_count_stitch_equals_flat_runs(sess, vals, bucket_size):
     got = stitched.collect()[0]["n_runs"]
     want = 1 + sum(1 for a, b in zip(vals, vals[1:]) if a != b)
     assert got == want
+
+
+_KC_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(raw=_KC_EDGES, k=st.integers(min_value=1, max_value=4))
+def test_kcore_trajectory_matches_python_peeling(sess, raw, k):
+    """For ARBITRARY small graphs and k, the Spark peel loop's
+    (n_nodes, n_edges) trajectory — including the frontier-gated
+    converged tail — equals plain-Python peeling round by round,
+    through the real JVM joins (not a Python re-derivation)."""
+    from spark_stream_kudu_spark.operators.graph import kcore_trajectory
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    rounds = 5
+
+    # plain-Python reference peel
+    want = []
+    cur = list(edges)
+    for r in range(1, rounds + 1):
+        deg: dict[int, int] = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        surv = {n for n, c in deg.items() if c >= k}
+        cur = [(u, v) for u, v in cur if u in surv and v in surv]
+        want.append((r, len(surv), len(cur)))
+
+    df = sess.createDataFrame(edges, "u long, v long")
+    got = kcore_trajectory(sess, df, k, rounds)
+    assert got == want
