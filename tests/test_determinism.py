@@ -74,6 +74,11 @@ CLAIMED_INVARIANT = [
     "q184_equidepth_bins",
     "q187_topk_skewsafe",
     "q188_chunk_dedup",
+    # round-7 additions claiming integer-exactness: the compaction
+    # execution (order-independent DECIMAL(38,0) digests + exact
+    # counts) and the k-core trajectory (pure set/count peeling)
+    "q189_compaction_execute",
+    "q190_kcore",
 ]
 
 
