@@ -461,7 +461,14 @@ def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
     DAILY ROLLUP, never the event fact, so the single task sees at most
     |days| rows (calendar-bounded: ~36.5k rows for a century — KBs even
     at 100 TB of events). Plan-asserted in tests/test_plans.py::
-    test_seasonal_single_partition_windows_are_rollup_only."""
+    test_seasonal_single_partition_windows_are_rollup_only.
+
+    The detrended table ``d`` is consumed twice (the per-weekday
+    seasonal aggregate and the final join) and Spark's ReuseExchange
+    does NOT dedupe the two subtrees — without a lineage cut the EVENT
+    FACT would be scanned and rolled up twice (measured: 2 parquet
+    scans in the executed plan). ``d`` is |days| rows, so an eager
+    localCheckpoint costs KBs and halves the fact cost at any scale."""
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     t = daily.select(
         "day",
@@ -479,7 +486,7 @@ def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
         F.expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT)").alias(
             "wd"
         ),
-    )
+    ).localCheckpoint(eager=True)
     seas = d.groupBy("wd").agg(
         F.expr("sum(detr_e6) div count(*)").cast("long").alias("seasonal_e6")
     )

@@ -413,16 +413,17 @@ def test_equidepth_fact_window_is_partitioned(spark, sf_smoke):
 
 
 def test_seasonal_single_partition_windows_are_rollup_only(spark, sf_smoke):
-    """q183's only SinglePartition exchanges are the two consumers of
-    the |days|-row daily-rollup moving-average window (seasonal side +
-    output side) — the event fact must never funnel through one task.
-    Both window specs order by `day`, i.e. they sit ABOVE the daily
-    groupBy, whose partial aggregation reduces the fact first."""
+    """q183's fact subtree (scan + daily rollup + the |days|-row
+    SinglePartition moving-average window) runs exactly ONCE: the
+    detrended rollup is eagerly checkpointed before its two consumers
+    (ReuseExchange does not dedupe them — without the cut the event
+    fact was scanned twice, measured). The RESULT plan must therefore
+    contain NO parquet scan and NO SinglePartition exchange: only the
+    checkpointed |days| rows flow through the seasonal join."""
     df = ALL["q183_seasonal_decompose"].builder(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("SinglePartition") == 2, plan
-    assert "windowspecdefinition(day" in plan, plan
-    assert checks.has_partial_aggregate(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("SinglePartition") == 0, plan
 
 
 def test_compaction_rewrite_reads_only_flagged_partitions(spark, sf_smoke):
