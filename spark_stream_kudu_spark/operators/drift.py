@@ -416,6 +416,11 @@ def q128_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .groupBy("okey")
         .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
+        # The basket table feeds marginals, the order total AND the
+        # pair expansion; ReuseExchange does not dedupe the subtrees,
+        # so without the cut the lineitem x part join ran 4x
+        # (measured: 4 scans of each). |orders| rows — cheap to pin.
+        .localCheckpoint(eager=True)
     )
     marginals = grouped.select(F.explode("brands").alias("brand")).groupBy(
         "brand"
@@ -1626,7 +1631,14 @@ def q153_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = lambda c: F.floor(
         F.datediff(c.cast("date"), F.lit("2024-01-01").cast("date")) / 7
     ).cast("long")
-    first_seen = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    # first_seen is consumed twice (join side + cohort sizing) and
+    # ReuseExchange does not dedupe the subtrees — without the cut the
+    # event fact was scanned 3x (measured). The per-user rollup is the
+    # table the query already assumes broadcastable, so the eager
+    # checkpoint is cheap and events scan once per remaining consumer.
+    first_seen = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    ).localCheckpoint(eager=True)
     rev = (
         ev.join(F.broadcast(first_seen), "user_id")
         .groupBy(
@@ -1715,7 +1727,9 @@ def q154_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("week"),
         "user_id",
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
+    # act feeds both DAU and WAU; without the lineage cut the fact was
+    # scanned and re-distincted twice (ReuseExchange does not dedupe).
     dau = act.groupBy("week", "day").agg(F.count(F.lit(1)).alias("dau"))
     wk = dau.groupBy("week").agg(
         F.sum("dau").alias("active_user_days"),

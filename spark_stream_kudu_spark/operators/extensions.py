@@ -538,9 +538,25 @@ FROM events
 )
 def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    base = ev.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # Exactly TWO fact scans, each lineage-cut before its multiple
+    # consumers (ReuseExchange does not dedupe the subtrees — without
+    # the cuts this plan scanned events 6x, measured): the (day, type)
+    # sketch rollup that all three grains re-merge from, and the
+    # distinct (day, type, user) triple table that all three EXACT
+    # anchors reduce (any grain's count(DISTINCT user) over the triples
+    # equals it over raw events, since every (grain, user) pair
+    # survives the projection). The anchor scan exists only for the
+    # gate; production ships the sketch table alone.
+    base = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    triples = (
+        ev.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def _ok():
         est = F.hll_sketch_estimate("g")
@@ -549,7 +565,7 @@ def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_users"))
         ).cast("bigint")
 
-    exact_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+    exact_day = triples.groupBy("day").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
     per_day = (
@@ -563,7 +579,7 @@ def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ok().alias("est_ok"),
         )
     )
-    exact_type = ev.groupBy("event_type").agg(
+    exact_type = triples.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
     per_type = (
@@ -581,7 +597,7 @@ def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.agg(F.hll_union_agg("sk").alias("g"))
         .crossJoin(
             F.broadcast(
-                ev.agg(F.count_distinct("user_id").alias("exact_users"))
+                triples.agg(F.count_distinct("user_id").alias("exact_users"))
             )
         )
         .select(

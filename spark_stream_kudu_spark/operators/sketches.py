@@ -685,7 +685,13 @@ JOIN c cb ON cb.event_type = p.type_b
 def q185_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    words = bitmap_words(ev)
+    # The words table is consumed FOUR times (both join sides + both
+    # count arms) and ReuseExchange does not dedupe the subtrees —
+    # without a lineage cut the event fact is scanned 4x (measured).
+    # The words are ~|types| x |id-space|/63 rows, so the eager
+    # checkpoint is tiny and the fact scans once (the "compute once,
+    # answer both" claim made literal). Plan-asserted in test_plans.
+    words = bitmap_words(ev).localCheckpoint(eager=True)
     wa = words.select(
         F.col("event_type").alias("type_a"), "word", F.col("mask").alias("ma")
     )
