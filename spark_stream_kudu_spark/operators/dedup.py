@@ -1027,10 +1027,24 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
     )
-    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    # The exploded (doc, shingle) stream feeds BOTH the document-
+    # frequency rollup and the rarest-first re-sort, and ReuseExchange
+    # does not dedupe the subtrees (measured: 0 ReusedExchange, the
+    # corpus tokenized per consumer) — pin it once. This is the
+    # inverted-index materialization every dedup pipeline stores
+    # anyway; at 100 TB it trades one local write for a repeated
+    # full-corpus tokenize+shingle pass.
+    ex = sh.select("doc_id", F.explode("s").alias("g")).localCheckpoint(
+        eager=True
+    )
     df_counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # Rarest-first total order (df, then shingle text) — identical for
     # every document, which is what the prefix-filter guarantee needs.
+    # `ranked` is consumed THREE times (prefix probe + both verify
+    # sides) — pinned for the same reason as `ex` (the docstring's
+    # "runs once" claim is made literal by the checkpoint; without it
+    # the whole scan->tokenize->df->sort chain re-ran per consumer:
+    # 8 corpus scans measured for this one query).
     ranked = (
         ex.join(df_counts, "g")
         .groupBy("doc_id")
@@ -1040,6 +1054,7 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
             F.transform("ordered", lambda x: x["g"]).alias("os"),
             F.size("ordered").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     # Probe prefix: |S| - ceil(t*|S|) + 1 rarest shingles. J(A,B) >= t
     # forces |A n B| >= t*max(|A|,|B|), so two qualifying prefixes must
@@ -1087,10 +1102,11 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
     # re-derivation of `sh` from raw text: intersection size is
     # order-independent and `os` is distinct, so |A u B| = |A| + |B| -
     # |A n B| (inclusion-exclusion — no union array ever built). Reusing
-    # `ranked` makes the probe and both verify sides identical subplans,
-    # so the scan + tokenize + shingle + df-rank work runs ONCE and the
-    # plan reuses the exchange (3 tokenization passes collapse to 1 —
-    # at 100 TB that is 2 full corpus scans saved).
+    # `ranked` (checkpointed above) serves the probe and both verify
+    # sides from one materialization — the scan + tokenize + shingle +
+    # df-rank work runs ONCE (ReuseExchange was measured NOT to dedupe
+    # the identical subplans, so the pin is what actually saves the
+    # repeated corpus passes at 100 TB).
     ra = ranked.select(
         F.col("doc_id").alias("doc_a"), F.col("os").alias("sa"),
         F.col("n").alias("na"),
@@ -1316,7 +1332,13 @@ WHERE (len(list_distinct(list_intersect(a.s, b.s))) * 1.0 /
 )
 def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    bands = _minhash_bands(d)
+    # Both band-join sides and both verify sides re-ran the full
+    # scan->tokenize->minhash chain (ReuseExchange dedupes none of it;
+    # 4 corpus scans measured) — pin the band table and the shingle
+    # table once each. In production both ARE stored tables (the
+    # signature index this query maintains), so the pins mirror the
+    # deployment exactly.
+    bands = _minhash_bands(d).localCheckpoint(eager=True)
     is_new = F.col("doc_id") % 4 == 3
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("n"), "band", "bkey"
@@ -1337,7 +1359,7 @@ def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("n"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("m"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
