@@ -2002,3 +2002,218 @@ def interval_union_per_key(
             F.sum("c").cast("long").alias("union_len"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): trained-cluster blocking + centroid-distance
+# keep-priority (Abbas et al. 2023, arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+# Pair-test threshold tau = 2/5 as an exact rational: cos(i,j) >= 2/5
+# <=> dot > 0 AND 25*dot^2 >= 4*|i|^2*|j|^2 over the q8-quantized
+# integer vectors — both engines evaluate the identical integers, so
+# the decision is bit-reproducible. Production SemDeDup runs tau ~0.95+
+# on real web corpora; the synthetic fixture's within-cluster cosines
+# top out at ~0.47/0.51/0.60 (sf0.001/0.01/0.1), so 2/5 is the
+# fixture-pinned value that exercises the prune at every scale
+# (20/26/277 of 500/500/2000 members pruned).
+_SEM_TAU_NUM = 2
+_SEM_TAU_DEN = 5
+_SEM_SCALE = 256  # q8 component quantization: keeps 25*dot^2 in BIGINT
+# Loud contract: |x8|^2 summed over 64 dims stays under 2^26 (components
+# |x| <= 4.0) so 25*dot^2 <= 25*2^52 ~ 1.1e17 and 4*n8_i*n8_j <= 1.8e16
+# both fit BIGINT exactly — a fixture violating it fails the job instead
+# of silently wrapping (the bitmap kernel's assert pattern,
+# sketches.py:591).
+_SEM_N8_BOUND = 1 << 26
+
+
+def _sem_oracle() -> str:
+    from spark_stream_kudu_spark.operators.similarity import _DIM, _KMEANS_CTES
+
+    dot = (
+        f"list_sum(list_transform(generate_series(1,{_DIM}),"
+        " t -> i.x8[t]*j.x8[t]))"
+    )
+    return f"""
+WITH {_KMEANS_CTES},
+c2 AS (
+  SELECT cid,
+         list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cq
+  FROM u2 GROUP BY cid
+),
+a3d AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT v.vec_id, c.cid,
+           list_sum(list_transform(generate_series(1, {_DIM}),
+                     i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) AS d,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                       i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM vq v CROSS JOIN c2 c
+  ) WHERE rn = 1
+),
+v8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x*{_SEM_SCALE}) AS BIGINT)) AS x8
+  FROM embeddings
+),
+m AS (
+  SELECT a.vec_id, a.cid, a.d, v8.x8,
+         list_sum(list_transform(v8.x8, x -> x*x)) AS n8
+  FROM a3d a JOIN v8 USING(vec_id)
+),
+dom AS (
+  SELECT j.vec_id, count(*) AS n_dominators
+  FROM m i JOIN m j ON i.cid = j.cid
+    AND (i.d > j.d OR (i.d = j.d AND i.vec_id < j.vec_id))
+  WHERE {dot} > 0
+    AND {_SEM_TAU_DEN * _SEM_TAU_DEN}*{dot}*{dot}
+        >= {_SEM_TAU_NUM * _SEM_TAU_NUM}*i.n8*j.n8
+  GROUP BY j.vec_id
+)
+SELECT m.vec_id,
+       CAST(m.cid AS BIGINT) AS cluster_id,
+       CAST(m.d AS BIGINT) AS cdist_q20,
+       CAST(COALESCE(dom.n_dominators, 0) AS BIGINT) AS n_dominators,
+       CAST(CASE WHEN dom.n_dominators IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS pruned
+FROM m LEFT JOIN dom USING(vec_id)
+"""
+
+
+def _sem_prepare(spark: SparkSession, sf_dir: str) -> None:
+    from spark_stream_kudu_spark.operators.similarity import trained_codebook
+
+    trained_codebook(spark, sf_dir)
+
+
+@register(
+    "dedup_semantic",
+    "dedup",
+    "SemDeDup semantic dedup: assign every vector to its TRAINED Lloyd "
+    "cluster (the sim_topk_ivf_trained codebook, cached per fixture "
+    "fingerprint), rank members by exact integer squared-L2 distance to "
+    "their centroid, and prune any member tau-cosine-similar (tau=2/5, "
+    "exact rational over q8-quantized integers) to a higher-priority "
+    "member of the SAME cluster — priority = farthest-from-centroid "
+    "first (the paper keeps the LOW-centroid-similarity representative), "
+    "ties to the lower vec_id. Output: the full per-vector decision "
+    "(cluster, centroid distance, dominator count, pruned flag), never "
+    "just the removals, so the oracle checks every keep AND every prune.",
+    oracle=_sem_oracle(),
+    prepare=_sem_prepare,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, Spark-shaped. At 100 TB: the codebook is trained once
+    per index build (cached + prepare-warmed, the supply_table pattern)
+    and broadcast as literal arrays; quantization, assignment, and the
+    q8 self-norms are scan-local codegen'd expressions; the ONLY pair
+    space is the within-cluster self-join keyed on cid — k scales with
+    the corpus so per-cluster membership stays bounded, and the
+    dominated-rule pair test (dot products as zip_with folds) never
+    leaves the joined row. One cid-keyed shuffle each side + one
+    keyed count + one left join back to the member table (pinned with
+    an eager localCheckpoint: 3 consumers, trained assignment computed
+    once). Cluster skew follows the LSH-bucket story: AQE skew-join,
+    or a bucket cap if a production corpus degenerates.
+
+    Decision rule (deterministic, not sequential-greedy): member j is
+    pruned iff SOME higher-priority member i of its cluster has
+    cos(i,j) >= tau. All arithmetic is exact integers, so the result is
+    invariant under partitioning and matches DuckDB bit-for-bit."""
+    from spark_stream_kudu_spark.operators.similarity import (
+        _km_quantize,
+        km_assign_dist,
+        trained_codebook,
+    )
+
+    tune_session(spark)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = trained_codebook(spark, sf_dir)
+    assigned = km_assign_dist(_km_quantize(e), cents)
+    n8_guarded = F.expr(
+        f"COALESCE(CAST(assert_true(n8 <= {_SEM_N8_BOUND}, 'dedup_semantic: "
+        "embedding magnitude violates the q8 overflow contract "
+        f"(n8 > 2^26)') AS BIGINT), n8)"
+    )
+    m = (
+        assigned.select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.col("cdist").alias("cdist_q20"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x * F.lit(float(_SEM_SCALE))).cast("long"),
+            ).alias("x8"),
+        )
+        .withColumn(
+            "n8",
+            F.aggregate(
+                F.transform("x8", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("n8", n8_guarded)
+        # 3 consumers (both self-join sides + the final left join):
+        # pin the trained assignment once, the stored-table stand-in
+        # pattern (this IS the persisted cluster-membership table of a
+        # real SemDeDup deployment).
+        .localCheckpoint(eager=True)
+    )
+    i = m.select(
+        F.col("vec_id").alias("i_id"),
+        F.col("cluster_id").alias("i_cid"),
+        F.col("cdist_q20").alias("i_d"),
+        F.col("x8").alias("i_x8"),
+        F.col("n8").alias("i_n8"),
+    )
+    j = m.select(
+        F.col("vec_id").alias("j_id"),
+        F.col("cluster_id").alias("j_cid"),
+        F.col("cdist_q20").alias("j_d"),
+        F.col("x8").alias("j_x8"),
+        F.col("n8").alias("j_n8"),
+    )
+    dot = F.aggregate(
+        F.zip_with("i_x8", "j_x8", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dom = (
+        i.join(
+            j,
+            (F.col("i_cid") == F.col("j_cid"))
+            & (
+                (F.col("i_d") > F.col("j_d"))
+                | ((F.col("i_d") == F.col("j_d")) & (F.col("i_id") < F.col("j_id")))
+            ),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(_SEM_TAU_DEN * _SEM_TAU_DEN) * F.col("dot") * F.col("dot")
+                >= F.lit(_SEM_TAU_NUM * _SEM_TAU_NUM) * F.col("i_n8") * F.col("j_n8")
+            )
+        )
+        .groupBy(F.col("j_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominators"))
+    )
+    return (
+        m.select("vec_id", "cluster_id", "cdist_q20")
+        .join(dom, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cdist_q20",
+            F.coalesce("n_dominators", F.lit(0).cast("long")).alias("n_dominators"),
+            (F.coalesce("n_dominators", F.lit(0).cast("long")) > 0)
+            .cast("long")
+            .alias("pruned"),
+        )
+    )

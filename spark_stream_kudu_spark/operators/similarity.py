@@ -1202,11 +1202,11 @@ def _km_quantize(emb: DataFrame) -> DataFrame:
     )
 
 
-def _km_assign(vq: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """Nearest-centroid id (exact integer squared-L2, ties -> lowest cid)
-    appended as ``cid``; dist to each centroid is a literal-array
-    zip_with fold, argmin via array_min over (dist, cid) structs —
-    row-local, exact, whole-stage-codegen'd."""
+def _km_best(cents: list[tuple[int, list[int]]]):
+    """The (dist, cid) struct of the nearest centroid (exact integer
+    squared-L2, ties -> lowest cid); dist to each centroid is a
+    literal-array zip_with fold, argmin via array_min over (dist, cid)
+    structs — row-local, exact, whole-stage-codegen'd."""
     pairs = F.array(
         *[
             F.struct(
@@ -1224,7 +1224,25 @@ def _km_assign(vq: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
             for cid, comps in cents
         ]
     )
-    return vq.withColumn("cid", F.array_min(pairs)["cid"])
+    return F.array_min(pairs)
+
+
+def _km_assign(vq: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid id appended as ``cid`` (see ``_km_best``)."""
+    return vq.withColumn("cid", _km_best(cents)["cid"])
+
+
+def km_assign_dist(
+    vq: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Nearest-centroid id AND its exact integer squared-L2 distance,
+    appended as ``cid`` / ``cdist`` — the assignment used when a
+    consumer also needs the member's distance to its own centroid
+    (e.g. SemDeDup's keep-priority, dedup.py dedup_semantic)."""
+    best = _km_best(cents)
+    return vq.withColumn("_best", best).select(
+        "*", F.col("_best")["cid"].alias("cid"), F.col("_best")["dist"].alias("cdist")
+    ).drop("_best")
 
 
 def _km_update(assigned: DataFrame) -> DataFrame:

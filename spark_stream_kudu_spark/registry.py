@@ -147,6 +147,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     #        round-8 window) ---
     "q189_compaction_execute",
     "q190_kcore",
+    "dedup_semantic",
 )
 
 

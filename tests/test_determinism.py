@@ -79,6 +79,9 @@ CLAIMED_INVARIANT = [
     # counts) and the k-core trajectory (pure set/count peeling)
     "q189_compaction_execute",
     "q190_kcore",
+    # round-7 SemDeDup: exact integer squared-L2 priority + exact
+    # rational cosine threshold over q8-quantized integers
+    "dedup_semantic",
 ]
 
 

@@ -1200,3 +1200,90 @@ def test_substring_audit_semantics_handcrafted(spark):
     assert out[4] == (12, 1, 8, 666666)
     # short doc appears with zeros
     assert out[5] == (3, 0, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: full pipeline vs an independent pure-Python recomputation
+# --------------------------------------------------------------------------
+
+def test_dedup_semantic_matches_pure_python_pipeline(spark):
+    """Recompute the ENTIRE SemDeDup decision in plain Python integers
+    from the raw parquet — 2-round integer Lloyd from vec_id<k seeds,
+    nearest-centroid assignment with distance, q8 dominated rule — and
+    demand bit-equality with the Spark query. Independent of both Spark
+    AND the DuckDB oracle (triple verification of the decision vector)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from spark_stream_kudu_spark.operators import dedup as D
+    from spark_stream_kudu_spark.operators import similarity as S
+    from spark_stream_kudu_spark.registry import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vecs = {
+        int(v): [math.floor(float(x) * S._SCALE) for x in e]
+        for v, e in zip(t["vec_id"], t["embedding"])
+    }
+
+    def assign(cents):
+        # nearest centroid by exact integer squared-L2, ties -> low cid
+        out = {}
+        for v, x in vecs.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(x, c)), cid)
+                for cid, c in cents.items()
+            )
+            out[v] = best  # (dist, cid)
+        return out
+
+    def update(assigned):
+        sums, counts = {}, {}
+        for v, (_, cid) in assigned.items():
+            counts[cid] = counts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * len(vecs[v]))
+            for p, comp in enumerate(vecs[v]):
+                s[p] += comp
+        # exact floor-division mean (Python // IS floor division)
+        return {cid: [c // counts[cid] for c in s] for cid, s in sums.items()}
+
+    cents = {v: vecs[v] for v in range(S._KM_K)}
+    for _ in range(S._KM_ROUNDS):
+        cents = update(assign(cents))
+    a3 = assign(cents)
+
+    x8 = {
+        int(v): [math.floor(float(x) * D._SEM_SCALE) for x in e]
+        for v, e in zip(t["vec_id"], t["embedding"])
+    }
+    n8 = {v: sum(c * c for c in x) for v, x in x8.items()}
+    expected = {}
+    for v in vecs:
+        d_v, cid_v = a3[v][0], a3[v][1]
+        doms = 0
+        for u in vecs:
+            if u == v or a3[u][1] != cid_v:
+                continue
+            d_u = a3[u][0]
+            if not (d_u > d_v or (d_u == d_v and u < v)):
+                continue
+            dot = sum(a * b for a, b in zip(x8[u], x8[v]))
+            if dot > 0 and (
+                D._SEM_TAU_DEN**2 * dot * dot
+                >= D._SEM_TAU_NUM**2 * n8[u] * n8[v]
+            ):
+                doms += 1
+        expected[v] = (cid_v, d_v, doms, 1 if doms else 0)
+
+    got = {
+        int(r["vec_id"]): (
+            int(r["cluster_id"]),
+            int(r["cdist_q20"]),
+            int(r["n_dominators"]),
+            int(r["pruned"]),
+        )
+        for r in load_all()["dedup_semantic"].builder(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(p for (_, _, _, p) in got.values()) > 0  # prune is exercised

@@ -461,3 +461,15 @@ def test_encoding_advisor_has_no_single_partition_exchange(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SinglePartition") == 0, plan
     assert "windowspecdefinition(col" in plan, plan
+
+
+def test_semantic_dedup_pairs_are_cluster_blocked(spark, sf_smoke):
+    """SemDeDup's only pair space must be the cid-keyed equi self-join
+    (cluster blocking IS the scale story) — never a nested loop or a
+    cartesian — with zero Python nodes: quantization, assignment and
+    the dominated-rule dot products are all codegen'd expressions."""
+    df = ALL["dedup_semantic"].builder(spark, sf_smoke)
+    plan = checks.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(checks.python_eval_nodes(df)) == 0
