@@ -148,6 +148,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q189_compaction_execute",
     "q190_kcore",
     "dedup_semantic",
+    "stream_semantic_dedup_e2e",
 )
 
 

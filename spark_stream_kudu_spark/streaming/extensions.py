@@ -2075,3 +2075,195 @@ def stream_seasonal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.col("cnt").cast("long").alias("cnt")
     )
     return seasonal_decompose_from_daily(daily)
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental semantic dedup — continuous-crawl SemDeDup
+# --------------------------------------------------------------------------
+
+
+def _sem_stream_oracle() -> str:
+    # The accumulated decision vector provably equals the ONE-SHOT batch
+    # SemDeDup decision (dedup.py dedup_semantic): the dominated rule is
+    # arrival-order-independent (each unordered within-cluster pair
+    # credits its lower-priority member exactly once, in the LATER
+    # arrival's batch), and the dominator-count store is additive — so
+    # the streaming twin shares the batch oracle verbatim.
+    from spark_stream_kudu_spark.operators.dedup import _sem_oracle
+
+    return _sem_oracle()
+
+
+@register(
+    "stream_semantic_dedup_e2e",
+    "streaming",
+    "END-TO-END continuous-crawl SemDeDup: embedding vectors arrive as "
+    "4 micro-batches; each batch assigns against the FIXED trained "
+    "codebook (broadcast literals — training is the index-build step, "
+    "exactly as in the batch op), new-vs-store and new-vs-new "
+    "within-cluster pairs are tested with the q8 exact-rational cosine "
+    "rule, and each qualifying unordered pair credits its "
+    "LOWER-priority member (+1) into an additive dominator store — a "
+    "later arrival can therefore flip an EXISTING member to pruned, "
+    "which last-writer-wins pair stores cannot express. "
+    "Existing-vs-existing pairs are never re-enumerated, so per-batch "
+    "cost scales with the batch, not the corpus. The final decision "
+    "vector provably equals the one-shot batch SemDeDup and shares its "
+    "oracle verbatim.",
+    oracle=_sem_stream_oracle(),
+)
+def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance form of dedup.py dedup_semantic.
+
+    Correctness argument: priority (cdist DESC, vec_id ASC) is a total
+    order independent of arrival; for every unordered same-cluster pair
+    (a, b), exactly one member is lower-priority, and the pair is
+    enumerated exactly once — in the later arrival's batch (new-vs-store
+    covers cross-batch pairs in both domination directions, new-vs-new
+    covers same-batch pairs once via id ordering). n_dominators is a sum
+    of those single credits, so the additive store converges to the
+    batch op's counts for ANY batch slicing; replay is idempotent via
+    the sink's batch marker. At 100 TB the per-batch joins are cid-keyed
+    against only the batch's clusters; the member store is the persisted
+    cluster-membership table a production SemDeDup index maintains."""
+    from spark_stream_kudu_spark.operators.dedup import (
+        _SEM_N8_BOUND,
+        _SEM_SCALE,
+        _SEM_TAU_DEN,
+        _SEM_TAU_NUM,
+    )
+    from spark_stream_kudu_spark.operators.similarity import (
+        _km_quantize,
+        km_assign_dist,
+        trained_codebook,
+    )
+    from spark_stream_kudu_spark.streaming.sinks import (
+        AdditiveRollupSink,
+        UpsertParquetSink,
+    )
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = trained_codebook(spark, sf_dir)
+    base = new_run_dir("semd")
+    src = stage_mod_slices(emb, base, "vec_id")
+
+    member_store = UpsertParquetSink(os.path.join(base, "members"), key=["vec_id"])
+    dom_store = AdditiveRollupSink(
+        os.path.join(base, "doms"), key=["vec_id"], sum_cols=["n_dominators"]
+    )
+
+    def _prep(batch_df: DataFrame) -> DataFrame:
+        n8_guarded = F.expr(
+            f"COALESCE(CAST(assert_true(n8 <= {_SEM_N8_BOUND}, "
+            "'stream_semantic_dedup_e2e: embedding magnitude violates the "
+            f"q8 overflow contract (n8 > 2^26)') AS BIGINT), n8)"
+        )
+        return (
+            km_assign_dist(_km_quantize(batch_df), cents)
+            .select(
+                "vec_id",
+                F.col("cid").cast("long").alias("cluster_id"),
+                F.col("cdist").alias("cdist_q20"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x * F.lit(float(_SEM_SCALE))).cast("long"),
+                ).alias("x8"),
+            )
+            .withColumn(
+                "n8",
+                F.aggregate(
+                    F.transform("x8", lambda v: v * v),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn("n8", n8_guarded)
+        )
+
+    def _credits(pairs: DataFrame) -> DataFrame:
+        """One (+1) credit to the LOWER-priority member of each
+        qualifying pair; columns a_*/b_* per side."""
+        dot = F.aggregate(
+            F.zip_with("a_x8", "b_x8", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        a_wins = (F.col("a_d") > F.col("b_d")) | (
+            (F.col("a_d") == F.col("b_d")) & (F.col("a_id") < F.col("b_id"))
+        )
+        return (
+            pairs.withColumn("dot", dot)
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    F.lit(_SEM_TAU_DEN * _SEM_TAU_DEN)
+                    * F.col("dot")
+                    * F.col("dot")
+                    >= F.lit(_SEM_TAU_NUM * _SEM_TAU_NUM)
+                    * F.col("a_n8")
+                    * F.col("b_n8")
+                )
+            )
+            .select(F.when(a_wins, F.col("b_id")).otherwise(F.col("a_id")).alias("vec_id"))
+        )
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"{tag}_id"),
+            F.col("cluster_id").alias(f"{tag}_cid"),
+            F.col("cdist_q20").alias(f"{tag}_d"),
+            F.col("x8").alias(f"{tag}_x8"),
+            F.col("n8").alias(f"{tag}_n8"),
+        )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new = _prep(batch_df).localCheckpoint(eager=True)
+        prev = member_store.read(spark)
+        a = _side(new, "a")
+        within = a.join(
+            _side(new, "b"),
+            (F.col("a_cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")),
+        )
+        credits = _credits(within)
+        if prev is not None:
+            cross = a.join(
+                _side(prev, "b"), F.col("a_cid") == F.col("b_cid")
+            )
+            credits = credits.unionByName(_credits(cross))
+        partial = credits.groupBy("vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_dominators")
+        )
+        dom_store(partial, batch_id)
+        member_store(new, batch_id)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    members = member_store.read(spark)
+    doms = dom_store.read(spark)
+    out = members.select("vec_id", "cluster_id", "cdist_q20")
+    if doms is not None:
+        out = out.join(doms.select("vec_id", "n_dominators"), "vec_id", "left")
+    else:
+        out = out.withColumn("n_dominators", F.lit(None).cast("long"))
+    return out.select(
+        "vec_id",
+        "cluster_id",
+        "cdist_q20",
+        F.coalesce("n_dominators", F.lit(0).cast("long")).alias("n_dominators"),
+        (F.coalesce("n_dominators", F.lit(0).cast("long")) > 0)
+        .cast("long")
+        .alias("pruned"),
+    )

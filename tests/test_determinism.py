@@ -80,8 +80,11 @@ CLAIMED_INVARIANT = [
     "q189_compaction_execute",
     "q190_kcore",
     # round-7 SemDeDup: exact integer squared-L2 priority + exact
-    # rational cosine threshold over q8-quantized integers
+    # rational cosine threshold over q8-quantized integers; the
+    # streaming twin's additive credit store is batch-slicing- and
+    # partitioning-independent by the same argument
     "dedup_semantic",
+    "stream_semantic_dedup_e2e",
 ]
 
 
