@@ -46,6 +46,22 @@ from spark_stream_kudu_spark.session import get_spark  # noqa: E402
 # Spark task on this box.
 CALIB_REF_SEC = 0.156
 
+# Round-7 addition: the single-core spin under-corrects. A same-host
+# A/B (round-6 code vs round-7 HEAD, run back-to-back on the round-7
+# host) measured v1 22.58 s vs 22.47 s and v2 27.77 s vs 24.96 s while
+# the single-core factor claimed the host was FASTER than round 6's
+# (0.98-1.16 vs 1.307) — i.e. round-over-round raw deltas in BENCH_r0N
+# are dominated by MULTI-core host drift (32-way throughput under
+# shared-VM contention) that a 1-thread spin cannot see. host_factor /
+# value_normalized keep their definitions for series continuity; the
+# _mt twins below add a concurrent-process calibration that tracks the
+# throughput the 32-thread suite actually runs at. CALIB_MT_REF_SEC is
+# pinned on the round-7 host (best-of-2 at load ~2; repeated probes
+# 0.330-0.354), so host_factor_mt = 1.0 means "as fast as the round-7
+# close host" and later rounds normalize against that.
+CALIB_MT_REF_SEC = 0.33
+_CALIB_MT_PROCS = 8
+
 # headline_v2 (round 5): the frozen-34 suite predates ~200 of the 304
 # registered queries — it times nothing from the graph (beyond q86),
 # sketch, drift, dedup-verify, ANN-trained, retrieval, or pipeline
@@ -87,25 +103,49 @@ BENCH_V3: tuple[str, ...] = (
 )
 
 
-def _calibrate() -> float:
-    """Best-of-3 fixed CPU workload: numpy matmul + pure-Python loop
-    (the two substrates engine time is actually spent on outside the
-    JVM; JVM task time tracks the same per-core clock)."""
+def _calib_workload() -> float:
+    """One unit of the fixed CPU workload: numpy matmul + pure-Python
+    loop (the two substrates engine time is actually spent on outside
+    the JVM; JVM task time tracks the same per-core clock)."""
     import numpy as np
 
+    t0 = time.perf_counter()
+    a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+    acc = a
+    for _ in range(12):
+        acc = acc @ a
+        acc = acc / max(1.0, float(abs(acc[0, 0])) or 1.0)
+    s = 0
+    for i in range(2_000_000):
+        s += i ^ (i >> 3)
+    return time.perf_counter() - t0
+
+
+def _calibrate() -> float:
+    """Best-of-3 single-threaded workload (the original, pinned
+    yardstick — see CALIB_REF_SEC)."""
+    return min(_calib_workload() for _ in range(3))
+
+
+def _calibrate_mt() -> float:
+    """Best-of-2 CONCURRENT calibration: _CALIB_MT_PROCS processes each
+    run one workload unit simultaneously; the score is the wall time
+    for all to finish — per-core throughput under multi-core load,
+    which is what the 32-thread suite actually experiences on this
+    shared VM (see CALIB_MT_REF_SEC note)."""
+    from concurrent.futures import ProcessPoolExecutor
+
     best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
-        acc = a
-        for _ in range(12):
-            acc = acc @ a
-            acc = acc / max(1.0, float(abs(acc[0, 0])) or 1.0)
-        s = 0
-        for i in range(2_000_000):
-            s += i ^ (i >> 3)
-        best = min(best, time.perf_counter() - t0)
+    with ProcessPoolExecutor(max_workers=_CALIB_MT_PROCS) as ex:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            list(ex.map(_run_calib_unit, range(_CALIB_MT_PROCS)))
+            best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _run_calib_unit(_: int) -> float:
+    return _calib_workload()
 
 
 def main() -> None:
@@ -114,6 +154,7 @@ def main() -> None:
     # again after the suite; take the min — steady-state per-core speed,
     # not a GC or steal burst.
     calib_pre = _calibrate()
+    calib_mt_pre = _calibrate_mt()
     spark = get_spark("engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -164,7 +205,9 @@ def main() -> None:
     total_v2 = round(sum(timings_v2.values()), 3)
     total_v3 = round(sum(timings_v3.values()), 3)
     calib = min(calib_pre, _calibrate())
+    calib_mt = min(calib_mt_pre, _calibrate_mt())
     host_factor = round(calib / CALIB_REF_SEC, 3)
+    host_factor_mt = round(calib_mt / CALIB_MT_REF_SEC, 3)
     print(
         json.dumps(
             {
@@ -177,6 +220,12 @@ def main() -> None:
                 "calib_ref_sec": CALIB_REF_SEC,
                 "host_factor": host_factor,
                 "value_normalized": round(total / host_factor, 3),
+                "calib_mt_sec": round(calib_mt, 3),
+                "calib_mt_ref_sec": CALIB_MT_REF_SEC,
+                "host_factor_mt": host_factor_mt,
+                "value_normalized_mt": round(total / host_factor_mt, 3),
+                "value_v2_normalized_mt": round(total_v2 / host_factor_mt, 3),
+                "value_v3_normalized_mt": round(total_v3 / host_factor_mt, 3),
                 "metric_v2": "headline_v2_total_sec",
                 "value_v2": total_v2,
                 "queries_v2": timings_v2,
