@@ -102,6 +102,18 @@ BENCH_V3: tuple[str, ...] = (
     "q188_chunk_dedup",          # content-addressable chunk dedup
 )
 
+# headline_v4 (round 7, late): the round-7 registrations — compaction
+# execution, k-core peeling, and the SemDeDup pair (batch + streaming
+# twin). Same additive-suite principle as v3: earlier suites stay
+# frozen, the perf bar follows the certified surface. Membership
+# pinned in tests/test_cli.py.
+BENCH_V4: tuple[str, ...] = (
+    "q189_compaction_execute",     # OPTIMIZE rewrite + content proof
+    "q190_kcore",                  # iterative k-core peeling
+    "dedup_semantic",              # SemDeDup batch decision vector
+    "stream_semantic_dedup_e2e",   # incremental SemDeDup e2e
+)
+
 
 def _calib_workload() -> float:
     """One unit of the fixed CPU workload: numpy matmul + pure-Python
@@ -162,6 +174,7 @@ def main() -> None:
     specs = {n: s for n, s in registry.items() if s.bench}
     specs_v2 = {n: registry[n] for n in BENCH_V2}
     specs_v3 = {n: registry[n] for n in BENCH_V3}
+    specs_v4 = {n: registry[n] for n in BENCH_V4}
 
     def run_suite(suite: dict) -> dict[str, float]:
         # JVM/codegen warmup: run the whole suite once at the smallest
@@ -200,10 +213,12 @@ def main() -> None:
     timings = run_suite(specs)
     timings_v2 = run_suite(specs_v2)
     timings_v3 = run_suite(specs_v3)
+    timings_v4 = run_suite(specs_v4)
 
     total = round(sum(timings.values()), 3)
     total_v2 = round(sum(timings_v2.values()), 3)
     total_v3 = round(sum(timings_v3.values()), 3)
+    total_v4 = round(sum(timings_v4.values()), 3)
     calib = min(calib_pre, _calibrate())
     calib_mt = min(calib_mt_pre, _calibrate_mt())
     host_factor = round(calib / CALIB_REF_SEC, 3)
@@ -234,6 +249,11 @@ def main() -> None:
                 "value_v3": total_v3,
                 "queries_v3": timings_v3,
                 "value_v3_normalized": round(total_v3 / host_factor, 3),
+                "metric_v4": "headline_v4_total_sec",
+                "value_v4": total_v4,
+                "queries_v4": timings_v4,
+                "value_v4_normalized": round(total_v4 / host_factor, 3),
+                "value_v4_normalized_mt": round(total_v4 / host_factor_mt, 3),
             }
         )
     )

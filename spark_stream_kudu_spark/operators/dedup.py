@@ -2125,6 +2125,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned iff SOME higher-priority member i of its cluster has
     cos(i,j) >= tau. All arithmetic is exact integers, so the result is
     invariant under partitioning and matches DuckDB bit-for-bit."""
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
     from spark_stream_kudu_spark.operators.similarity import (
         _km_quantize,
         km_assign_dist,
@@ -2165,12 +2166,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # real SemDeDup deployment).
         .localCheckpoint(eager=True)
     )
-    i = m.select(
-        F.col("vec_id").alias("i_id"),
-        F.col("cluster_id").alias("i_cid"),
-        F.col("cdist_q20").alias("i_d"),
-        F.col("x8").alias("i_x8"),
-        F.col("n8").alias("i_n8"),
+    # The checkpoint drops size statistics, so the cid self-join would
+    # default to sort-merge over only |k| distinct keys. Gate the
+    # dominator side instead (count is free — m is materialized):
+    # dimension-scale corpora broadcast, web-scale corpora fall back to
+    # a shuffled hash join (no sort either way). ~1.2 KB/row for the
+    # two 64-long arrays.
+    n_members = m.count()
+    i = gated_broadcast(
+        m.select(
+            F.col("vec_id").alias("i_id"),
+            F.col("cluster_id").alias("i_cid"),
+            F.col("cdist_q20").alias("i_d"),
+            F.col("x8").alias("i_x8"),
+            F.col("n8").alias("i_n8"),
+        ),
+        n_members,
+        spark,
+        bytes_per_row=1200,
     )
     j = m.select(
         F.col("vec_id").alias("j_id"),
@@ -2206,7 +2219,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         m.select("vec_id", "cluster_id", "cdist_q20")
-        .join(dom, "vec_id", "left")
+        # dom has at most one 16-byte row per member — same gate, so the
+        # decorate join is a broadcast (or shuffled hash at web scale),
+        # never a sort-merge over statless checkpoint output.
+        .join(gated_broadcast(dom, n_members, spark, bytes_per_row=16), "vec_id", "left")
         .select(
             "vec_id",
             "cluster_id",

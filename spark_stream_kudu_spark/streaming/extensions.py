@@ -2218,11 +2218,19 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
         if batch_df.isEmpty():
             return
         new = _prep(batch_df).localCheckpoint(eager=True)
         prev = member_store.read(spark)
-        a = _side(new, "a")
+        # Gate the batch side (count is free — new is materialized):
+        # micro-batches broadcast against both the within-batch side and
+        # the member store; a degenerate giant batch falls back to a
+        # shuffled hash join. Same row-size estimate as the batch op.
+        a = gated_broadcast(
+            _side(new, "a"), new.count(), spark, bytes_per_row=1200
+        )
         within = a.join(
             _side(new, "b"),
             (F.col("a_cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")),
@@ -2251,11 +2259,22 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
     members = member_store.read(spark)
     doms = dom_store.read(spark)
     out = members.select("vec_id", "cluster_id", "cdist_q20")
     if doms is not None:
-        out = out.join(doms.select("vec_id", "n_dominators"), "vec_id", "left")
+        out = out.join(
+            gated_broadcast(
+                doms.select("vec_id", "n_dominators"),
+                members.count(),
+                spark,
+                bytes_per_row=16,
+            ),
+            "vec_id",
+            "left",
+        )
     else:
         out = out.withColumn("n_dominators", F.lit(None).cast("long"))
     return out.select(
