@@ -1287,3 +1287,25 @@ def test_dedup_semantic_matches_pure_python_pipeline(spark):
     }
     assert got == expected
     assert sum(p for (_, _, _, p) in got.values()) > 0  # prune is exercised
+
+    # The streaming twin's distinctive path — a LATER-arriving vector
+    # (vec_id % 4 staging order) dominating an already-stored member,
+    # retroactively flipping it to pruned — must be exercised by this
+    # fixture, or the twin's oracle equality stops testing retroactive
+    # updates. Verified here against the same pure-Python ground truth.
+    late_flips = 0
+    for v in vecs:
+        d_v, cid_v = a3[v][0], a3[v][1]
+        for u in vecs:
+            if u == v or a3[u][1] != cid_v or u % 4 <= v % 4:
+                continue
+            d_u = a3[u][0]
+            if not (d_u > d_v or (d_u == d_v and u < v)):
+                continue
+            dot = sum(a * b for a, b in zip(x8[u], x8[v]))
+            if dot > 0 and (
+                D._SEM_TAU_DEN**2 * dot * dot
+                >= D._SEM_TAU_NUM**2 * n8[u] * n8[v]
+            ):
+                late_flips += 1
+    assert late_flips > 0, "fixture lost its cross-batch late-dominator pairs"
