@@ -828,6 +828,12 @@ def kcore_trajectory(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # NOT pinned, deliberately: the round-7 duplicate-scan sweep
+        # pattern (eager localCheckpoint for multiply-consumed derived
+        # tables) was TRIED here and measured 7.5 s -> 21 s at sf0.1 —
+        # the two endpoint broadcasts share one ReusedExchange when the
+        # subtree stays declarative, and the checkpoint breaks that
+        # reuse while adding a synchronous materialization per round.
         surv = deg.filter(F.col("c") >= k).select("node")
         n_nodes = surv.count()
         su = gated_broadcast(
