@@ -2125,7 +2125,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned iff SOME higher-priority member i of its cluster has
     cos(i,j) >= tau. All arithmetic is exact integers, so the result is
     invariant under partitioning and matches DuckDB bit-for-bit."""
-    from spark_stream_kudu_spark.functions.joins import gated_broadcast
     from spark_stream_kudu_spark.operators.similarity import (
         _km_quantize,
         km_assign_dist,
@@ -2166,13 +2165,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # real SemDeDup deployment).
         .localCheckpoint(eager=True)
     )
-    # The checkpoint drops size statistics, so the cid self-join would
-    # default to sort-merge over only |k| distinct keys. Gate the
-    # dominator side instead (count is free — m is materialized):
-    # dimension-scale corpora broadcast, web-scale corpora fall back to
-    # a shuffled hash join (no sort either way). ~1.2 KB/row for the
-    # two 64-long arrays.
-    n_members = m.count()
+    return semantic_decision(spark, m, m.count())
+
+
+def semantic_decision(
+    spark: SparkSession, m: DataFrame, n_members: int
+) -> DataFrame:
+    """The SemDeDup dominated-rule decision over a member table
+    ``(vec_id, cluster_id, cdist_q20, x8, n8)`` — the reusable kernel
+    behind ``dedup_semantic`` (hypothesis-tested against a pure-Python
+    mirror on arbitrary member tables, including cdist ties, zero
+    vectors, and negative components, in tests/test_properties.py).
+
+    The member table is typically a statless checkpoint, so the cid
+    self-join would default to sort-merge over only |k| distinct keys.
+    Gate the dominator side instead (``n_members`` is the caller's
+    row count — free when m is materialized): dimension-scale corpora
+    broadcast, web-scale corpora fall back to a shuffled hash join (no
+    sort either way). ~1.2 KB/row for the two 64-long arrays."""
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
     i = gated_broadcast(
         m.select(
             F.col("vec_id").alias("i_id"),

@@ -954,3 +954,68 @@ def test_kcore_trajectory_matches_python_peeling(sess, raw, k):
     df = sess.createDataFrame(edges, "u long, v long")
     got = kcore_trajectory(sess, df, k, rounds)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# SemDeDup dominated rule: Spark kernel vs pure-Python mirror on
+# arbitrary member tables (ties, zero vectors, negative components)
+# --------------------------------------------------------------------------
+
+_SEM_DIMS = 3
+_SEM_COMP = st.integers(min_value=-5, max_value=5)
+_SEM_MEMBER = st.tuples(
+    st.integers(0, 2),  # cluster_id
+    st.integers(0, 40),  # cdist (small range forces priority TIES)
+    st.lists(_SEM_COMP, min_size=_SEM_DIMS, max_size=_SEM_DIMS),  # x8
+)
+
+
+@SETTINGS
+@given(members=st.lists(_SEM_MEMBER, min_size=1, max_size=10))
+def test_semantic_decision_matches_python_mirror(sess, members):
+    """semantic_decision (the dedup_semantic kernel) must agree with a
+    plain-Python formulation of the dominated rule for ANY member table
+    — including equal-cdist priority ties (broken by vec_id), zero
+    vectors (n8=0 -> never similar, dot>0 guards the sqrt-free test),
+    and negative components (dot may be negative)."""
+    from spark_stream_kudu_spark.operators.dedup import (
+        _SEM_TAU_DEN,
+        _SEM_TAU_NUM,
+        semantic_decision,
+    )
+
+    rows = [
+        (v, cid, d, x8, sum(c * c for c in x8))
+        for v, (cid, d, x8) in enumerate(members)
+    ]
+    m = sess.createDataFrame(
+        rows,
+        "vec_id long, cluster_id long, cdist_q20 long, "
+        "x8 array<long>, n8 long",
+    ).localCheckpoint(eager=True)
+
+    expected = {}
+    for v, cid_v, d_v, x_v, n_v in rows:
+        doms = 0
+        for u, cid_u, d_u, x_u, n_u in rows:
+            if u == v or cid_u != cid_v:
+                continue
+            if not (d_u > d_v or (d_u == d_v and u < v)):
+                continue
+            dot = sum(a * b for a, b in zip(x_u, x_v))
+            if dot > 0 and (
+                _SEM_TAU_DEN**2 * dot * dot >= _SEM_TAU_NUM**2 * n_u * n_v
+            ):
+                doms += 1
+        expected[v] = (cid_v, d_v, doms, 1 if doms else 0)
+
+    got = {
+        int(r["vec_id"]): (
+            int(r["cluster_id"]),
+            int(r["cdist_q20"]),
+            int(r["n_dominators"]),
+            int(r["pruned"]),
+        )
+        for r in semantic_decision(sess, m, len(rows)).collect()
+    }
+    assert got == expected
