@@ -2129,8 +2129,6 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.operators.dedup import (
         _SEM_N8_BOUND,
         _SEM_SCALE,
-        _SEM_TAU_DEN,
-        _SEM_TAU_NUM,
     )
     from spark_stream_kudu_spark.operators.similarity import (
         _km_quantize,
@@ -2181,69 +2179,11 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n8", n8_guarded)
         )
 
-    def _credits(pairs: DataFrame) -> DataFrame:
-        """One (+1) credit to the LOWER-priority member of each
-        qualifying pair; columns a_*/b_* per side."""
-        dot = F.aggregate(
-            F.zip_with("a_x8", "b_x8", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        a_wins = (F.col("a_d") > F.col("b_d")) | (
-            (F.col("a_d") == F.col("b_d")) & (F.col("a_id") < F.col("b_id"))
-        )
-        return (
-            pairs.withColumn("dot", dot)
-            .filter(
-                (F.col("dot") > 0)
-                & (
-                    F.lit(_SEM_TAU_DEN * _SEM_TAU_DEN)
-                    * F.col("dot")
-                    * F.col("dot")
-                    >= F.lit(_SEM_TAU_NUM * _SEM_TAU_NUM)
-                    * F.col("a_n8")
-                    * F.col("b_n8")
-                )
-            )
-            .select(F.when(a_wins, F.col("b_id")).otherwise(F.col("a_id")).alias("vec_id"))
-        )
-
-    def _side(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias(f"{tag}_id"),
-            F.col("cluster_id").alias(f"{tag}_cid"),
-            F.col("cdist_q20").alias(f"{tag}_d"),
-            F.col("x8").alias(f"{tag}_x8"),
-            F.col("n8").alias(f"{tag}_n8"),
-        )
-
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from spark_stream_kudu_spark.functions.joins import gated_broadcast
-
         if batch_df.isEmpty():
             return
         new = _prep(batch_df).localCheckpoint(eager=True)
-        prev = member_store.read(spark)
-        # Gate the batch side (count is free — new is materialized):
-        # micro-batches broadcast against both the within-batch side and
-        # the member store; a degenerate giant batch falls back to a
-        # shuffled hash join. Same row-size estimate as the batch op.
-        a = gated_broadcast(
-            _side(new, "a"), new.count(), spark, bytes_per_row=1200
-        )
-        within = a.join(
-            _side(new, "b"),
-            (F.col("a_cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")),
-        )
-        credits = _credits(within)
-        if prev is not None:
-            cross = a.join(
-                _side(prev, "b"), F.col("a_cid") == F.col("b_cid")
-            )
-            credits = credits.unionByName(_credits(cross))
-        partial = credits.groupBy("vec_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_dominators")
-        )
+        partial = semantic_batch_credits(spark, new, member_store.read(spark))
         dom_store(partial, batch_id)
         member_store(new, batch_id)
 
@@ -2285,4 +2225,85 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("n_dominators", F.lit(0).cast("long")) > 0)
         .cast("long")
         .alias("pruned"),
+    )
+
+
+def _sem_side(df: DataFrame, tag: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(f"{tag}_id"),
+        F.col("cluster_id").alias(f"{tag}_cid"),
+        F.col("cdist_q20").alias(f"{tag}_d"),
+        F.col("x8").alias(f"{tag}_x8"),
+        F.col("n8").alias(f"{tag}_n8"),
+    )
+
+
+def _sem_pair_credits(pairs: DataFrame) -> DataFrame:
+    """One (+1) credit to the LOWER-priority member of each qualifying
+    pair; columns a_*/b_* per side."""
+    from spark_stream_kudu_spark.operators.dedup import (
+        _SEM_TAU_DEN,
+        _SEM_TAU_NUM,
+    )
+
+    dot = F.aggregate(
+        F.zip_with("a_x8", "b_x8", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    a_wins = (F.col("a_d") > F.col("b_d")) | (
+        (F.col("a_d") == F.col("b_d")) & (F.col("a_id") < F.col("b_id"))
+    )
+    return (
+        pairs.withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(_SEM_TAU_DEN * _SEM_TAU_DEN)
+                * F.col("dot")
+                * F.col("dot")
+                >= F.lit(_SEM_TAU_NUM * _SEM_TAU_NUM)
+                * F.col("a_n8")
+                * F.col("b_n8")
+            )
+        )
+        .select(F.when(a_wins, F.col("b_id")).otherwise(F.col("a_id")).alias("vec_id"))
+    )
+
+
+def semantic_batch_credits(
+    spark: SparkSession, new: DataFrame, prev: DataFrame | None
+) -> DataFrame:
+    """One micro-batch's dominator-credit partials for the incremental
+    SemDeDup store: each qualifying unordered within-cluster pair is
+    enumerated exactly once — new-vs-new via id ordering, new-vs-prev
+    in both domination directions — and credits its LOWER-priority
+    member (+1). Summing these partials over ANY slicing of the corpus
+    into arrival batches reproduces the one-shot dominated-rule counts
+    (dedup.py semantic_decision): priority is an arrival-independent
+    total order, and every unordered pair lands in exactly the later
+    member's batch. Hypothesis-tested against the one-shot kernel over
+    arbitrary member tables and arbitrary slicings in
+    tests/test_properties.py.
+
+    ``new`` and ``prev`` are member tables (vec_id, cluster_id,
+    cdist_q20, x8, n8); ``prev`` is None on the first batch. The batch
+    side is size-gated: micro-batches broadcast against both the
+    within-batch side and the member store; a degenerate giant batch
+    falls back to a shuffled hash join."""
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
+    a = gated_broadcast(
+        _sem_side(new, "a"), new.count(), spark, bytes_per_row=1200
+    )
+    within = a.join(
+        _sem_side(new, "b"),
+        (F.col("a_cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")),
+    )
+    credits = _sem_pair_credits(within)
+    if prev is not None:
+        cross = a.join(_sem_side(prev, "b"), F.col("a_cid") == F.col("b_cid"))
+        credits = credits.unionByName(_sem_pair_credits(cross))
+    return credits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dominators")
     )

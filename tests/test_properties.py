@@ -1019,3 +1019,56 @@ def test_semantic_decision_matches_python_mirror(sess, members):
         for r in semantic_decision(sess, m, len(rows)).collect()
     }
     assert got == expected
+
+
+@SETTINGS
+@given(
+    members=st.lists(_SEM_MEMBER, min_size=1, max_size=10),
+    batch_of=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+def test_semantic_credit_slicing_independence(sess, members, batch_of):
+    """The incremental twin's core claim: summing semantic_batch_credits
+    over ANY slicing of the member table into arrival batches must
+    reproduce the one-shot semantic_decision dominator counts — for
+    arbitrary member tables AND arbitrary batch assignments (not just
+    the fixture's vec_id % 4)."""
+    from spark_stream_kudu_spark.operators.dedup import semantic_decision
+    from spark_stream_kudu_spark.streaming.extensions import (
+        semantic_batch_credits,
+    )
+
+    schema = (
+        "vec_id long, cluster_id long, cdist_q20 long, "
+        "x8 array<long>, n8 long"
+    )
+    rows = [
+        (v, cid, d, x8, sum(c * c for c in x8))
+        for v, (cid, d, x8) in enumerate(members)
+    ]
+    m = sess.createDataFrame(rows, schema).localCheckpoint(eager=True)
+    oneshot = {
+        int(r["vec_id"]): int(r["n_dominators"])
+        for r in semantic_decision(sess, m, len(rows)).collect()
+    }
+
+    accumulated: dict[int, int] = {}
+    prev_rows: list = []
+    for b in range(3):
+        batch_rows = [r for r in rows if batch_of[r[0]] == b]
+        if not batch_rows:
+            continue
+        new = sess.createDataFrame(batch_rows, schema).localCheckpoint(
+            eager=True
+        )
+        prev = (
+            sess.createDataFrame(prev_rows, schema).localCheckpoint(eager=True)
+            if prev_rows
+            else None
+        )
+        for r in semantic_batch_credits(sess, new, prev).collect():
+            v = int(r["vec_id"])
+            accumulated[v] = accumulated.get(v, 0) + int(r["n_dominators"])
+        prev_rows.extend(batch_rows)
+
+    expected = {v: n for v, n in oneshot.items() if n > 0}
+    assert accumulated == expected
