@@ -84,11 +84,12 @@ def register(
 # Everything else trails in DRIVER-ROW STALENESS order (oldest
 # CORRECTNESS row first — computed from the repo's CORRECTNESS_r*.json
 # artifacts by ``_driver_row_rounds``), so once the never-checked
-# backlog is empty the window becomes a freshness rotation: with ~345
+# backlog is empty the window becomes a freshness rotation: with ~330
 # registered queries and 50 rows/round, every query gets a fresh
-# driver row at least every ~7 rounds. Per-round rotation procedure:
-# drop the newly-green names from the front of this list, keep any
-# remaining backlog first, append new registrations last.
+# driver row at least every ~7 rounds. Rotation is AUTOMATIC: the
+# prefix self-retires (see _PRIORITY_BUILT_FOR_ROUND below — a name
+# drops into the staleness-ordered tail once the driver certifies it),
+# so later rounds only append new registrations here.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # --- 1. never-driver-checked backlog (31) ---
     "text_dataset_card",
@@ -150,6 +151,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_semantic",
     "stream_semantic_dedup_e2e",
 )
+
+# The round the explicit prefix above was assembled for. load_all drops
+# a prefixed name back into the staleness-ordered tail once it has a
+# driver CORRECTNESS row from this round or later, so the prefix
+# retires itself as the driver certifies it — later rounds only append
+# new registrations (or rebuild the prefix and bump this constant).
+_PRIORITY_BUILT_FOR_ROUND = 7
 
 
 def _driver_row_rounds() -> dict[str, int]:
@@ -229,8 +237,18 @@ def load_all() -> dict[str, QuerySpec]:
     missing = [n for n in _WINDOW_PRIORITY if n not in _REGISTRY]
     if missing:  # defensive: a renamed query must not silently drop out
         raise KeyError(f"window-priority names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _WINDOW_PRIORITY}
     rounds = _driver_row_rounds()
+    # The explicit prefix is SELF-RETIRING: it was built for the
+    # round-_PRIORITY_BUILT_FOR_ROUND window, so once a prefixed name
+    # earns a driver row in that round or later it drops back into the
+    # staleness-ordered tail automatically — no manual rotation needed
+    # at the next round boundary. Names still without a row (e.g. this
+    # round's registrations) stay prefixed and lead the next window.
+    ordered = {
+        n: _REGISTRY[n]
+        for n in _WINDOW_PRIORITY
+        if rounds.get(n, 0) < _PRIORITY_BUILT_FOR_ROUND
+    }
     reg_idx = {n: i for i, n in enumerate(_REGISTRY)}
     tail = sorted(
         (n for n in _REGISTRY if n not in ordered),

@@ -404,20 +404,62 @@ def test_shard_manifest_invariant_under_physical_layout(spark, sf_smoke):
 
 def test_registry_window_priority_leads_load_order():
     """The driver's bounded correctness window reads the registry
-    front-to-back; the never-driver-checked backlog must stay pinned at
-    the front (round-2 verdict item 1) and every priority name must
-    carry an oracle so its row is a full value check."""
-    from spark_stream_kudu_spark.registry import _WINDOW_PRIORITY, load_all
+    front-to-back; the LIVE part of the priority prefix (names without
+    a driver row from the prefix's build round or later — the prefix is
+    self-retiring) must stay pinned at the front, and every priority
+    name must carry an oracle so its row is a full value check."""
+    from spark_stream_kudu_spark.registry import (
+        _PRIORITY_BUILT_FOR_ROUND,
+        _WINDOW_PRIORITY,
+        _driver_row_rounds,
+        load_all,
+    )
 
     specs = load_all()
     names = list(specs)
-    assert names[: len(_WINDOW_PRIORITY)] == list(_WINDOW_PRIORITY)
+    rounds = _driver_row_rounds()
+    live = [
+        n
+        for n in _WINDOW_PRIORITY
+        if rounds.get(n, 0) < _PRIORITY_BUILT_FOR_ROUND
+    ]
+    assert names[: len(live)] == live
     # Since round 4 EVERY registered query carries an oracle — the
     # sketch family (incl. the streaming HLL twin) via exact-anchor +
     # bound-flag outputs. No rows-only exceptions remain.
     missing_oracle = [n for n in _WINDOW_PRIORITY if specs[n].oracle is None]
     assert missing_oracle == [], missing_oracle
     assert all(spec.oracle is not None for spec in specs.values())
+
+
+def test_registry_priority_prefix_self_retires(monkeypatch):
+    """Once the driver certifies a prefixed name (a CORRECTNESS row from
+    the prefix's build round or later), it must drop back into the
+    staleness-ordered tail automatically — the next round's window then
+    leads with the still-unchecked names (e.g. this round's
+    registrations) without a manual prefix rewrite."""
+    from spark_stream_kudu_spark import registry
+
+    real_rounds = registry._driver_row_rounds()
+    certified = list(registry._WINDOW_PRIORITY)[:50]
+    fake = dict(real_rounds)
+    fake.update({n: registry._PRIORITY_BUILT_FOR_ROUND for n in certified})
+    monkeypatch.setattr(registry, "_driver_row_rounds", lambda: fake)
+
+    names = list(registry.load_all())
+    expected_live = [
+        n
+        for n in registry._WINDOW_PRIORITY
+        if fake.get(n, 0) < registry._PRIORITY_BUILT_FOR_ROUND
+    ]
+    assert names[: len(expected_live)] == expected_live
+    # the freshly-certified names moved behind every staler row
+    tail = names[len(expected_live) :]
+    first_certified = min(tail.index(n) for n in certified)
+    stalest_round = min(
+        fake.get(n, 0) for n in tail[: first_certified or 1]
+    )
+    assert stalest_round < registry._PRIORITY_BUILT_FOR_ROUND
 
 
 def test_q36_sketch_estimates_near_exact(spark, sf_smoke):
