@@ -112,6 +112,7 @@ BENCH_V4: tuple[str, ...] = (
     "q190_kcore",                  # iterative k-core peeling
     "dedup_semantic",              # SemDeDup batch decision vector
     "stream_semantic_dedup_e2e",   # incremental SemDeDup e2e
+    "q191_resharding_execute",     # deletion-vector reshard + proof
 )
 
 

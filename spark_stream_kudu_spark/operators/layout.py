@@ -16,7 +16,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.registry import register
@@ -1404,23 +1404,33 @@ def compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         with open(os.path.join(staging, "_SUCCESS"), "w"):
             pass
-        try:
-            os.rename(staging, path)
-        except OSError:
-            if not os.path.exists(marker):
-                shutil.rmtree(path, ignore_errors=True)
-                try:
-                    os.rename(staging, path)
-                except OSError:
-                    shutil.rmtree(staging, ignore_errors=True)
-                    if not os.path.exists(marker):
-                        raise RuntimeError(
-                            f"compacted layout at {path} is incomplete "
-                            "(no _SUCCESS) and could not be replaced"
-                        )
-            else:
-                shutil.rmtree(staging, ignore_errors=True)
+        _promote_staging(staging, path, marker)
     return spark.read.parquet(path)
+
+
+def _promote_staging(staging: str, path: str, marker: str) -> None:
+    """Atomic-rename promotion with the marker-recheck protocol (the
+    round-6-ADVICE-hardened form the supply cache uses,
+    subqueries.py): a failed rename means EITHER a complete copy won
+    the race (marker present under ``path`` — discard staging) OR a
+    stale partial occupant blocks the path (no marker — replace it and
+    retry; fail loudly rather than read an incomplete directory)."""
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if not os.path.exists(marker):
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise RuntimeError(
+                        f"layout cache at {path} is incomplete "
+                        "(no _SUCCESS) and could not be replaced"
+                    )
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 _COMPACT_EXEC_ORACLE = f"""
@@ -1526,4 +1536,264 @@ def q189_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") == F.col("src_rows"))
             & (F.col("digest") == F.col("src_digest"))
         ).alias("content_match"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q191: resharding-plan EXECUTION — incremental scale-out via deletion
+# vectors (the merge-on-read primitive behind the q173 movement audit)
+# --------------------------------------------------------------------------
+
+# Canonical customer-row string for the order-independent content digest
+# (the q189 pattern): every column canonicalized to an engine-neutral
+# integer/string form — acctbal at cents precision (the fixture's native
+# 2-decimal scale, same round(x*100) form as q125/pipeline_snapshot).
+_CUST_ROW_SPARK = (
+    "concat_ws('|', CAST(c_custkey AS STRING), c_name, "
+    "CAST(c_nationkey AS STRING), "
+    "CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS STRING), c_mktsegment)"
+)
+_CUST_ROW_SQL = (
+    "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, "
+    "CAST(c_nationkey AS VARCHAR), "
+    "CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR), c_mktsegment)"
+)
+
+_CUST_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+def hrw_shard_col(n_shards: int, key: str = "c_custkey") -> Column:
+    """Scan-local rendezvous (HRW) owner of ``key`` among ``n_shards``:
+    argmax over s of (h(key#s) DESC, s ASC) as a greatest-of-structs
+    fold — the same per-key tournament q173's windowed ``_hrw_assign``
+    computes, but with ZERO shuffle: the hash IS the ring, so ownership
+    is a row-local expression any scan evaluates in place (|shards|
+    md5 evaluations per row, whole-stage codegen'd). Struct comparison
+    is lexicographic, so (h, -s) makes greatest() break hash ties
+    toward the LOWER shard id, exactly matching ORDER BY h DESC, s ASC."""
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    cands = [
+        F.struct(
+            md5_int32(
+                F.concat(
+                    F.col(key).cast("string"), F.lit("#"), F.lit(str(s))
+                )
+            ).alias("h"),
+            F.lit(-s).alias("negs"),
+        )
+        for s in range(n_shards)
+    ]
+    best = F.greatest(*cands)
+    return (-best["negs"]).cast("long")
+
+
+def sharded_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer laid out as the ``_RS_OLD``-shard rendezvous-keyed store
+    (hive ``shard=K/`` dirs) that q173 plans the scale-out of — the
+    'before' state of the resharding execution. Written once per
+    (process, sf_dir) with the staging + atomic-rename + marker-recheck
+    protocol. Shard assignment is the scan-local HRW expression, so the
+    only data movement in the write is the partitionBy sink shuffle."""
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_sharded_customer_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        (
+            load_table(spark, sf_dir, "customer")
+            .select(*_CUST_COLS)
+            .withColumn("shard", hrw_shard_col(_RS_OLD))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(staging)
+        )
+        _promote_staging(staging, path, marker)
+    return spark.read.parquet(path)
+
+
+def resharding_overlay(spark: SparkSession, sf_dir: str) -> str:
+    """EXECUTE the q173 scale-out (8 -> 9 shards) incrementally: ONE
+    scan of the old store evaluates each row's HRW-9 owner scan-locally
+    (no plan table is shipped — the hash is the ring), and the rows the
+    ADDED shard wins (the plan's ~1/9 moved fraction) are (a) copied
+    into ``newdata/`` under
+    their new shard and (b) recorded as per-shard DELETION VECTORS
+    (key lists) under ``tombstones/shard=K/`` — the merge-on-read
+    mechanism (Delta/Iceberg deletion vectors): the ~8/9 of the store
+    that did not move is NEVER rewritten. At 100 TB the rewrite IO is
+    the moved fraction plus key-only tombstone metadata; a later
+    compaction (the q189 primitive) folds tombstones into the base
+    files. The moved set is pinned once (two sinks consume it), so the
+    base store is scanned exactly once end to end."""
+    tune_session(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"ssk_reshard_overlay_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        moved = (
+            sharded_customer(spark, sf_dir)
+            .withColumn("new_shard", hrw_shard_col(_RS_NEW))
+            .filter(F.col("new_shard") != F.col("shard"))
+            .localCheckpoint(eager=True)
+        )
+        (
+            moved.select(*_CUST_COLS, F.col("new_shard").alias("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(staging, "newdata"))
+        )
+        (
+            moved.select(F.col("c_custkey").alias("key"), "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(staging, "tombstones"))
+        )
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
+            pass
+        _promote_staging(staging, path, marker)
+    return path
+
+
+def resharded_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read view of the incrementally resharded store: base
+    shards minus their deletion vectors, unioned with the new shard's
+    data files. The tombstone side is key-only metadata (~1/9
+    of the keys), applied as a size-gated anti-join per (shard, key) —
+    broadcast at dimension scale, shuffled-hash past the gate, never a
+    sort. The tombstone cardinality is read once (deletion-vector
+    stores keep exactly this count in table metadata)."""
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
+    base = sharded_customer(spark, sf_dir)
+    over = resharding_overlay(spark, sf_dir)
+    newdata = spark.read.parquet(os.path.join(over, "newdata"))
+    tomb = spark.read.parquet(os.path.join(over, "tombstones"))
+    n_tomb = tomb.count()
+    live = base.join(
+        gated_broadcast(
+            tomb.select(F.col("key").alias("c_custkey"), "shard"),
+            n_tomb,
+            spark,
+            bytes_per_row=16,
+        ),
+        ["c_custkey", "shard"],
+        "left_anti",
+    )
+    cols = [*_CUST_COLS, F.col("shard").cast("long").alias("shard")]
+    return live.select(*cols).unionByName(newdata.select(*cols))
+
+
+def _reshard_exec_oracle() -> str:
+    from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+
+    h = sql_md5_int32(
+        "CAST(c_custkey AS VARCHAR) || '#' || CAST(t.s AS VARCHAR)"
+    )
+    arm = """
+  SELECT c_custkey AS key,
+         CAST(min(CASE WHEN rk = 1 THEN s END) AS BIGINT) AS shard
+  FROM (
+    SELECT c_custkey, t.s,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY {h} DESC, t.s ASC) AS rk
+    FROM customer CROSS JOIN
+         (SELECT unnest(generate_series(0, {n} - 1)) AS s) t
+  ) GROUP BY c_custkey
+"""
+    return f"""
+WITH hrw_old AS ({arm.format(h=h, n=_RS_OLD)}),
+hrw_new AS ({arm.format(h=h, n=_RS_NEW)}),
+direct AS (
+  SELECT n.shard,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST({sql_md5_int32(_CUST_ROW_SQL)} AS DECIMAL(38,0)))
+              AS VARCHAR) AS digest
+  FROM customer c JOIN hrw_new n ON n.key = c.c_custkey
+  GROUP BY n.shard
+),
+tomb AS (
+  SELECT o.shard, CAST(count(*) AS BIGINT) AS n_tombstones
+  FROM hrw_old o JOIN hrw_new n USING (key)
+  WHERE o.shard <> n.shard
+  GROUP BY o.shard
+)
+SELECT d.shard, d.n_rows,
+       CAST(COALESCE(t.n_tombstones, 0) AS BIGINT) AS n_tombstones,
+       d.digest,
+       TRUE AS content_match
+FROM direct d LEFT JOIN tomb t USING (shard)
+"""
+
+
+@register(
+    "q191_resharding_execute",
+    "layout",
+    f"EXECUTE the q173 resharding plan ({_RS_OLD} -> {_RS_NEW} shards) "
+    "incrementally — the scale-out primitive for a keyed store: one "
+    "scan of the old HRW-sharded store evaluates each row's new "
+    "rendezvous owner scan-locally (the hash is the ring; no plan "
+    "table ships), the moved rows (the plan's ~1/9 fraction — ONLY "
+    "keys the ADDED shard wins) are copied to the new shard, and "
+    "per-shard DELETION VECTORS (key-only tombstones) mask them in "
+    "their old shards — merge-on-read, so 8/9 of the store is never "
+    "rewritten. The result PROVES itself: the merge-on-read view "
+    "(base minus tombstones union newdata) is digested per shard with "
+    "the q169-style order-independent DECIMAL(38,0) md5 sum and "
+    "compared against a FROM-SCRATCH HRW-9 assignment of the raw "
+    "table computed in the same query (content_match), so a lost, "
+    "duplicated, or mis-tombstoned row hash-fails the gate; the "
+    "oracle recomputes per-shard rows/digests/tombstone counts "
+    "independently and pins content_match=TRUE. At 100 TB: rewrite IO "
+    "= moved fraction + key-only metadata, the tombstone mask is a "
+    "size-gated anti-join (broadcast at dimension scale, shuffled-hash "
+    "past the gate), and a later q189 compaction folds tombstones "
+    "into the base files.",
+    oracle=_reshard_exec_oracle(),
+    prepare=lambda spark, sf_dir: resharding_overlay(spark, sf_dir) and None,
+)
+def q191_resharding_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.hashing import md5_int32
+
+    tune_session(spark)
+    row_hash = md5_int32(F.expr(_CUST_ROW_SPARK)).cast("decimal(38,0)")
+    inc = resharded_customer(spark, sf_dir).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("digest"),
+    )
+    tomb = (
+        spark.read.parquet(
+            os.path.join(resharding_overlay(spark, sf_dir), "tombstones")
+        )
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tombstones"))
+    )
+    # From-scratch side: raw customer assigned to HRW-9 scan-locally —
+    # the ground truth the incremental store must reproduce exactly.
+    direct = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("shard", hrw_shard_col(_RS_NEW))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d_rows"),
+            F.sum(row_hash).cast("string").alias("d_digest"),
+        )
+    )
+    return (
+        inc.join(tomb, "shard", "left")
+        .join(direct, "shard")
+        .select(
+            "shard",
+            "n_rows",
+            F.coalesce("n_tombstones", F.lit(0).cast("long")).alias(
+                "n_tombstones"
+            ),
+            "digest",
+            (
+                (F.col("n_rows") == F.col("d_rows"))
+                & (F.col("digest") == F.col("d_digest"))
+            ).alias("content_match"),
+        )
     )

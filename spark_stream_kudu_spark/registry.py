@@ -150,6 +150,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q190_kcore",
     "dedup_semantic",
     "stream_semantic_dedup_e2e",
+    "q191_resharding_execute",
 )
 
 # The round the explicit prefix above was assembled for. load_all drops

@@ -59,6 +59,6 @@ def test_bench_suites_reference_only_registered_queries():
     assert len(BENCH_V3) == 5
     missing_v4 = [n for n in BENCH_V4 if n not in all_q]
     assert not missing_v4, missing_v4
-    assert len(BENCH_V4) == 4
+    assert len(BENCH_V4) == 5
     n_bench = sum(1 for s in all_q.values() if s.bench)
     assert n_bench == 34, f"frozen headline suite changed size: {n_bench}"

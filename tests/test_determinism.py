@@ -85,6 +85,9 @@ CLAIMED_INVARIANT = [
     # partitioning-independent by the same argument
     "dedup_semantic",
     "stream_semantic_dedup_e2e",
+    # round-7 resharding execution: order-independent DECIMAL(38,0)
+    # digests + exact counts over a deterministic HRW assignment
+    "q191_resharding_execute",
 ]
 
 

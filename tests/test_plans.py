@@ -473,3 +473,66 @@ def test_semantic_dedup_pairs_are_cluster_blocked(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert len(checks.python_eval_nodes(df)) == 0
+
+
+def test_reshard_merge_on_read_is_broadcast_masked(spark, sf_smoke):
+    """q191's merge-on-read view must apply the deletion vectors as a
+    size-gated BROADCAST anti-join (the tombstone side is key-only
+    metadata, ~1/9 of the keys) — never a sort-merge join — with zero
+    Python nodes; and the incremental layout must be genuinely
+    incremental: every moved row lands in the ADDED shard (under
+    rendezvous expansion a key moves only if the new shard wins its
+    tournament), so `newdata/` holds exactly one shard and the old
+    shards' data files are never rewritten."""
+    import os
+
+    from spark_stream_kudu_spark.operators.layout import (
+        _RS_NEW,
+        resharded_customer,
+        resharding_overlay,
+    )
+
+    view = resharded_customer(spark, sf_smoke)
+    plan = checks.executed_plan(view)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(checks.python_eval_nodes(view)) == 0
+    new_shards = [
+        r["shard"]
+        for r in spark.read.parquet(
+            os.path.join(resharding_overlay(spark, sf_smoke), "newdata")
+        )
+        .select("shard")
+        .distinct()
+        .collect()
+    ]
+    assert new_shards == [_RS_NEW - 1], new_shards
+
+
+def test_hrw_scan_local_matches_windowed_assignment(spark, sf_smoke):
+    """q191's scan-local greatest-of-structs rendezvous owner must agree
+    with q173's windowed argmax (`_hrw_assign`) key-for-key at both
+    shard counts — same hash, same DESC-hash/ASC-shard tie-break, zero
+    shuffle instead of a per-key window."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.operators.layout import (
+        _RS_NEW,
+        _RS_OLD,
+        _hrw_assign,
+        hrw_shard_col,
+    )
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_smoke, "customer")
+    for n in (_RS_OLD, _RS_NEW):
+        scan_local = c.select(
+            F.col("c_custkey").alias("key"),
+            hrw_shard_col(n).alias("a"),
+        )
+        diff = (
+            scan_local.join(_hrw_assign(c, n, "b"), "key")
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert diff == 0, f"n_shards={n}: {diff} keys disagree"

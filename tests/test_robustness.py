@@ -296,3 +296,44 @@ def test_supply_cache_replaces_stale_partial_dir(spark, sf_smoke):
     again = supply_table(spark, sf_smoke)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     assert again.count() == n
+
+
+def test_promote_staging_handles_race_and_stale_occupant(tmp_path):
+    """The shared layout-cache promotion helper must cover all three
+    rename-failure shapes: clean first promotion, losing a race to a
+    COMPLETE copy (staging discarded, winner kept), and a stale
+    marker-less occupant (replaced, not silently read)."""
+    import os
+
+    from spark_stream_kudu_spark.operators.layout import _promote_staging
+
+    def mk(dirname, content, with_marker=True):
+        d = tmp_path / dirname
+        d.mkdir()
+        (d / "data.txt").write_text(content)
+        if with_marker:
+            (d / "_SUCCESS").write_text("")
+        return str(d)
+
+    # 1. clean promotion
+    path = str(tmp_path / "cache")
+    marker = os.path.join(path, "_SUCCESS")
+    _promote_staging(mk("s1", "first"), path, marker)
+    assert open(os.path.join(path, "data.txt")).read() == "first"
+
+    # 2. race lost to a complete copy: staging discarded, winner kept
+    s2 = mk("s2", "second")
+    _promote_staging(s2, path, marker)
+    assert open(os.path.join(path, "data.txt")).read() == "first"
+    assert not os.path.exists(s2)
+
+    # 3. stale marker-less occupant: replaced by the good staging copy
+    import shutil
+
+    shutil.rmtree(path)
+    os.makedirs(path)
+    with open(os.path.join(path, "data.txt"), "w") as f:
+        f.write("partial junk")
+    _promote_staging(mk("s3", "third"), path, marker)
+    assert open(os.path.join(path, "data.txt")).read() == "third"
+    assert os.path.exists(marker)
