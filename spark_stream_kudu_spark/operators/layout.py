@@ -113,13 +113,15 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"ssk_part_events_{tag}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         ev = load_table(spark, sf_dir, "events")
         (
             ev.withColumn("event_date", F.to_date("ts"))
             .write.mode("overwrite")
             .partitionBy("event_date")
-            .parquet(path)
+            .parquet(staging)
         )
+        _promote_staging(staging, path, marker)
     return spark.read.parquet(path)
 
 
@@ -229,6 +231,7 @@ def zordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the date dimension is actually skippable from footers.
         prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         try:
             (
                 o.withColumn("zcode", zcode)
@@ -236,10 +239,11 @@ def zordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .sortWithinPartitions("zcode")
                 .drop("zcode")
                 .write.mode("overwrite")
-                .parquet(path)
+                .parquet(staging)
             )
         finally:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        _promote_staging(staging, path, marker)
     return spark.read.parquet(path)
 
 
@@ -327,6 +331,7 @@ def ivf_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(
             F.col("csim").desc(), F.col("cid").asc()
         )
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         (
             e.crossJoin(F.broadcast(cent))
             .select("vec_id", "embedding", "label", "cid", csim.alias("csim"))
@@ -335,8 +340,9 @@ def ivf_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding", "label", F.col("cid").alias("cluster"))
             .write.mode("overwrite")
             .partitionBy("cluster")
-            .parquet(path)
+            .parquet(staging)
         )
+        _promote_staging(staging, path, marker)
     return spark.read.parquet(path)
 
 
@@ -410,6 +416,7 @@ def json_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"ssk_json_orders_{tag}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         o = load_table(spark, sf_dir, "orders")
         (
             o.select(
@@ -421,8 +428,9 @@ def json_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderpriority",
             )
             .write.mode("overwrite")
-            .json(path)
+            .json(staging)
         )
+        _promote_staging(staging, path, marker)
     schema = (
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate_ms long, o_orderpriority string"
@@ -487,6 +495,7 @@ def csv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"ssk_csv_orders_{tag}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         o = load_table(spark, sf_dir, "orders")
         (
             o.select(
@@ -501,8 +510,9 @@ def csv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .write.mode("overwrite")
             .option("header", "false")
-            .csv(path)
+            .csv(staging)
         )
+        _promote_staging(staging, path, marker)
     schema = (
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice_cents long, o_orderdate_ms long, o_orderpriority string"
@@ -610,7 +620,9 @@ def orc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"ssk_orc_orders_{tag}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(staging)
+        _promote_staging(staging, path, marker)
     schema = (
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
@@ -677,9 +689,12 @@ def evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"ssk_evolved_orders_{tag}")
-    marker_a = os.path.join(path, "gen1", "_SUCCESS")
-    marker_b = os.path.join(path, "gen2", "_SUCCESS")
-    if not (os.path.exists(marker_a) and os.path.exists(marker_b)):
+    # Root marker written only after BOTH generations land, so a reader
+    # can never see gen1 without gen2 (the per-gen _SUCCESS files alone
+    # could).
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             "o_orderstatus",
@@ -690,10 +705,13 @@ def evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority").write.mode(
             "overwrite"
-        ).parquet(os.path.join(path, "gen1"))
+        ).parquet(os.path.join(staging, "gen1"))
         o.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(
-            os.path.join(path, "gen2")
+            os.path.join(staging, "gen2")
         )
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
+            pass
+        _promote_staging(staging, path, marker)
     return spark.read.option("mergeSchema", "true").parquet(
         os.path.join(path, "gen1"), os.path.join(path, "gen2")
     )

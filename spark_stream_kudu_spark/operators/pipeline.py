@@ -1218,11 +1218,19 @@ def mv_prepare(spark: SparkSession, sf_dir: str) -> None:
     MV lives in a table and only deltas are aggregated per refresh.
     """
     import os
+    import uuid
+
+    from spark_stream_kudu_spark.operators.layout import _promote_staging
 
     tune_session(spark)
     path = _mv_store_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _mv_base(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(path)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        _mv_base(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(
+            staging
+        )
+        _promote_staging(staging, path, marker)
 
 
 @register(
