@@ -39,7 +39,16 @@ def bucketed_pair(
     """
     tune_session(spark)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"ssk_bucketed_{tag}")
+    # The reuse check (catalog.tableExists) is PER-PROCESS, so a shared
+    # path would buy nothing across processes while letting a second
+    # process's mode("overwrite") clobber files a first process is
+    # actively reading (the race class _promote_staging closes for the
+    # parquet caches; saveAsTable binds table metadata to the path, so
+    # staging+rename does not compose with it). A pid-unique warehouse
+    # dir gives each process its own copy — same amortization, no race.
+    base = os.path.join(
+        tempfile.gettempdir(), f"ssk_bucketed_{tag}_{os.getpid()}"
+    )
     names = {}
     for tbl, keys in (("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])):
         name = f"ssk_{tbl}_{tag}"
