@@ -337,3 +337,29 @@ def test_promote_staging_handles_race_and_stale_occupant(tmp_path):
     _promote_staging(mk("s3", "third"), path, marker)
     assert open(os.path.join(path, "data.txt")).read() == "third"
     assert os.path.exists(marker)
+
+
+def test_partitioned_events_replaces_stale_partial_dir(spark, sf_smoke):
+    """End-to-end twin of the _promote_staging unit test through a real
+    layout writer: a crashed writer's marker-less partial directory at
+    the cache path must be replaced on the next call, never read."""
+    import os
+    import shutil
+
+    from spark_stream_kudu_spark.operators.layout import partitioned_events
+
+    good = partitioned_events(spark, sf_smoke)
+    n = good.count()
+    assert n > 0
+    path = os.path.dirname(
+        os.path.dirname(good.inputFiles()[0].replace("file:", ""))
+    )
+    shutil.rmtree(path)
+    os.makedirs(os.path.join(path, "event_date=2024-01-01"))
+    with open(
+        os.path.join(path, "event_date=2024-01-01", "part-zzz.parquet"), "wb"
+    ) as f:
+        f.write(b"not parquet")
+    again = partitioned_events(spark, sf_smoke)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert again.count() == n
