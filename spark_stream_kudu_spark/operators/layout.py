@@ -1600,6 +1600,8 @@ def hrw_shard_col(n_shards: int, key: str = "c_custkey") -> Column:
     toward the LOWER shard id, exactly matching ORDER BY h DESC, s ASC."""
     from spark_stream_kudu_spark.functions.hashing import md5_int32
 
+    if n_shards == 1:  # greatest() needs >=2 columns; one shard owns all
+        return F.lit(0).cast("long")
     cands = [
         F.struct(
             md5_int32(

@@ -1072,3 +1072,44 @@ def test_semantic_credit_slicing_independence(sess, members, batch_of):
 
     expected = {v: n for v, n in oneshot.items() if n > 0}
     assert accumulated == expected
+
+
+@SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    n_shards=st.integers(min_value=1, max_value=11),
+)
+def test_hrw_shard_col_matches_python_mirror(sess, keys, n_shards):
+    """q191's scan-local rendezvous owner must agree with an INDEPENDENT
+    pure-Python HRW (hashlib md5, same key#shard preimage, DESC-hash /
+    ASC-shard tie-break) for arbitrary keys and shard counts — the
+    cross-engine mirror the fixture-level test (vs the windowed Spark
+    assignment) cannot provide."""
+    import hashlib
+
+    from spark_stream_kudu_spark.operators.layout import hrw_shard_col
+
+    def py_hrw(key: int) -> int:
+        best = None
+        for s in range(n_shards):
+            h = int(
+                hashlib.md5(f"{key}#{s}".encode()).hexdigest()[:8], 16
+            )
+            # max by (h, -s): highest hash wins, ties to the LOWER shard
+            if best is None or (h, -s) > (best[0], -best[1]):
+                best = (h, s)
+        return best[1]
+
+    df = sess.createDataFrame([(k,) for k in keys], "c_custkey long")
+    got = {
+        r["c_custkey"]: r["shard"]
+        for r in df.select(
+            "c_custkey", hrw_shard_col(n_shards).alias("shard")
+        ).collect()
+    }
+    assert got == {k: py_hrw(k) for k in keys}
