@@ -1,0 +1,201 @@
+"""Two-phase global order statistics — rank / running sum / exact ntile
+without a single-partition sort over the data.
+
+``two_phase_rowid`` (operators/layout.py, q181) kills the global
+row_number funnel for inputs whose order key has a naturally bounded
+coarse bucket (a day, a value stride). This module generalizes that
+kernel to the remaining shape the round-7 audit flagged: rollups ranked
+by a METRIC whose tie mass is unbounded (millions of users at
+purchase_cents = 0, the freq = 1 Zipf mass of a vocabulary). A single
+stride bucket re-creates the funnel there — every tied row lands in one
+bucket and the within-bucket window serializes again — so the kernel
+takes a second, optional bucket level that refines ties by a
+uniform key stride:
+
+  phase 0  leaf counts:   groupBy(b1, *b2) — one partially-aggregated
+           shuffle of the rollup, the only pass over the input until
+           the final rank join.
+  phase 1  coarse prefix: per-b1 totals prefix-summed in ONE bounded
+           single-partition window over |b1| rows (a value stride /
+           day domain — thousands, recursively bucketable).
+  phase 2  fine prefix:   per-leaf counts prefix-summed WITHIN each b1
+           (window partitioned by b1 — parallel across coarse buckets;
+           a tie-heavy stride splits across its |b2| sub-buckets
+           instead of serializing).
+  phase 3  leaf ranks:    row_number within (b1, *b2) — bounded by the
+           key stride even when every row ties on the metric — plus
+           the broadcast offset.
+
+Contract: lexicographic (b1 asc, *b2 asc, *order_cols asc) must EQUAL
+the intended global order, and the whole tuple must be a total order
+(give order_cols a unique key tail). Callers encode DESC metrics by
+negating them into the bucket columns.
+
+The offsets side is |leaf| rows — input_rows / key_stride at worst —
+and is explicitly broadcast: it is the rank dictionary, not the data.
+
+``exact_ntile`` reproduces SQL NTILE(k) exactly from (global rank, n):
+the first n % k tiles get ceil(n/k) rows, the rest floor(n/k) — NOT
+the floor((rank-1)*k/n) spread, which distributes remainder rows
+differently (n=7, k=5: NTILE gives 2,2,1,1,1; the floor spread gives
+2,1,2,1,1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_phase_order_stats(
+    df: DataFrame,
+    b1: str,
+    order_cols: Sequence[str | Column],
+    b2: Sequence[str] = (),
+    *,
+    value_col: str | None = None,
+    rank_alias: str = "rnk",
+    n_alias: str | None = None,
+    cumsum_alias: str | None = None,
+    total_alias: str | None = None,
+) -> DataFrame:
+    """Attach exact global order statistics to ``df`` two-phase.
+
+    Adds ``rank_alias`` (1-based dense global row number under
+    lex(b1, *b2, *order_cols)) and optionally ``n_alias`` (total row
+    count), ``cumsum_alias`` (inclusive running sum of ``value_col``
+    in rank order) and ``total_alias`` (grand total of ``value_col``)
+    — everything a gains table / Pareto curve / Gini / NTILE needs,
+    with no window ever seeing more than max(|b1| coarse rows,
+    per-leaf tie group) rows in one partition.
+    """
+    b2 = list(b2)
+    leaf = [b1, *b2]
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    want_sum = value_col is not None and (cumsum_alias or total_alias)
+    if want_sum:
+        aggs.append(F.sum(F.col(value_col).cast("long")).alias("__v"))
+    counts = df.groupBy(*leaf).agg(*aggs)
+
+    # Phase 1: coarse totals. The ONLY single-partition window, over
+    # |b1| rows (bounded by the caller's stride/domain choice).
+    if b2:
+        l1_aggs = [F.sum("__c").alias("__c1")]
+        if want_sum:
+            l1_aggs.append(F.sum("__v").alias("__v1"))
+        l1 = counts.groupBy(b1).agg(*l1_aggs)
+    else:
+        l1 = counts.select(
+            b1,
+            F.col("__c").alias("__c1"),
+            *([F.col("__v").alias("__v1")] if want_sum else []),
+        )
+    w1 = Window.orderBy(b1).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sel = [
+        F.col(b1),
+        F.coalesce(F.sum("__c1").over(w1), F.lit(0))
+        .cast("long")
+        .alias("__off1"),
+    ]
+    if n_alias:
+        sel.append(F.sum("__c1").over(w_all).cast("long").alias(n_alias))
+    if want_sum:
+        sel.append(
+            F.coalesce(F.sum("__v1").over(w1), F.lit(0))
+            .cast("long")
+            .alias("__voff1")
+        )
+        if total_alias:
+            sel.append(
+                F.sum("__v1").over(w_all).cast("long").alias(total_alias)
+            )
+    off1 = l1.select(*sel)
+
+    if b2:
+        # Phase 2: fine prefix within each coarse bucket — parallel
+        # across b1 values, so a tie-heavy stride costs |its sub-
+        # buckets| in one task, never the whole tie mass.
+        w2 = (
+            Window.partitionBy(b1)
+            .orderBy(*b2)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        fine = counts.select(
+            *leaf,
+            F.coalesce(F.sum("__c").over(w2), F.lit(0))
+            .cast("long")
+            .alias("__off2"),
+            *(
+                [
+                    F.coalesce(F.sum("__v").over(w2), F.lit(0))
+                    .cast("long")
+                    .alias("__voff2")
+                ]
+                if want_sum
+                else []
+            ),
+        )
+        offsets = fine.join(off1, b1).select(
+            *leaf,
+            (F.col("__off1") + F.col("__off2")).alias("__off"),
+            *([n_alias] if n_alias else []),
+            *(
+                [(F.col("__voff1") + F.col("__voff2")).alias("__voff")]
+                if want_sum
+                else []
+            ),
+            *([total_alias] if total_alias and want_sum else []),
+        )
+    else:
+        offsets = off1.select(
+            F.col(b1),
+            F.col("__off1").alias("__off"),
+            *([n_alias] if n_alias else []),
+            *([F.col("__voff1").alias("__voff")] if want_sum else []),
+            *([total_alias] if total_alias and want_sum else []),
+        )
+
+    # Phase 3: leaf-local rank + broadcast offset. The offsets side is
+    # the rank dictionary (|leaf| rows), broadcast by design.
+    w_in = Window.partitionBy(*leaf).orderBy(*order_cols)
+    out = df.join(F.broadcast(offsets), leaf).withColumn(
+        rank_alias,
+        (F.col("__off") + F.row_number().over(w_in)).cast("long"),
+    )
+    if want_sum and cumsum_alias:
+        w_cum = (
+            Window.partitionBy(*leaf)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            cumsum_alias,
+            (
+                F.col("__voff")
+                + F.sum(F.col(value_col).cast("long")).over(w_cum)
+            ).cast("long"),
+        )
+    return out.drop("__off", "__voff")
+
+
+def exact_ntile(rank: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) reconstructed from a 1-based global rank and the
+    total row count: the first ``n % k`` tiles take ``ceil(n/k)`` rows,
+    the rest ``floor(n/k)``. Pure integer arithmetic on longs (the
+    float divisions are exact: operands stay far below 2^53); the
+    ``greatest(q, 1)`` guard keeps the untaken branch well-defined when
+    n < k (where every row is its own tile via the first branch)."""
+    kk = F.lit(k).cast("long")
+    q = F.floor(n / kk).cast("long")
+    r = (n - q * kk).cast("long")
+    thr = r * (q + F.lit(1))
+    first = (F.floor((rank - 1) / (q + F.lit(1))) + 1).cast("long")
+    rest = (
+        r + F.floor((rank - 1 - thr) / F.greatest(q, F.lit(1))) + 1
+    ).cast("long")
+    return F.when(rank <= thr, first).otherwise(rest)

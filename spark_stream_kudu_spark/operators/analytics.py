@@ -1531,22 +1531,64 @@ FROM a
     "many land beyond the 1h watermark the streaming twins use. This is "
     "the measurement that JUSTIFIES a watermark delay choice (and "
     "predicts stream_late_audit_e2e's drop count) instead of guessing "
-    "it. Single ordered window pass; at 100 TB run it per arrival "
-    "partition (running max is associative within partitions, and "
-    "cross-partition disorder is bounded by the source's ordering "
-    "guarantee).",
+    "it. The running max is associative, so it runs TWO-PHASE over "
+    "arrival-order buckets (event_id strides): fine buckets compute "
+    "their max in a scan-local aggregate, coarse buckets prefix-max "
+    "those in one bounded window, fine buckets prefix-max within each "
+    "coarse bucket in parallel, and each event combines its bucket's "
+    "broadcast incoming high-water with a bucket-LOCAL running max — "
+    "no window ever orders the event stream in one partition; the two "
+    "stride levels keep every boundary summary recursively bounded at "
+    "100 TB.",
     oracle=_LATENESS_ORACLE,
 )
 def q121_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.orderBy("event_id")
+    # Arrival-order bucket hierarchy: 2^16 events per fine bucket,
+    # 2^12 fine buckets per coarse bucket. The sentinel stands in for
+    # -infinity on the first bucket (no incoming high-water); any real
+    # epoch-millis value exceeds it.
+    lo = F.lit(-(1 << 62))
+    a0 = ev.select(
+        F.unix_millis("ts").alias("t_ms"),
+        "event_id",
+        F.expr("event_id div 65536").alias("__b2"),
+        F.expr("event_id div 268435456").alias("__b1"),
+    )
+    fine = a0.groupBy("__b1", "__b2").agg(F.max("t_ms").alias("__m2"))
+    # Exclusive prefix max over |coarse| rows — the only global window.
+    w1 = Window.orderBy("__b1").rowsBetween(Window.unboundedPreceding, -1)
+    coarse = fine.groupBy("__b1").agg(F.max("__m2").alias("__m1"))
+    hw1 = coarse.select("__b1", F.max("__m1").over(w1).alias("__hw1"))
+    # Exclusive prefix max within each coarse bucket — parallel.
+    w2 = (
+        Window.partitionBy("__b1")
+        .orderBy("__b2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    incoming = (
+        fine.select("__b1", "__b2", F.max("__m2").over(w2).alias("__hw2"))
+        .join(F.broadcast(hw1), "__b1")
+        .select(
+            "__b1",
+            "__b2",
+            F.greatest(
+                F.coalesce("__hw1", lo), F.coalesce("__hw2", lo)
+            ).alias("__hw_in"),
+        )
+    )
+    # Bucket-local running max, lifted by the broadcast incoming mark.
+    w_in = (
+        Window.partitionBy("__b1", "__b2")
+        .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    a = ev.select(
-        F.unix_millis("ts").alias("t_ms"),
-        F.max(F.unix_millis("ts")).over(w).alias("high_water"),
+    a = a0.join(F.broadcast(incoming), ["__b1", "__b2"]).select(
+        "t_ms",
+        F.greatest(F.max("t_ms").over(w_in), F.col("__hw_in")).alias(
+            "high_water"
+        ),
     )
     late = (F.col("high_water") - F.col("t_ms")).alias("late_ms")
     return a.select(late).agg(

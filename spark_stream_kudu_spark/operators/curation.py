@@ -153,6 +153,7 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _VOCAB_TOP = 200
+_VOCAB_SHARDS = 16  # token-hash shards for the phase-1 local rank
 
 _VOCAB_ORACLE = f"""
 WITH tok AS (
@@ -180,12 +181,18 @@ WHERE rank <= {_VOCAB_TOP}
     f"Vocabulary construction (tokenizer-training kernel): corpus token "
     f"counts (the one corpus-sized shuffle, map-side combined), ranked by "
     f"(count DESC, token) with cumulative corpus coverage, truncated to the "
-    f"top {_VOCAB_TOP}. The ranking windows run over the |vocab|-row "
-    "aggregate, never the corpus — at 100 TB the vocab table is millions "
-    "of rows where the corpus is trillions of tokens, so the single-"
-    "partition ranking window is bounded by construction. cum_share tells "
-    "you the coverage a V-token vocabulary buys (the BPE/unigram-LM "
-    "truncation decision).",
+    f"top {_VOCAB_TOP} via SKEW-SAFE two-phase top-k (the q187 shard-"
+    f"superset pattern): phase 1 ranks within {_VOCAB_SHARDS} token-hash "
+    f"shards in parallel keeping each shard's local top {_VOCAB_TOP} — "
+    "exact because every global top-k token is its own shard's top-k — "
+    f"and phase 2 re-ranks the <= {_VOCAB_SHARDS}x{_VOCAB_TOP} "
+    "survivors. The cumulative coverage at rank r <= top-k sums only "
+    "higher-ranked tokens, all of which survive phase 1, so cum_share "
+    "is exact over survivors; the corpus total is a 1-row broadcast "
+    "aggregate. A web-scale vocabulary (10^8+ types) never funnels "
+    "through one ranking task — only the bounded survivor set does. "
+    "cum_share tells you the coverage a V-token vocabulary buys (the "
+    "BPE/unigram-LM truncation decision).",
     oracle=_VOCAB_ORACLE,
 )
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,18 +203,29 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    order = [F.col("n").desc(), F.col("token").asc()]
-    w_rank = Window.orderBy(*order)
+    total = counts.agg(F.sum("n").alias("__total"))
+    # Phase 1: shard-local rank — parallel across token-hash shards.
+    shard = F.pmod(F.xxhash64("token"), F.lit(_VOCAB_SHARDS))
+    w_local = Window.partitionBy(shard).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    survivors = (
+        counts.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= _VOCAB_TOP)
+        .drop("__lrk")
+    )
+    # Phase 2: global rank + cumulative over the bounded survivor set.
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
     return (
-        counts.select(
+        survivors.join(F.broadcast(total))
+        .select(
             F.row_number().over(w_rank).alias("rank"),
             "token",
             "n",
             fround(
                 F.sum("n").over(w_cum).cast("double")
-                / F.sum("n").over(w_all).cast("double"),
+                / F.col("__total").cast("double"),
                 6,
             ).alias("cum_share"),
         )

@@ -49,10 +49,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.ranks import (
+    exact_ntile,
+    two_phase_order_stats,
+)
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+
+# Two-phase rank bucketing constants (see functions/ranks.py): domain-
+# constant coarse strides over the rank metric plus a key stride that
+# splits unbounded tie masses (the freq = 1 Zipf mass, zero-spend
+# users) across parallel sub-buckets.
+_RANK_CENT_STRIDE = 100_000
+_RANK_FREQ_STRIDE = 64
+_RANK_KEY_STRIDE = 4096
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,23 +862,46 @@ CROSS JOIN tot t
     "Mutual information between user-activity decile and event type — "
     "the dependence screen that catches associations a correlation "
     "misses (MI sees any deviation from independence, not just linear). "
-    f"Users rank into {_MI_DECILES} deciles by event count (ntile under "
-    "a TOTAL (count DESC, user_id) order — deterministic), the "
-    "contingency cells aggregate once, and MI = sum p_ij ln(p_ij/(p_i "
-    "p_j)) folds over |deciles| x |types| integer cells with broadcast "
-    "marginals. At 100 TB the stream reduces to per-user counts, then "
-    "to the tiny contingency table; MI == 0 iff independent.",
+    f"Users rank into {_MI_DECILES} deciles by event count (NTILE under "
+    "a TOTAL (count DESC, user_id) order — deterministic — rebuilt "
+    "exactly from a TWO-PHASE global rank, functions/ranks.py: freq-"
+    "stride coarse buckets, tie sub-buckets by key stride, so the "
+    "|users| rollup and its freq = 1 Zipf mass never funnel through "
+    "one window task), the contingency cells aggregate once, and MI = "
+    "sum p_ij ln(p_ij/(p_i p_j)) folds over |deciles| x |types| "
+    "integer cells with broadcast marginals. The decile map joins back "
+    "to events UNHINTED on user_id — |users|-sized, so the planner "
+    "(AQE) picks broadcast only when it actually fits. At 100 TB the "
+    "stream reduces to per-user counts, then to the tiny contingency "
+    "table; MI == 0 iff independent.",
     oracle=_MI_ORACLE,
 )
 def q142_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     user_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
-    wd = Window.orderBy(F.desc("n_ev"), F.asc("user_id"))
-    deciled = user_counts.select(
-        "user_id", F.ntile(_MI_DECILES).over(wd).alias("decile")
+    # Global order (n_ev DESC, user_id ASC) as lex buckets.
+    staged = user_counts.select(
+        "user_id",
+        F.expr(f"-(n_ev div {_RANK_FREQ_STRIDE})").alias("__b1"),
+        (-F.col("n_ev")).alias("__negf"),
+        F.expr(f"user_id div {_RANK_KEY_STRIDE}").alias("__ub"),
+    )
+    ranked = two_phase_order_stats(
+        staged,
+        "__b1",
+        [F.asc("user_id")],
+        b2=["__negf", "__ub"],
+        rank_alias="__rk",
+        n_alias="__n",
+    )
+    deciled = ranked.select(
+        "user_id",
+        exact_ntile(F.col("__rk"), F.col("__n"), _MI_DECILES)
+        .cast("int")
+        .alias("decile"),
     )
     cells = (
-        ev.join(F.broadcast(deciled), "user_id")
+        ev.join(deciled, "user_id")
         .groupBy("decile", "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1032,12 +1067,19 @@ FROM scored GROUP BY 1, 2, 3
     "drift",
     f"RFM segmentation: per-user recency (days since last event at a "
     "fixed scoring instant), frequency, and monetary value scored into "
-    f"{_RFM_TILES} quintiles by ntile under TOTAL orders (metric + "
-    "user_id tiebreak — deterministic in both engines), then segment "
-    "cells aggregated with exact cents totals. The classic customer-"
-    "value grid as a declared query: the stream reduces to |users| "
-    "rollup rows; the three rank windows and the final cell rollup "
-    "never touch raw events again.",
+    f"{_RFM_TILES} quintiles under TOTAL orders (metric + user_id "
+    "tiebreak — deterministic in both engines), then segment cells "
+    "aggregated with exact cents totals. Each quintile is NTILE "
+    "rebuilt exactly from a TWO-PHASE global rank (functions/ranks.py) "
+    "— recency buckets by day, frequency by freq stride, monetary by "
+    "cent stride, each with key-stride tie sub-buckets — three calls "
+    "to the q184-family kernel instead of three single-partition "
+    "windows over the |users| rollup. The rollup is pinned once "
+    "(localCheckpoint, q128 precedent: three rank branches would "
+    "otherwise re-aggregate raw events 3x) and the per-metric score "
+    "maps re-join on user_id, all |users|-sized co-partitioned joins. "
+    "The classic customer-value grid as a declared query: raw events "
+    "are touched exactly once.",
     oracle=_RFM_ORACLE,
 )
 def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,16 +1090,57 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rec_days"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+    ).localCheckpoint(eager=True)
+    ub = F.expr(f"user_id div {_RANK_KEY_STRIDE}").alias("__ub")
+
+    def _quintile(staged, b2, alias):
+        ranked = two_phase_order_stats(
+            staged,
+            "__b1",
+            [F.asc("user_id")],
+            b2=b2,
+            rank_alias="__rk",
+            n_alias="__n",
+        )
+        return ranked.select(
+            "user_id",
+            *([c for c in staged.columns if c == "cents"]),
+            exact_ntile(F.col("__rk"), F.col("__n"), _RFM_TILES)
+            .cast("int")
+            .alias(alias),
+        )
+
+    # Global orders as lex buckets: (rec_days ASC, uid), (freq DESC,
+    # uid), (cents DESC, uid).
+    r = _quintile(
+        per_user.select(
+            "user_id", F.col("rec_days").alias("__b1"), ub
+        ),
+        ["__ub"],
+        "r_score",
     )
-    wr = Window.orderBy(F.asc("rec_days"), F.asc("user_id"))
-    wf = Window.orderBy(F.desc("freq"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("cents"), F.asc("user_id"))
-    scored = per_user.select(
-        "cents",
-        F.ntile(_RFM_TILES).over(wr).alias("r_score"),
-        F.ntile(_RFM_TILES).over(wf).alias("f_score"),
-        F.ntile(_RFM_TILES).over(wm).alias("m_score"),
+    f_ = _quintile(
+        per_user.select(
+            "user_id",
+            F.expr(f"-(freq div {_RANK_FREQ_STRIDE})").alias("__b1"),
+            (-F.col("freq")).alias("__negf"),
+            ub,
+        ),
+        ["__negf", "__ub"],
+        "f_score",
     )
+    m = _quintile(
+        per_user.select(
+            "user_id",
+            "cents",
+            F.expr(f"-(cents div {_RANK_CENT_STRIDE})").alias("__b1"),
+            (-F.col("cents")).alias("__negc"),
+            ub,
+        ),
+        ["__negc", "__ub"],
+        "m_score",
+    )
+    scored = r.join(f_, "user_id").join(m, "user_id")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").alias("segment_cents"),
@@ -1102,10 +1185,14 @@ FROM moments
     "the corpus vocabulary — the power-law diagnostic a tokenizer/vocab "
     "budget decision reads (natural corpora slope toward -1; this "
     "synthetic corpus is flatter, which is exactly what the query "
-    "reveals). Ranks come from a TOTAL (freq DESC, token) order; the "
-    "log-moment sums follow the text_domain_kl transcendental precedent "
-    "(fround absorbs accumulation ulps). One vocab shuffle; the "
-    "regression runs over |vocab| rows, never the corpus.",
+    "reveals). Ranks come from a TOTAL (freq DESC, token) order, "
+    "rebuilt TWO-PHASE (functions/ranks.py): freq-stride coarse "
+    "buckets, the freq = 1 Zipf tail split across token-prefix "
+    "sub-buckets, broadcast prefix offsets — a web-scale vocabulary "
+    "never funnels through one ranking task. The log-moment sums "
+    "follow the text_domain_kl transcendental precedent (fround "
+    "absorbs accumulation ulps). One vocab shuffle; the regression "
+    "runs over |vocab| rows, never the corpus.",
     oracle=_ZIPF_ORACLE,
 )
 def q145_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,9 +1205,25 @@ def q145_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    wr = Window.orderBy(F.desc("freq"), F.asc("t"))
-    logs = vocab.select(
-        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+    # Global order (freq DESC, t ASC) as lex buckets; ties (the Zipf
+    # tail) sub-bucket by 2-char token prefix, which coarsens binary
+    # string order (UTF-8 byte order == code-point order).
+    staged = vocab.select(
+        "t",
+        "freq",
+        F.expr(f"-(freq div {_RANK_FREQ_STRIDE})").alias("__b1"),
+        (-F.col("freq")).alias("__negf"),
+        F.substring("t", 1, 2).alias("__tp"),
+    )
+    ranked = two_phase_order_stats(
+        staged,
+        "__b1",
+        [F.asc("t")],
+        b2=["__negf", "__tp"],
+        rank_alias="__rk",
+    )
+    logs = ranked.select(
+        F.log(F.col("__rk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
     m = logs.agg(
@@ -1809,8 +1912,11 @@ FROM classed GROUP BY 1, 2
     "CROSS-MULTIPLIED into pure BIGINT comparisons, so the entire "
     "classification is integer-exact with no float CV and no epsilon. "
     "The planning grid (count + volume per cell) every inventory policy "
-    "starts from. Aggregate-then-rank: the global cumulative window "
-    "sees only the |parts| rollup.",
+    "starts from. Aggregate-then-rank, then TWO-PHASE: the cumulative "
+    "revenue comes from the shared kernel (functions/ranks.py — "
+    "dollar-stride coarse buckets over rev_e4, tie sub-buckets by key "
+    "stride, broadcast prefix offsets), so no window ever sees the "
+    "|parts| rollup in one partition.",
     oracle=_ABCXYZ_ORACLE,
 )
 def q155_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,17 +1935,28 @@ def q155_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments = yearly.groupBy("l_partkey").agg(
         F.sum("q").alias("s"), F.sum(F.col("q") * F.col("q")).alias("ss")
     )
-    wcum = Window.orderBy(F.desc("rev_e4"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    ranked = per_part.join(moments, "l_partkey").select(
+    # Global order (rev_e4 DESC, l_partkey ASC) as lex buckets; the
+    # metric is e4-scaled so the $100 stride is 1,000,000.
+    staged = per_part.join(moments, "l_partkey").select(
+        "l_partkey",
+        "rev_e4",
         "qty",
         "s",
         "ss",
-        F.sum("rev_e4").over(wcum).alias("cum_rev"),
-        F.sum("rev_e4").over(wall).alias("total_rev"),
+        F.expr(f"-(rev_e4 div {_RANK_CENT_STRIDE * 10})").alias("__b1"),
+        (-F.col("rev_e4")).alias("__negv"),
+        F.expr(f"l_partkey div {_RANK_KEY_STRIDE}").alias("__kb"),
     )
+    ranked = two_phase_order_stats(
+        staged,
+        "__b1",
+        [F.asc("l_partkey")],
+        b2=["__negv", "__kb"],
+        value_col="rev_e4",
+        rank_alias="__rk",
+        cumsum_alias="cum_rev",
+        total_alias="total_rev",
+    ).select("qty", "s", "ss", "cum_rev", "total_rev")
     disp = F.lit(_XYZ_YEARS) * F.col("ss") - F.col("s") * F.col("s")
     classed = ranked.select(
         F.when(

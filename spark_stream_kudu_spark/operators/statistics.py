@@ -36,10 +36,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.ranks import (
+    exact_ntile,
+    two_phase_order_stats,
+)
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+
+# Two-phase rank bucketing constants shared by the entity-rollup rank
+# queries (q110/q135/q136): a $1000 cent-stride coarse bucket over the
+# metric (domain constant, scan-local — the q184 precedent) and a
+# 4096-key stride refining TIES on the metric, so even an unbounded tie
+# mass (e.g. millions of zero-spend users) splits across sub-buckets
+# instead of serializing one window task.
+_RANK_CENT_STRIDE = 100_000
+_RANK_KEY_STRIDE = 4096
 
 # --------------------------------------------------------------------------
 # q75: exact-moment correlation / regression
@@ -443,9 +456,12 @@ FROM per_bucket
     "tie-break), each bucket's revenue and the cumulative share — 'the "
     "top 20% of users drive X% of revenue', the targeting/prioritization "
     "report of every growth team and the evaluation chart of every "
-    "propensity model. The per-user rollup shuffles once; ntile and the "
-    "cumulative windows run over |users| and |buckets| rows "
-    "respectively, never raw events.",
+    "propensity model. The per-user rollup shuffles once; the quintile "
+    "comes from a TWO-PHASE global rank (cent-stride coarse buckets + "
+    "key-stride tie sub-buckets, functions/ranks.py) with NTILE(5) "
+    "reconstructed exactly from (rank, n) — no window ever funnels the "
+    "|users| rollup (or its zero-spend tie mass) through one task. The "
+    "final cumulative window runs over the 5 bucket rows only.",
     oracle=_GAINS_ORACLE,
 )
 def q110_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,9 +475,28 @@ def q110_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("purchase_cents")
     )
-    wn = Window.orderBy(F.col("purchase_cents").desc(), F.col("user_id").asc())
+    # Global order (purchase_cents DESC, user_id ASC) as lex(b1, *b2,
+    # user_id): negated stride, negated exact value, key stride.
+    staged = uv.select(
+        "user_id",
+        "purchase_cents",
+        F.expr(f"-(purchase_cents div {_RANK_CENT_STRIDE})").alias("__b1"),
+        (-F.col("purchase_cents")).alias("__negc"),
+        F.expr(f"user_id div {_RANK_KEY_STRIDE}").alias("__ub"),
+    )
+    ranked = two_phase_order_stats(
+        staged,
+        "__b1",
+        [F.asc("user_id")],
+        b2=["__negc", "__ub"],
+        rank_alias="__rk",
+        n_alias="__n",
+    )
     per_bucket = (
-        uv.withColumn("bucket", F.ntile(5).over(wn))
+        ranked.withColumn(
+            "bucket",
+            exact_ntile(F.col("__rk"), F.col("__n"), 5).cast("int"),
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -774,10 +809,13 @@ FROM cum GROUP BY 1
     "cents revenue descending (custkey tie-break), bucketed into rank "
     "deciles, with each decile's revenue and the cumulative share at its "
     "boundary — the 80/20 curve as a declared query. All integers until "
-    "the final share division of two exact BIGINTs. Aggregate-then-rank: "
-    "the customer rollup is one partially-aggregated shuffle; the global "
-    "rank window runs over |customers| rows, never raw orders — at 100 TB "
-    "the rank input is the persisted per-customer rollup.",
+    "the final share division of two exact BIGINTs. Aggregate-then-rank, "
+    "then TWO-PHASE: the customer rollup is one partially-aggregated "
+    "shuffle; rank AND running revenue come from the shared two-phase "
+    "kernel (functions/ranks.py — cent-stride coarse buckets, tie "
+    "sub-buckets, broadcast prefix offsets), so no window ever sees the "
+    "|customers| rollup in one partition — at 100 TB both the rank and "
+    "the cumulative sum stay parallel across strides.",
     oracle=_PARETO_ORACLE,
 )
 def q135_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,21 +826,31 @@ def q135_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    wrank = Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-    wall = Window.partitionBy()
-    ranked = cust.select(
+    # Global order (rev_cents DESC, o_custkey ASC) as lex buckets:
+    # negated cent stride, negated exact value, key stride.
+    staged = cust.select(
         "o_custkey",
         "rev_cents",
-        F.row_number().over(wrank).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("rev_cents").over(wall).alias("total"),
+        F.expr(f"-(rev_cents div {_RANK_CENT_STRIDE})").alias("__b1"),
+        (-F.col("rev_cents")).alias("__negv"),
+        F.expr(f"o_custkey div {_RANK_KEY_STRIDE}").alias("__kb"),
     )
-    wcum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = two_phase_order_stats(
+        staged,
+        "__b1",
+        [F.asc("o_custkey")],
+        b2=["__negv", "__kb"],
+        value_col="rev_cents",
+        rank_alias="rk",
+        n_alias="n",
+        cumsum_alias="cum_rev",
+        total_alias="total",
+    )
     cum = ranked.select(
         (((F.col("rk") - 1) * 10) / F.col("n")).cast("long").alias("decile_0"),
         "rev_cents",
         "total",
-        F.sum("rev_cents").over(wcum).alias("cum_rev"),
+        "cum_rev",
     ).select(
         (F.col("decile_0") + 1).alias("decile"), "rev_cents", "total", "cum_rev"
     )
@@ -843,8 +891,10 @@ FROM ranked
     "ties contribute identically under any stable rank assignment since "
     "equal x share the bracket sum). The rank-weighted sum accumulates "
     "as exact integers; float math happens once at finalize on identical "
-    "operands. Aggregate-then-rank like the Pareto curve: the global "
-    "sort window sees |customers| rollup rows, never raw orders.",
+    "operands. Aggregate-then-rank like the Pareto curve, with the rank "
+    "from the shared TWO-PHASE kernel (functions/ranks.py — cent-stride "
+    "coarse buckets, tie sub-buckets, broadcast prefix offsets): no "
+    "window ever sees the |customers| rollup in one partition.",
     oracle=_GINI_ORACLE,
 )
 def q136_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,13 +905,21 @@ def q136_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    wrank = Window.orderBy(F.asc("rev_cents"), F.asc("o_custkey"))
-    wall = Window.partitionBy()
-    ranked = cust.select(
+    # Global order (rev_cents ASC, o_custkey ASC) as lex buckets.
+    staged = cust.select(
+        "o_custkey",
         "rev_cents",
-        F.row_number().over(wrank).cast("long").alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+        F.expr(f"rev_cents div {_RANK_CENT_STRIDE}").alias("__b1"),
+        F.expr(f"o_custkey div {_RANK_KEY_STRIDE}").alias("__kb"),
     )
+    ranked = two_phase_order_stats(
+        staged,
+        "__b1",
+        [F.asc("o_custkey")],
+        b2=["rev_cents", "__kb"],
+        rank_alias="i",
+        n_alias="n",
+    ).select("rev_cents", "i", "n")
     nmax = F.max("n")
     total = F.sum("rev_cents")
     gini = (
