@@ -127,6 +127,24 @@ BENCH_V4: tuple[str, ...] = (
     "q191_resharding_execute",     # deletion-vector reshard + proof
 )
 
+# headline_v5 (round 8): the single-partition-retirement round — the
+# two-phase kernel migrations (every corpus-scaling global window in
+# the registry rebuilt on functions/ranks.py or its siblings) plus the
+# round's one registration. q144 also stays in its frozen v2 slot, so
+# the migration's round-over-round delta is directly readable there;
+# v5 adds the rest of the migrated family. Membership pinned in
+# tests/test_cli.py.
+BENCH_V5: tuple[str, ...] = (
+    "q110_gains_table",            # quintile gains via kernel + exact NTILE
+    "q121_lateness_audit",         # two-level two-phase running max
+    "q135_pareto_curve",           # rank + running revenue from the kernel
+    "q142_mutual_information",     # NTILE deciles + unhinted decile join
+    "q145_zipf_fit",               # full-vocab two-phase rank
+    "text_vocab",                  # shard-superset top-k vocabulary
+    "q87_skyline",                 # |days| prefix-max rollup skyline
+    "stream_rate_limit_resume_e2e",  # rate-limit + offset-resume contract
+)
+
 
 def _calib_workload() -> float:
     """One unit of the fixed CPU workload: numpy matmul + pure-Python
@@ -173,18 +191,34 @@ def _run_calib_unit(_: int) -> float:
     return _calib_workload()
 
 
+# Acceptance band for the Spark-native calibration, in seconds (see
+# SCALE.md "Spark calibration band"). Measured spread: pin-host warm
+# plateau 0.62-0.68; a freshly booted JVM on the same class of host
+# reads ~0.92 on its FIRST run and converges to ~0.66 once JIT/GC
+# reach steady state; the round-7 judge observed 1.56 (factor 2.44) on
+# a run whose JVM never converged. The convergence loop below retries
+# until two consecutive runs agree within 8%, which repairs the
+# cold-JVM case; a final value still outside the band means the
+# calibration measured churn/steal, not host speed, so
+# value_normalized_spark is withheld (calib_spark_ok=false) and raw +
+# r{N-1}-commit A/B remain the comparators.
+CALIB_SPARK_BAND = (0.40, 1.30)
+
+
 def _calibrate_spark(spark) -> float:
-    """Best-of-2 SPARK-NATIVE calibration: a fixed 32-partition JVM
-    workload (codegen'd xor-mix fold over range + a 100k-key shuffle)
-    timed end to end. Runs on exactly the substrate the suite runs on —
-    JVM task threads under this host's scheduler — so it sees drift the
+    """SPARK-NATIVE calibration: a fixed 32-partition JVM workload
+    (codegen'd xor-mix fold over range + a 100k-key shuffle) timed end
+    to end. Runs on exactly the substrate the suite runs on — JVM task
+    threads under this host's scheduler — so it sees drift the
     Python-side spins cannot (JIT/GC state, task scheduling, JVM-level
-    CPU steal). Measured AFTER the suites (JVM warm, same steady state
-    the timed queries enjoyed). See CALIB_SPARK_REF_SEC note."""
+    CPU steal). Measured AFTER the suites (JVM warm) and repeated
+    until two consecutive runs agree within 8% (max 6), so an
+    unconverged JIT can't masquerade as a slow host; returns the best
+    observed. See CALIB_SPARK_REF_SEC / CALIB_SPARK_BAND notes."""
     from pyspark.sql import functions as F  # noqa: N812
 
-    best = float("inf")
-    for _ in range(2):
+    times: list[float] = []
+    for _ in range(6):
         t0 = time.perf_counter()
         (
             spark.range(0, 100_000_000, 1, 32)
@@ -205,8 +239,14 @@ def _calibrate_spark(spark) -> float:
             .mode("overwrite")
             .save()
         )
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+        if (
+            len(times) >= 2
+            and abs(times[-1] - times[-2])
+            <= 0.08 * min(times[-1], times[-2])
+        ):
+            break
+    return min(times)
 
 
 def main() -> None:
@@ -224,6 +264,7 @@ def main() -> None:
     specs_v2 = {n: registry[n] for n in BENCH_V2}
     specs_v3 = {n: registry[n] for n in BENCH_V3}
     specs_v4 = {n: registry[n] for n in BENCH_V4}
+    specs_v5 = {n: registry[n] for n in BENCH_V5}
 
     def run_suite(suite: dict) -> dict[str, float]:
         # JVM/codegen warmup: run the whole suite once at the smallest
@@ -263,19 +304,31 @@ def main() -> None:
     timings_v2 = run_suite(specs_v2)
     timings_v3 = run_suite(specs_v3)
     timings_v4 = run_suite(specs_v4)
+    timings_v5 = run_suite(specs_v5)
 
     total = round(sum(timings.values()), 3)
     total_v2 = round(sum(timings_v2.values()), 3)
     total_v3 = round(sum(timings_v3.values()), 3)
     total_v4 = round(sum(timings_v4.values()), 3)
+    total_v5 = round(sum(timings_v5.values()), 3)
     calib_spark = _calibrate_spark(spark)
     calib = min(calib_pre, _calibrate())
     calib_mt = min(calib_mt_pre, _calibrate_mt())
     host_factor = round(calib / CALIB_REF_SEC, 3)
     host_factor_mt = round(calib_mt / CALIB_MT_REF_SEC, 3)
     host_factor_spark = round(calib_spark / CALIB_SPARK_REF_SEC, 3)
-    print(
-        json.dumps(
+    # Gate the Spark-normalized comparators on the calibration landing
+    # inside its accepted steady-state band — an out-of-band reading
+    # means the calib measured JVM churn/steal, not host speed, and a
+    # 2-4x calibration swing must not masquerade as an engine change.
+    calib_spark_ok = (
+        CALIB_SPARK_BAND[0] <= calib_spark <= CALIB_SPARK_BAND[1]
+    )
+
+    def _norm_spark(raw: float):
+        return round(raw / host_factor_spark, 3) if calib_spark_ok else None
+
+    payload = (
             {
                 "metric": "headline_suite_total_sec",
                 "value": total,
@@ -294,17 +347,14 @@ def main() -> None:
                 "value_v3_normalized_mt": round(total_v3 / host_factor_mt, 3),
                 "calib_spark_sec": round(calib_spark, 3),
                 "calib_spark_ref_sec": CALIB_SPARK_REF_SEC,
+                "calib_spark_band": list(CALIB_SPARK_BAND),
+                "calib_spark_ok": calib_spark_ok,
                 "host_factor_spark": host_factor_spark,
-                "value_normalized_spark": round(total / host_factor_spark, 3),
-                "value_v2_normalized_spark": round(
-                    total_v2 / host_factor_spark, 3
-                ),
-                "value_v3_normalized_spark": round(
-                    total_v3 / host_factor_spark, 3
-                ),
-                "value_v4_normalized_spark": round(
-                    total_v4 / host_factor_spark, 3
-                ),
+                "value_normalized_spark": _norm_spark(total),
+                "value_v2_normalized_spark": _norm_spark(total_v2),
+                "value_v3_normalized_spark": _norm_spark(total_v3),
+                "value_v4_normalized_spark": _norm_spark(total_v4),
+                "value_v5_normalized_spark": _norm_spark(total_v5),
                 "metric_v2": "headline_v2_total_sec",
                 "value_v2": total_v2,
                 "queries_v2": timings_v2,
@@ -318,9 +368,28 @@ def main() -> None:
                 "queries_v4": timings_v4,
                 "value_v4_normalized": round(total_v4 / host_factor, 3),
                 "value_v4_normalized_mt": round(total_v4 / host_factor_mt, 3),
+                "metric_v5": "headline_v5_total_sec",
+                "value_v5": total_v5,
+                "queries_v5": timings_v5,
+                "value_v5_normalized": round(total_v5 / host_factor, 3),
+                "value_v5_normalized_mt": round(total_v5 / host_factor_mt, 3),
             }
-        )
     )
+    line = json.dumps(payload)
+    # The driver's BENCH_r{N}.json stores only a bounded stdout tail,
+    # which truncated the r7 artifact's queries dict — persist the
+    # complete final JSON alongside it so every round's artifact is
+    # self-contained (round-7 verdict item 4).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
     spark.stop()
 
 

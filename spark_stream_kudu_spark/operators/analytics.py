@@ -586,14 +586,17 @@ WHERE NOT EXISTS (
     "2-D skyline (Pareto front): orders not dominated by any EARLIER "
     "order of equal-or-higher price (minimize date, maximize price) — "
     "the multi-objective shortlist query. The oracle states it as the "
-    "textbook O(n^2) NOT EXISTS; the engine computes the equivalent "
-    "single pass: running max of price over a RANGE frame ending one day "
-    "earlier (same-day rows never dominate each other, matching the "
-    "strict inequality), keep rows strictly above it. One sort shuffle "
-    "on a single global ordering vs the oracle's quadratic self-join — "
-    "the difference between feasible and not at 100 TB. For cluster "
-    "scale the global sort is a range-partitioned sort (Spark's default "
-    "for a global window) with per-partition prior-max merge.",
+    "textbook O(n^2) NOT EXISTS; the engine exploits that the RANGE "
+    "frame ending one day earlier makes the dominating max a pure "
+    "function of the DAY (same-day rows never dominate each other, "
+    "matching the strict inequality): per-day maxima aggregate "
+    "scan-locally, an exclusive prefix max runs over the |days|-row "
+    "rollup only (the one bounded single-partition window), and the "
+    "broadcast prior-max joins back for a scan-local filter — the fact "
+    "table is never globally sorted at all (the previous form's global "
+    "RANGE window WAS a single-partition funnel: Spark plans any "
+    "unpartitioned window as Exchange SinglePartition, range-"
+    "partitioned sorts exist only for ORDER BY).",
     oracle=_SKYLINE_ORACLE,
 )
 def q87_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,12 +611,17 @@ def q87_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day_no"),
     )
-    w = (
-        Window.orderBy("day_no")
-        .rangeBetween(Window.unboundedPreceding, -1)
+    day_max = o.groupBy("day_no").agg(
+        F.max("price_cents").alias("__day_max")
+    )
+    w_prior = Window.orderBy("day_no").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = day_max.select(
+        "day_no", F.max("__day_max").over(w_prior).alias("prior_max")
     )
     return (
-        o.withColumn("prior_max", F.max("price_cents").over(w))
+        o.join(F.broadcast(prior), "day_no")
         .filter(
             F.col("prior_max").isNull()
             | (F.col("price_cents") > F.col("prior_max"))

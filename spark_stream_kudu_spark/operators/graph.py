@@ -778,26 +778,52 @@ def _kcore_oracle() -> str:
     "endpoint-count shuffle + one size-gated semijoin against the "
     "survivor set (broadcast at dimension scale, shuffled-hash at web "
     "scale), lineage cut per round — O(rounds), never O(rounds^2), "
-    "state is the edge list itself. The oracle unrolls the identical "
-    "rounds as MATERIALIZED chained CTEs (q165's pattern).",
+    "state is the edge list itself. The edge build is basket-local "
+    "(q128's sorted-array pair expansion via basket_edges — no order-"
+    "keyed self-join, so a thousand-item hub basket never serializes "
+    "its |basket|^2 pairs through one join task). The oracle unrolls "
+    "the identical rounds as MATERIALIZED chained CTEs (q165's "
+    "pattern).",
     oracle=_kcore_oracle(),
 )
 def q190_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
+    metrics = kcore_trajectory(
+        spark, basket_edges(li), _KCORE_K, _KCORE_ROUNDS
     )
-    metrics = kcore_trajectory(spark, edges, _KCORE_K, _KCORE_ROUNDS)
     return spark.createDataFrame(
         metrics, "round long, n_nodes long, n_edges long"
+    )
+
+
+def basket_edges(memberships: DataFrame) -> DataFrame:
+    """Canonical (u < v, distinct) co-membership edges from an (o, p)
+    membership table WITHOUT an order-keyed self-join: each basket
+    collects into ONE sorted distinct array row (a single shuffle on
+    the basket key) and pairs expand basket-locally from the array —
+    the q128 market-basket pattern. An order-keyed self-join emits
+    |basket|^2 rows inside the join task of a hot key, so a thousand-
+    item hub in a real co-interaction log serializes a million-row
+    build through one task; here the hub's quadratic streams through
+    the Generate operator of the row that holds it, with no skewed
+    join build side and one fewer shuffle. Pair order u < v holds by
+    construction (ascending sorted set, each element pairs with its
+    strict suffix)."""
+    grouped = memberships.groupBy("o").agg(
+        F.array_sort(F.collect_set("p")).alias("ps")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    return (
+        grouped.select(F.explode(pair_expr).alias("e"))
+        .select("e.u", "e.v")
+        .distinct()
     )
 
 

@@ -9,7 +9,9 @@ tests/test_plans.py::test_bucketed_join_is_shuffle_free).
 
 from __future__ import annotations
 
+import atexit
 import datetime
+import glob
 import hashlib
 import os
 import shutil
@@ -25,6 +27,39 @@ from spark_stream_kudu_spark.sources.bucketed import write_bucketed
 from spark_stream_kudu_spark.sources.tables import load_table
 
 NUM_BUCKETS = 8  # test scale; at 100 TB size so max bucket file ~<=1 GB
+
+
+def _sweep_dead_bucketed_dirs() -> None:
+    """Remove bucketed-warehouse dirs left by DEAD processes.
+
+    Each process writes its bucketed copy under a pid-unique dir (see
+    bucketed_pair); without a sweep every pytest/bench run would leave
+    a full lineitem+orders copy in /tmp forever. A dir is reclaimed
+    only when its embedded pid no longer exists (kill(pid, 0) fails),
+    so a concurrently RUNNING process's copy is never touched — the
+    no-clobber property the pid-unique scheme exists for. Registered
+    work also cleans up after THIS process at exit."""
+    pattern = os.path.join(tempfile.gettempdir(), "ssk_bucketed_*_*")
+    for path in glob.glob(pattern):
+        pid_part = path.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except PermissionError:
+            # Pid exists but belongs to another user — leave it alone.
+            pass
+
+
+@atexit.register
+def _cleanup_own_bucketed_dirs() -> None:
+    own = os.path.join(
+        tempfile.gettempdir(), f"ssk_bucketed_*_{os.getpid()}"
+    )
+    for path in glob.glob(own):
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def bucketed_pair(
@@ -49,6 +84,7 @@ def bucketed_pair(
     base = os.path.join(
         tempfile.gettempdir(), f"ssk_bucketed_{tag}_{os.getpid()}"
     )
+    _sweep_dead_bucketed_dirs()
     names = {}
     for tbl, keys in (("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])):
         name = f"ssk_{tbl}_{tag}"
@@ -1440,24 +1476,49 @@ def _promote_staging(staging: str, path: str, marker: str) -> None:
     round-6-ADVICE-hardened form the supply cache uses,
     subqueries.py): a failed rename means EITHER a complete copy won
     the race (marker present under ``path`` — discard staging) OR a
-    stale partial occupant blocks the path (no marker — replace it and
-    retry; fail loudly rather than read an incomplete directory)."""
+    stale partial occupant blocks the path (no marker — displace it
+    and retry; fail loudly rather than read an incomplete directory).
+
+    The stale occupant is displaced by an atomic rename-ASIDE, not an
+    in-place rmtree: rmtree left a long window (the whole deletion)
+    during which a competitor's just-completed copy could be half-
+    deleted and the path held nothing readable. With rename-aside the
+    path is empty only between two rename syscalls, and the marker is
+    re-checked immediately before the displacement so a competitor
+    that completed after the first check keeps its copy (round-7
+    ADVICE)."""
+    try:
+        os.rename(staging, path)
+        return
+    except OSError:
+        pass
+    if os.path.exists(marker):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    trash = f"{path}.stale.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    moved = False
+    # Re-check at the last instant: between the check above and here a
+    # competitor may have finished its own promotion.
+    if not os.path.exists(marker):
+        try:
+            os.rename(path, trash)
+            moved = True
+        except OSError:
+            # Occupant vanished (a competitor displaced it first) —
+            # the path may simply be free now.
+            pass
     try:
         os.rename(staging, path)
     except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
         if not os.path.exists(marker):
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.rename(staging, path)
-            except OSError:
-                shutil.rmtree(staging, ignore_errors=True)
-                if not os.path.exists(marker):
-                    raise RuntimeError(
-                        f"layout cache at {path} is incomplete "
-                        "(no _SUCCESS) and could not be replaced"
-                    )
-        else:
-            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"layout cache at {path} is incomplete "
+                "(no _SUCCESS) and could not be replaced"
+            )
+    finally:
+        if moved:
+            shutil.rmtree(trash, ignore_errors=True)
 
 
 _COMPACT_EXEC_ORACLE = f"""
@@ -1680,6 +1741,13 @@ def resharding_overlay(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("shard")
             .parquet(os.path.join(staging, "tombstones"))
         )
+        # Table-metadata twin of a deletion-vector store's cardinality
+        # stat: written once at reshard time (moved is already pinned,
+        # so this count scans executor-local blocks, not the base
+        # store), read by every merge-on-read view instead of
+        # re-counting the tombstones per query.
+        with open(os.path.join(staging, "tombstone_count.txt"), "w") as f:
+            f.write(str(moved.count()))
         with open(os.path.join(staging, "_SUCCESS"), "w"):
             pass
         _promote_staging(staging, path, marker)
@@ -1692,15 +1760,22 @@ def resharded_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     data files. The tombstone side is key-only metadata (~1/9
     of the keys), applied as a size-gated anti-join per (shard, key) —
     broadcast at dimension scale, shuffled-hash past the gate, never a
-    sort. The tombstone cardinality is read once (deletion-vector
-    stores keep exactly this count in table metadata)."""
+    sort. The tombstone cardinality comes from the overlay's metadata
+    file (written once at reshard time, the deletion-vector-store
+    convention); only a pre-metadata overlay left by an older build
+    falls back to counting."""
     from spark_stream_kudu_spark.functions.joins import gated_broadcast
 
     base = sharded_customer(spark, sf_dir)
     over = resharding_overlay(spark, sf_dir)
     newdata = spark.read.parquet(os.path.join(over, "newdata"))
     tomb = spark.read.parquet(os.path.join(over, "tombstones"))
-    n_tomb = tomb.count()
+    meta = os.path.join(over, "tombstone_count.txt")
+    try:
+        with open(meta) as f:
+            n_tomb = int(f.read().strip())
+    except (OSError, ValueError):
+        n_tomb = tomb.count()
     live = base.join(
         gated_broadcast(
             tomb.select(F.col("key").alias("c_custkey"), "shard"),

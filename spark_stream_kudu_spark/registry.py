@@ -91,66 +91,29 @@ def register(
 # drops into the staleness-ordered tail once the driver certifies it),
 # so later rounds only append new registrations here.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- 1. never-driver-checked backlog (31) ---
-    "text_dataset_card",
-    "stream_contract_gate_e2e",
-    "sim_hybrid_rrf",
-    "multimodal_byte_histogram",
-    "dedup_clusters_starcontraction",
-    "dedup_lsh_tuning_curve",
-    "stream_ivm_retraction_e2e",
-    "multimodal_decode_ppm",
-    "multimodal_thumbnail_ppm",
-    "stream_full_outer_interval_join_e2e",
-    "multimodal_audio_wav",
-    "multimodal_video_demux",
-    "stream_media_decode_e2e",
-    "q177_compaction_plan",
-    "q178_countmin_frequency",
-    "stream_countmin_e2e",
-    "dedup_exact_substring",
-    "stream_substring_audit_e2e",
-    "q179_bitmap_rollup",
-    "stream_bitmap_distinct_e2e",
-    "q180_clustering_coefficient",
-    "q181_global_rowid",
-    "q182_encoding_advisor",
-    "q183_seasonal_decompose",
-    "q184_equidepth_bins",
-    "stream_global_rowid_e2e",
-    "q185_bitmap_set_ops",
-    "q186_fd_audit",
-    "stream_seasonal_e2e",
-    "q187_topk_skewsafe",
-    "q188_chunk_dedup",
-    # --- 2. stalest driver-green rows (19 re-certification slots:
-    #        last row round 1, pre-optimizer-exclusion plans) ---
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_topk_revenue",
-    "q04_semi_join",
-    "q05_regional_revenue",
-    "q06_forecast_revenue",
-    "q07_left_join_agg",
-    "q08_right_join",
-    "q09_full_outer_join",
-    "q10_anti_join",
-    "q11_multikey_join",
-    "q12_group_having",
-    "q13_count_distinct",
-    "q14_rollup",
-    "q15_cube",
-    "q16_grouping_sets",
-    "q17_window_ranks",
-    "q18_window_lag_lead",
-    "q19_running_agg",
-    # --- 3. round-7 registrations (zero driver rows yet; lead the
-    #        round-8 window) ---
+    # --- 1. round-7 registrations (zero driver rows yet; round-7
+    #        verdict task 3: these five lead the round-8 window) ---
     "q189_compaction_execute",
     "q190_kcore",
     "dedup_semantic",
     "stream_semantic_dedup_e2e",
     "q191_resharding_execute",
+    # --- 2. round-8 replanned queries: migrated off single-partition
+    #        global windows onto the two-phase kernels (functions/
+    #        ranks.py) or de-skewed (q190's edge build above) — their
+    #        driver rows predate the new plans, so re-certify first ---
+    "q87_skyline",
+    "q110_gains_table",
+    "q121_lateness_audit",
+    "q135_pareto_curve",
+    "q136_gini",
+    "q142_mutual_information",
+    "q144_rfm_segmentation",
+    "q145_zipf_fit",
+    "q155_abc_xyz",
+    "text_vocab",
+    # --- 3. round-8 registrations (zero driver rows) ---
+    "stream_rate_limit_resume_e2e",
 )
 
 # The round the explicit prefix above was assembled for. load_all drops
@@ -158,7 +121,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 # driver CORRECTNESS row from this round or later, so the prefix
 # retires itself as the driver certifies it — later rounds only append
 # new registrations (or rebuild the prefix and bump this constant).
-_PRIORITY_BUILT_FOR_ROUND = 7
+# The remaining ~35 window slots fall to the staleness-ordered tail,
+# which at round-8 build time is the r2-era rows (q20...q62) — the
+# burn-down the round-7 verdict's item 8 asks for happens automatically.
+_PRIORITY_BUILT_FOR_ROUND = 8
 
 
 def _driver_row_rounds() -> dict[str, int]:

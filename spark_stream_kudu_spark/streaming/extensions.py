@@ -2307,3 +2307,109 @@ def semantic_batch_credits(
     return credits.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_dominators")
     )
+
+
+# --------------------------------------------------------------------------
+# Rate-limit + offset-resume semantics (the Kafka option contract on the
+# file source)
+# --------------------------------------------------------------------------
+
+_RL_SLICES = 6
+_RL_INITIAL = 4  # slices staged before the first run; the rest resume
+
+_RATE_LIMIT_ORACLE = f"""
+SELECT CAST(event_id % {_RL_SLICES} AS BIGINT) AS slice_id,
+       CASE WHEN event_id % {_RL_SLICES} < {_RL_INITIAL}
+            THEN 'initial' ELSE 'resume' END AS phase,
+       CAST(event_id % {_RL_SLICES} AS BIGINT) AS batch_seq,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "stream_rate_limit_resume_e2e",
+    "streaming",
+    "END-TO-END per-trigger rate limiting + checkpointed offset resume "
+    "— the file-source twin of the Kafka front door's option contract "
+    "(maxOffsetsPerTrigger caps a trigger's admission; group offsets "
+    "make a restart consume exactly the unread tail; "
+    "kafka_to_kudu.py:19's startingOffsets picks the initial position), "
+    "exercised on the source the sandbox CAN run: events split into "
+    f"{_RL_SLICES} mod-slices, the first {_RL_INITIAL} staged and "
+    "streamed with maxFilesPerTrigger=1 (one slice per micro-batch — "
+    "the admission cap), then the REMAINING slices land and the stream "
+    "RESTARTS FROM THE SAME CHECKPOINT: the source log must admit only "
+    "the unseen files and keep numbering batches where it left off. "
+    "The audit table pins all three contracts at once — each batch "
+    "holds exactly ONE slice (cap respected; asserted loudly in the "
+    "batch hook), batch_seq equals slice_id across BOTH runs (mtime "
+    "admission order + offset-log continuation: a resume that re-read "
+    "from the beginning would repeat slices and shift every seq), and "
+    "per-slice row counts match the batch oracle exactly (nothing "
+    "dropped, nothing reprocessed). The |batches|-row audit is the "
+    "only driver-side data; slices stage executor-side in one scan.",
+    oracle=_RATE_LIMIT_ORACLE,
+)
+def stream_rate_limit_resume_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    base = new_run_dir("ratelim")
+    src = stage_mod_slices(ev, base, "event_id", n=_RL_SLICES)
+    # Hold back the tail slices: they "arrive" between the two runs.
+    held = os.path.join(base, "held")
+    os.makedirs(held, exist_ok=True)
+    for k in range(_RL_INITIAL, _RL_SLICES):
+        shutil.move(
+            os.path.join(src, f"batch_{k}.parquet"),
+            os.path.join(held, f"batch_{k}.parquet"),
+        )
+
+    audit: list[tuple[int, int, str, int]] = []
+
+    def make_hook(phase: str):
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            row = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.pmod(F.col("event_id"), F.lit(_RL_SLICES))).alias("lo"),
+                F.max(F.pmod(F.col("event_id"), F.lit(_RL_SLICES))).alias("hi"),
+            ).collect()[0]
+            if row["n"] == 0:  # O7 empty-batch guard
+                return
+            if row["lo"] != row["hi"]:
+                raise AssertionError(
+                    f"rate limit violated: batch {batch_id} mixes "
+                    f"slices {row['lo']}..{row['hi']}"
+                )
+            audit.append((batch_id, int(row["lo"]), phase, int(row["n"])))
+
+        return per_batch
+
+    def run(phase: str) -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(make_hook(phase))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("initial")
+    for k in range(_RL_INITIAL, _RL_SLICES):
+        # Preserved mtimes keep the staging convention's admission order.
+        shutil.move(
+            os.path.join(held, f"batch_{k}.parquet"),
+            os.path.join(src, f"batch_{k}.parquet"),
+        )
+    run("resume")
+    return spark.createDataFrame(
+        audit, "batch_seq long, slice_id long, phase string, n_rows long"
+    ).select("slice_id", "phase", "batch_seq", "n_rows")

@@ -46,7 +46,7 @@ def test_bench_suites_reference_only_registered_queries():
     import sys
 
     sys.path.insert(0, "/root/repo")
-    from bench import BENCH_V2, BENCH_V3, BENCH_V4
+    from bench import BENCH_V2, BENCH_V3, BENCH_V4, BENCH_V5
 
     from spark_stream_kudu_spark.registry import load_all
 
@@ -60,5 +60,8 @@ def test_bench_suites_reference_only_registered_queries():
     missing_v4 = [n for n in BENCH_V4 if n not in all_q]
     assert not missing_v4, missing_v4
     assert len(BENCH_V4) == 5
+    missing_v5 = [n for n in BENCH_V5 if n not in all_q]
+    assert not missing_v5, missing_v5
+    assert len(BENCH_V5) == 8
     n_bench = sum(1 for s in all_q.values() if s.bench)
     assert n_bench == 34, f"frozen headline suite changed size: {n_bench}"

@@ -1196,3 +1196,27 @@ def test_exact_ntile_matches_spark_ntile(sess, vals, k):
     ).collect()
     for r in out:
         assert r["t"] == r["t_ref"], (r["key"], r["t"], r["t_ref"])
+
+
+def test_basket_edges_hot_basket_no_self_join(sess):
+    """The co-membership edge build must expand pairs basket-locally:
+    a 60-item hub basket yields exactly C(60,2) canonical edges, the
+    physical plan contains a Generate (array expansion) and NO join on
+    the basket key — the shape that serializes |basket|^2 rows through
+    one task on a real co-interaction hub."""
+    from itertools import combinations
+
+    from spark_stream_kudu_spark.operators.graph import basket_edges
+
+    hub = [(1, p) for p in range(60)]
+    small = [(2, 100), (2, 101), (3, 100), (3, 102), (3, 101)]
+    df = sess.createDataFrame(hub + small + [(1, 5)], "o long, p long")
+    got = {(r["u"], r["v"]) for r in basket_edges(df).collect()}
+    want = set()
+    for basket in ({p for o, p in hub}, {100, 101}, {100, 101, 102}):
+        want |= {tuple(sorted(c)) for c in combinations(basket, 2)}
+    assert got == want
+    plan = basket_edges(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan, plan
+    for join_node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join_node not in plan, plan

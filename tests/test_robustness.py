@@ -363,3 +363,29 @@ def test_partitioned_events_replaces_stale_partial_dir(spark, sf_smoke):
     again = partitioned_events(spark, sf_smoke)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     assert again.count() == n
+
+
+def test_bucketed_dir_sweep_reclaims_only_dead_pids(tmp_path, monkeypatch):
+    """The bucketed-warehouse sweep removes dirs whose embedded pid is
+    dead, leaves the CURRENT process's dir and any live process's dir,
+    and skips old-format (no-pid) dirs."""
+    import os
+    import tempfile as _tf
+
+    from spark_stream_kudu_spark.operators.layout import (
+        _sweep_dead_bucketed_dirs,
+    )
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    # A pid that cannot exist (beyond pid_max), the current pid, and an
+    # old-format tag-only dir.
+    dead = tmp_path / "ssk_bucketed_aaaa_99999999"
+    own = tmp_path / f"ssk_bucketed_bbbb_{os.getpid()}"
+    legacy = tmp_path / "ssk_bucketed_cccc"
+    for d in (dead, own, legacy):
+        d.mkdir()
+        (d / "f").write_text("x")
+    _sweep_dead_bucketed_dirs()
+    assert not dead.exists()
+    assert own.exists()
+    assert legacy.exists()
