@@ -160,10 +160,15 @@ def two_phase_order_stats(
             *([total_alias] if total_alias and want_sum else []),
         )
 
-    # Phase 3: leaf-local rank + broadcast offset. The offsets side is
-    # the rank dictionary (|leaf| rows), broadcast by design.
+    # Phase 3: leaf-local rank + offset join. The offsets side is the
+    # rank dictionary — |leaf| rows = input_rows / key_stride at worst,
+    # which SCALES WITH THE INPUT, so it is deliberately NOT hinted:
+    # AQE broadcasts it from its actual runtime size at every tested
+    # scale and degrades to a shuffled join (on the same leaf keys the
+    # window repartitions by anyway) past the threshold, instead of a
+    # forced broadcast OOMing the driver on a trillion-row rollup.
     w_in = Window.partitionBy(*leaf).orderBy(*order_cols)
-    out = df.join(F.broadcast(offsets), leaf).withColumn(
+    out = df.join(offsets, leaf).withColumn(
         rank_alias,
         (F.col("__off") + F.row_number().over(w_in)).cast("long"),
     )

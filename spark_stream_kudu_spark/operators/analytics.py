@@ -1586,13 +1586,17 @@ def q121_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__hw_in"),
         )
     )
-    # Bucket-local running max, lifted by the broadcast incoming mark.
+    # Bucket-local running max, lifted by the incoming mark. The
+    # incoming table is |fine buckets| = n/2^16 rows — corpus-scaling —
+    # so it is NOT broadcast-hinted: AQE broadcasts it from its actual
+    # runtime size and degrades to a shuffled join past the threshold
+    # (hw1 above IS hinted: |coarse| rows, bounded by construction).
     w_in = (
         Window.partitionBy("__b1", "__b2")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    a = a0.join(F.broadcast(incoming), ["__b1", "__b2"]).select(
+    a = a0.join(incoming, ["__b1", "__b2"]).select(
         "t_ms",
         F.greatest(F.max("t_ms").over(w_in), F.col("__hw_in")).alias(
             "high_water"
