@@ -81,6 +81,12 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
 
 
 def single_partition_order_ops(df: DataFrame) -> list[str]:
+    return single_partition_order_ops_from_text(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def single_partition_order_ops_from_text(text: str) -> list[str]:
     """Order-sensitive operators (Sort / Window / WindowGroupLimit)
     whose DIRECT child is a SinglePartition shuffle — the one plan
     shape that serializes its whole input through one task. Returns one
@@ -93,16 +99,12 @@ def single_partition_order_ops(df: DataFrame) -> list[str]:
     scale killer the round-7 audit graded weak, so the sweep keys on
     Sort/Window parents specifically.
 
-    Walks the pre-AQE physical plan via the JVM tree (string-matching
-    the rendered tree is indentation-fragile).
+    Parses the prepared plan's rendered tree (exchanges only exist
+    post-EnsureRequirements; sparkPlan() has none), recovering
+    parent-child structure from the 3-char-per-level indentation.
     """
     import re
 
-    # Exchanges only exist in the PREPARED plan (EnsureRequirements),
-    # so read executedPlan's rendered tree and recover parent-child
-    # structure from the 3-char-per-level indentation ("+- " / ":- " /
-    # ":  ").
-    text = df._jdf.queryExecution().executedPlan().toString()
     nodes: list[tuple[int, str]] = []
     for line in text.splitlines():
         m = re.match(r"^([ :+\-|]*)(.*)$", line)

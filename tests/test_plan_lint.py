@@ -49,16 +49,27 @@ ALLOWED: dict[str, tuple[int, str]] = {
 }
 
 
-def test_registry_has_no_unapproved_single_partition_order_ops(
-    spark, sf_smoke
-):
+def test_registry_plan_lint(spark, sf_smoke):
+    """ONE build pass over every registered query, two lints on the
+    rendered prepared plan:
+
+    1. single-partition order ops bounded by the allow-list (above);
+    2. ZERO CartesianProduct nodes anywhere — every cross join in the
+       engine must broadcast a bounded side (BroadcastNestedLoopJoin
+       over a 1-row/codebook-sized relation is the blessed pattern;
+       an unbroadcast cartesian is |A|x|B| shuffled work at 100 TB).
+    """
     failures = []
     for name, spec in sorted(ALL.items()):
         df = spec.builder(spark, sf_smoke)
-        hits = checks.single_partition_order_ops(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = checks.single_partition_order_ops_from_text(plan)
         allowed = ALLOWED.get(name, (0, ""))[0]
         if len(hits) > allowed:
             failures.append(f"{name}: {len(hits)} > {allowed} ({hits})")
+        n_cart = plan.count("CartesianProduct")
+        if n_cart:
+            failures.append(f"{name}: {n_cart} CartesianProduct node(s)")
     assert not failures, "\n".join(failures)
 
 
