@@ -24,15 +24,18 @@ uniform key stride:
            instead of serializing).
   phase 3  leaf ranks:    row_number within (b1, *b2) — bounded by the
            key stride even when every row ties on the metric — plus
-           the broadcast offset.
+           the offset (size-gated join).
 
 Contract: lexicographic (b1 asc, *b2 asc, *order_cols asc) must EQUAL
 the intended global order, and the whole tuple must be a total order
 (give order_cols a unique key tail). Callers encode DESC metrics by
 negating them into the bucket columns.
 
-The offsets side is |leaf| rows — input_rows / key_stride at worst —
-and is explicitly broadcast: it is the rank dictionary, not the data.
+The offsets side is |leaf| rows — input_rows / key_stride at worst,
+which scales with the input — so its join is NOT hinted: AQE
+broadcasts it from actual runtime size at every tested scale and
+degrades to a shuffled join past the threshold (on the same leaf keys
+the downstream window repartitions by anyway).
 
 ``exact_ntile`` reproduces SQL NTILE(k) exactly from (global rank, n):
 the first n % k tiles get ceil(n/k) rows, the rest floor(n/k) — NOT

@@ -1188,7 +1188,7 @@ FROM moments
     "reveals). Ranks come from a TOTAL (freq DESC, token) order, "
     "rebuilt TWO-PHASE (functions/ranks.py): freq-stride coarse "
     "buckets, the freq = 1 Zipf tail split across token-prefix "
-    "sub-buckets, broadcast prefix offsets — a web-scale vocabulary "
+    "sub-buckets, size-gated prefix offsets — a web-scale vocabulary "
     "never funnels through one ranking task. The log-moment sums "
     "follow the text_domain_kl transcendental precedent (fround "
     "absorbs accumulation ulps). One vocab shuffle; the regression "
@@ -1915,7 +1915,7 @@ FROM classed GROUP BY 1, 2
     "starts from. Aggregate-then-rank, then TWO-PHASE: the cumulative "
     "revenue comes from the shared kernel (functions/ranks.py — "
     "dollar-stride coarse buckets over rev_e4, tie sub-buckets by key "
-    "stride, broadcast prefix offsets), so no window ever sees the "
+    "stride, size-gated prefix offsets), so no window ever sees the "
     "|parts| rollup in one partition.",
     oracle=_ABCXYZ_ORACLE,
 )

@@ -29,6 +29,9 @@ from spark_stream_kudu_spark.sources.tables import load_table
 NUM_BUCKETS = 8  # test scale; at 100 TB size so max bucket file ~<=1 GB
 
 
+_SWEPT_DEAD_DIRS = False
+
+
 def _sweep_dead_bucketed_dirs() -> None:
     """Remove bucketed-warehouse dirs left by DEAD processes.
 
@@ -38,7 +41,13 @@ def _sweep_dead_bucketed_dirs() -> None:
     only when its embedded pid no longer exists (kill(pid, 0) fails),
     so a concurrently RUNNING process's copy is never touched — the
     no-clobber property the pid-unique scheme exists for. Registered
-    work also cleans up after THIS process at exit."""
+    work also cleans up after THIS process at exit. Runs once per
+    process: the glob + liveness probes are cheap but bucketed_pair
+    sits inside timed bench regions."""
+    global _SWEPT_DEAD_DIRS
+    if _SWEPT_DEAD_DIRS:
+        return
+    _SWEPT_DEAD_DIRS = True
     pattern = os.path.join(tempfile.gettempdir(), "ssk_bucketed_*_*")
     for path in glob.glob(pattern):
         pid_part = path.rsplit("_", 1)[-1]

@@ -813,7 +813,7 @@ FROM cum GROUP BY 1
     "then TWO-PHASE: the customer rollup is one partially-aggregated "
     "shuffle; rank AND running revenue come from the shared two-phase "
     "kernel (functions/ranks.py — cent-stride coarse buckets, tie "
-    "sub-buckets, broadcast prefix offsets), so no window ever sees the "
+    "sub-buckets, size-gated prefix offsets), so no window ever sees the "
     "|customers| rollup in one partition — at 100 TB both the rank and "
     "the cumulative sum stay parallel across strides.",
     oracle=_PARETO_ORACLE,
@@ -893,7 +893,7 @@ FROM ranked
     "as exact integers; float math happens once at finalize on identical "
     "operands. Aggregate-then-rank like the Pareto curve, with the rank "
     "from the shared TWO-PHASE kernel (functions/ranks.py — cent-stride "
-    "coarse buckets, tie sub-buckets, broadcast prefix offsets): no "
+    "coarse buckets, tie sub-buckets, size-gated prefix offsets): no "
     "window ever sees the |customers| rollup in one partition.",
     oracle=_GINI_ORACLE,
 )

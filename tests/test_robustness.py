@@ -372,11 +372,13 @@ def test_bucketed_dir_sweep_reclaims_only_dead_pids(tmp_path, monkeypatch):
     import os
     import tempfile as _tf
 
+    from spark_stream_kudu_spark.operators import layout
     from spark_stream_kudu_spark.operators.layout import (
         _sweep_dead_bucketed_dirs,
     )
 
     monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(layout, "_SWEPT_DEAD_DIRS", False)
     # A pid that cannot exist (beyond pid_max), the current pid, and an
     # old-format tag-only dir.
     dead = tmp_path / "ssk_bucketed_aaaa_99999999"
