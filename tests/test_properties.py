@@ -1220,3 +1220,33 @@ def test_basket_edges_hot_basket_no_self_join(sess):
     assert "Generate explode" in plan, plan
     for join_node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert join_node not in plan, plan
+
+
+@SETTINGS
+@given(
+    memberships=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_edges_matches_pairwise_for_any_memberships(
+    sess, memberships
+):
+    """basket_edges equals the canonical pairwise definition — distinct
+    {u, v} with u < v co-members of at least one basket — for ANY
+    membership multiset (duplicates, singleton baskets, overlapping
+    baskets)."""
+    from itertools import combinations
+
+    from spark_stream_kudu_spark.operators.graph import basket_edges
+
+    df = sess.createDataFrame(memberships, "o long, p long")
+    got = {(r["u"], r["v"]) for r in basket_edges(df).collect()}
+    baskets = {}
+    for o, p in memberships:
+        baskets.setdefault(o, set()).add(p)
+    want = set()
+    for ps in baskets.values():
+        want |= {tuple(sorted(c)) for c in combinations(ps, 2)}
+    assert got == want
