@@ -63,6 +63,7 @@ def two_phase_order_stats(
     n_alias: str | None = None,
     cumsum_alias: str | None = None,
     total_alias: str | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Attach exact global order statistics to ``df`` two-phase.
 
@@ -73,7 +74,19 @@ def two_phase_order_stats(
     — everything a gains table / Pareto curve / Gini / NTILE needs,
     with no window ever seeing more than max(|b1| coarse rows,
     per-leaf tie group) rows in one partition.
+
+    ``pin`` (default on): the kernel consumes ``df`` TWICE — the
+    counts branch and the decorating join — and Spark's ReuseExchange
+    does not dedupe the subtrees, so an unpinned rollup re-runs its
+    whole lineage (typically a corpus scan + aggregate) per branch.
+    An eager localCheckpoint pins the |rollup| rows once — the
+    round-7 duplicate-scan convention; at 100 TB the rank input is
+    the PERSISTED entity rollup, which the pin stands in for. Pass
+    ``pin=False`` when the caller already pinned the input (q144's
+    shared per-user rollup feeding three kernel calls).
     """
+    if pin:
+        df = df.localCheckpoint(eager=True)
     b2 = list(b2)
     leaf = [b1, *b2]
     aggs = [F.count(F.lit(1)).alias("__c")]

@@ -1564,7 +1564,12 @@ def q121_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("event_id div 65536").alias("__b2"),
         F.expr("event_id div 268435456").alias("__b1"),
     )
-    fine = a0.groupBy("__b1", "__b2").agg(F.max("t_ms").alias("__m2"))
+    # Pinned: the coarse rollup and the within-coarse prefix both
+    # consume the fine-bucket maxima; unpinned, each branch re-scans
+    # events (round-7 duplicate-scan convention; |fine buckets| rows).
+    fine = a0.groupBy("__b1", "__b2").agg(
+        F.max("t_ms").alias("__m2")
+    ).localCheckpoint(eager=True)
     # Exclusive prefix max over |coarse| rows — the only global window.
     w1 = Window.orderBy("__b1").rowsBetween(Window.unboundedPreceding, -1)
     coarse = fine.groupBy("__b1").agg(F.max("__m2").alias("__m1"))

@@ -202,6 +202,10 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        # Pinned: the corpus total and the shard ranking both consume
+        # the vocab table, and an unpinned one re-tokenizes the whole
+        # corpus per branch (round-7 duplicate-scan convention).
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n").alias("__total"))
     # Phase 1: shard-local rank — parallel across token-hash shards.

@@ -1094,6 +1094,9 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = F.expr(f"user_id div {_RANK_KEY_STRIDE}").alias("__ub")
 
     def _quintile(staged, b2, alias):
+        # pin=False: staged is a cheap projection of the ALREADY
+        # pinned per_user rollup — a second pin per metric would just
+        # re-materialize |users| rows three more times.
         ranked = two_phase_order_stats(
             staged,
             "__b1",
@@ -1101,6 +1104,7 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             b2=b2,
             rank_alias="__rk",
             n_alias="__n",
+            pin=False,
         )
         return ranked.select(
             "user_id",
@@ -1925,23 +1929,28 @@ def q155_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(rev).alias("rev_e4"),
-        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
-    )
+    # ONE lineitem scan and NO self-join: the (part, year) grain
+    # subsumes both rollups — per-part revenue/quantity re-aggregate
+    # from exact integer yearly partials (associative), the CV moments
+    # read the yearly grain, and s (sum of yearly demand) IS qty, so a
+    # single two-level aggregation chain produces every column the
+    # classification needs.
     yearly = li.groupBy("l_partkey", F.year("l_shipdate").alias("y")).agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("q")
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        F.sum(rev).alias("r"),
     )
-    moments = yearly.groupBy("l_partkey").agg(
-        F.sum("q").alias("s"), F.sum(F.col("q") * F.col("q")).alias("ss")
+    stats = yearly.groupBy("l_partkey").agg(
+        F.sum("r").alias("rev_e4"),
+        F.sum("q").alias("qty"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
     )
     # Global order (rev_e4 DESC, l_partkey ASC) as lex buckets; the
     # metric is e4-scaled so the $100 stride is 1,000,000.
-    staged = per_part.join(moments, "l_partkey").select(
+    staged = stats.select(
         "l_partkey",
         "rev_e4",
         "qty",
-        "s",
+        F.col("qty").alias("s"),
         "ss",
         F.expr(f"-(rev_e4 div {_RANK_CENT_STRIDE * 10})").alias("__b1"),
         (-F.col("rev_e4")).alias("__negv"),
