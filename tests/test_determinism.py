@@ -88,6 +88,21 @@ CLAIMED_INVARIANT = [
     # round-7 resharding execution: order-independent DECIMAL(38,0)
     # digests + exact counts over a deterministic HRW assignment
     "q191_resharding_execute",
+    # round-8 two-phase kernel migrations: global ranks under a TOTAL
+    # order are partitioning-independent, NTILE is an exact integer
+    # function of (rank, n), running/grand sums are exact longs, and
+    # the single float step (a share/Gini finalize or an exact integer
+    # percentile) runs once on identical operands. The skyline filter
+    # and the rate-limit audit are pure integer comparisons.
+    "q110_gains_table",
+    "q121_lateness_audit",
+    "q135_pareto_curve",
+    "q136_gini",
+    "q144_rfm_segmentation",
+    "q155_abc_xyz",
+    "text_vocab",
+    "q87_skyline",
+    "stream_rate_limit_resume_e2e",
 ]
 
 
