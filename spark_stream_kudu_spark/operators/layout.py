@@ -1159,7 +1159,11 @@ def two_phase_rowid(
     earlier bucket precedes every row of a later one under
     ``order_cols``) and (bucket, *order_cols) must be a total order for
     the ids to be deterministic. Shared by q181 (time axis) and the
-    streaming rowid twin (per micro-batch, plus a persistent offset)."""
+    streaming rowid twin (per micro-batch, plus a persistent offset).
+    functions/ranks.py::two_phase_order_stats generalizes this kernel
+    (second bucket level for unbounded tie masses, running sums, exact
+    NTILE) — new rank/quantile work should build on that; this seam
+    stays as q181's certified single-level form."""
     counts = df.groupBy(bucket).agg(F.count(F.lit(1)).alias("__n"))
     w_pre = Window.orderBy(bucket).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
