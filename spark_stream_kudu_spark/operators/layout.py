@@ -60,6 +60,11 @@ def _sweep_dead_bucketed_dirs() -> None:
         except PermissionError:
             # Pid exists but belongs to another user — leave it alone.
             pass
+        except OverflowError:
+            # All-digit suffix beyond the C pid range (a malformed or
+            # adversarial /tmp name) — not a live pid of ours; skip it
+            # rather than crash every process's sweep.
+            pass
 
 
 @atexit.register

@@ -113,6 +113,18 @@ def single_partition_order_ops_from_text(text: str) -> list[str]:
             continue
         body = re.sub(r"^\*\(\d+\) ", "", body)  # codegen stage tag
         nodes.append((len(indent) // 3, body))
+    # Renderer-drift canary: the depth recovery assumes the root node
+    # renders unindented. If a Spark upgrade changes the tree layout,
+    # fail LOUDLY here instead of silently under-counting funnels
+    # (a false-negative lint is worse than a broken one). The positive
+    # counterpart — a known allow-listed query must still produce a
+    # hit — lives in tests/test_plan_lint.py::test_parser_canary.
+    if nodes and nodes[0][0] != 0:
+        raise AssertionError(
+            "plan-text parser: root node did not parse at depth 0 — "
+            "renderer layout changed; re-derive the indent rule "
+            f"(got depth {nodes[0][0]}: {nodes[0][1]!r})"
+        )
     hits: list[str] = []
     for i, (depth, body) in enumerate(nodes):
         if not body.startswith("Exchange SinglePartition"):

@@ -2384,6 +2384,20 @@ def stream_rate_limit_resume_e2e(
                     f"rate limit violated: batch {batch_id} mixes "
                     f"slices {row['lo']}..{row['hi']}"
                 )
+            # The oracle's batch_seq == slice_id contract leans on two
+            # file-source behaviors: no batch id is spent on an empty
+            # micro-batch, and files admit in staged-mtime order. If a
+            # Spark upgrade shifts either (e.g. an empty batch consumes
+            # an id), fail HERE naming the assumption rather than as a
+            # confusing downstream oracle hash mismatch.
+            if int(row["lo"]) != batch_id:
+                raise AssertionError(
+                    f"batch-id/slice drift: batch {batch_id} carries "
+                    f"slice {row['lo']} — the file source allocated ids "
+                    "to empty batches or admitted files out of mtime "
+                    "order; the batch_seq == slice_id oracle contract "
+                    "no longer holds on this Spark version"
+                )
             audit.append((batch_id, int(row["lo"]), phase, int(row["n"])))
 
         return per_batch

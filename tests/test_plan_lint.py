@@ -73,6 +73,18 @@ def test_registry_plan_lint(spark, sf_smoke):
     assert not failures, "\n".join(failures)
 
 
+def test_parser_canary(spark, sf_smoke):
+    """Positive control for the plan-text parser: a known allow-listed
+    query (q62's |nations| share window) must still yield exactly one
+    single-partition hit. If a renderer change makes the indent-based
+    depth recovery silently miss parents, THIS fails — the lint cannot
+    weaken without a test going red."""
+    df = ALL["q62_percent_of_total"].builder(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = checks.single_partition_order_ops_from_text(plan)
+    assert len(hits) == 1, f"parser canary drifted: {hits}"
+
+
 def test_allow_list_entries_still_exist_and_are_used():
     """A renamed or deleted query must not leave a stale allow-list
     entry silently widening the lint."""
