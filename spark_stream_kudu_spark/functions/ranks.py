@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 def two_phase_order_stats(
     df: DataFrame,
-    b1: str,
+    b1: str | Sequence[str],
     order_cols: Sequence[str | Column],
     b2: Sequence[str] = (),
     *,
@@ -68,12 +68,31 @@ def two_phase_order_stats(
     """Attach exact global order statistics to ``df`` two-phase.
 
     Adds ``rank_alias`` (1-based dense global row number under
-    lex(b1, *b2, *order_cols)) and optionally ``n_alias`` (total row
+    lex(*b1, *b2, *order_cols)) and optionally ``n_alias`` (total row
     count), ``cumsum_alias`` (inclusive running sum of ``value_col``
     in rank order) and ``total_alias`` (grand total of ``value_col``)
     — everything a gains table / Pareto curve / Gini / NTILE needs,
     with no window ever seeing more than max(|b1| coarse rows,
     per-leaf tie group) rows in one partition.
+
+    ``b1`` may be a single column name or a SEQUENCE of names — a
+    composite coarse bucket, ordered lexicographically. The composite
+    form lets one kernel pass rank several independent orders at once
+    by melting them into (metric_tag, stride) coarse buckets (q144's
+    three RFM quintiles in a single leaf-count shuffle); with equal
+    row counts per tag, per-tag ranks are recovered as
+    rank - tag_index * (n / n_tags).
+
+    NULL CONTRACT: every bucket column (b1, b2) and — when null-
+    ordering matters — every order column must be NON-NULL. Ranks are
+    attached via an equi-join on the bucket keys, and SQL null
+    never equals null, so a null-keyed row has no rank under this
+    kernel (unlike the window formulation it replaces, which sorts
+    nulls first). Rather than silently dropping such rows, the join
+    is a left join whose rank expression raises at EXECUTION time on
+    an unmatched row — a caller with a nullable metric fails loudly
+    (round-8 advice). Callers with legitimately nullable metrics must
+    coalesce into a sentinel bucket first.
 
     ``pin`` (default on): the kernel consumes ``df`` TWICE — the
     counts branch and the decorating join — and Spark's ReuseExchange
@@ -81,14 +100,17 @@ def two_phase_order_stats(
     whole lineage (typically a corpus scan + aggregate) per branch.
     An eager localCheckpoint pins the |rollup| rows once — the
     round-7 duplicate-scan convention; at 100 TB the rank input is
-    the PERSISTED entity rollup, which the pin stands in for. Pass
-    ``pin=False`` when the caller already pinned the input (q144's
-    shared per-user rollup feeding three kernel calls).
+    the PERSISTED entity rollup, which the pin stands in for (see
+    SCALE.md "Pin -> persisted-table contract" for when a production
+    deployment must swap the pin for a reliable checkpoint or a
+    materialized rollup table). Pass ``pin=False`` when the caller
+    already pinned the input (q144's shared per-user rollup).
     """
     if pin:
         df = df.localCheckpoint(eager=True)
+    b1s = [b1] if isinstance(b1, str) else list(b1)
     b2 = list(b2)
-    leaf = [b1, *b2]
+    leaf = [*b1s, *b2]
     aggs = [F.count(F.lit(1)).alias("__c")]
     want_sum = value_col is not None and (cumsum_alias or total_alias)
     if want_sum:
@@ -101,19 +123,19 @@ def two_phase_order_stats(
         l1_aggs = [F.sum("__c").alias("__c1")]
         if want_sum:
             l1_aggs.append(F.sum("__v").alias("__v1"))
-        l1 = counts.groupBy(b1).agg(*l1_aggs)
+        l1 = counts.groupBy(*b1s).agg(*l1_aggs)
     else:
         l1 = counts.select(
-            b1,
+            *b1s,
             F.col("__c").alias("__c1"),
             *([F.col("__v").alias("__v1")] if want_sum else []),
         )
-    w1 = Window.orderBy(b1).rowsBetween(Window.unboundedPreceding, -1)
+    w1 = Window.orderBy(*b1s).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     sel = [
-        F.col(b1),
+        *[F.col(c) for c in b1s],
         F.coalesce(F.sum("__c1").over(w1), F.lit(0))
         .cast("long")
         .alias("__off1"),
@@ -137,7 +159,7 @@ def two_phase_order_stats(
         # across b1 values, so a tie-heavy stride costs |its sub-
         # buckets| in one task, never the whole tie mass.
         w2 = (
-            Window.partitionBy(b1)
+            Window.partitionBy(*b1s)
             .orderBy(*b2)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
@@ -156,7 +178,7 @@ def two_phase_order_stats(
                 else []
             ),
         )
-        offsets = fine.join(off1, b1).select(
+        offsets = fine.join(off1, b1s).select(
             *leaf,
             (F.col("__off1") + F.col("__off2")).alias("__off"),
             *([n_alias] if n_alias else []),
@@ -169,7 +191,7 @@ def two_phase_order_stats(
         )
     else:
         offsets = off1.select(
-            F.col(b1),
+            *[F.col(c) for c in b1s],
             F.col("__off1").alias("__off"),
             *([n_alias] if n_alias else []),
             *([F.col("__voff1").alias("__voff")] if want_sum else []),
@@ -184,9 +206,25 @@ def two_phase_order_stats(
     # window repartitions by anyway) past the threshold, instead of a
     # forced broadcast OOMing the driver on a trillion-row rollup.
     w_in = Window.partitionBy(*leaf).orderBy(*order_cols)
-    out = df.join(offsets, leaf).withColumn(
+    # LEFT join + raise on the unmatched branch: a null bucket key on
+    # the df side matches no offsets row (null != null), which the
+    # inner-join formulation would silently DROP. The guard costs one
+    # null check per row and turns a violated non-null contract into
+    # an execution-time error naming the kernel (round-8 advice).
+    out = df.join(offsets, leaf, "left").withColumn(
         rank_alias,
-        (F.col("__off") + F.row_number().over(w_in)).cast("long"),
+        F.when(
+            F.col("__off").isNotNull(),
+            (F.col("__off") + F.row_number().over(w_in)).cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "two_phase_order_stats: null bucket key — the "
+                    "kernel requires non-null b1/b2 columns (coalesce "
+                    "nullable metrics into a sentinel bucket first)"
+                )
+            ).cast("long")
+        ),
     )
     if want_sum and cumsum_alias:
         w_cum = (
@@ -197,7 +235,8 @@ def two_phase_order_stats(
         out = out.withColumn(
             cumsum_alias,
             (
-                F.col("__voff")
+                # A null __voff row already raises via the rank column.
+                F.coalesce(F.col("__voff"), F.lit(0))
                 + F.sum(F.col(value_col).cast("long")).over(w_cum)
             ).cast("long"),
         )

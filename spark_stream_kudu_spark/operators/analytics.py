@@ -278,8 +278,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a third corpus pass — the shared tc subtree's shuffle is reused.
     tot = tc.agg(F.sum("c").alias("n"))
     return (
-        toks.join(F.broadcast(tc), "tok")
-        .join(F.broadcast(tot))
+        # tc is |vocab| (corpus-scaling): un-hinted — its groupBy
+        # exchange co-partitions with this join key, so the planner
+        # reuses the shuffle / AQE broadcasts from runtime size.
+        toks.join(tc, "tok")
+        .join(F.broadcast(tot))  # bounded: 1-row total
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -376,7 +379,7 @@ def q81_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
     )
     pruned = li.join(
-        F.broadcast(buckets),
+        F.broadcast(buckets),  # bounded: <= _BLOOM_BUCKETS distinct rows
         (md5_int32(F.col("l_orderkey").cast("string")) % _BLOOM_BUCKETS) == F.col("b"),
         "left_semi",
     )
@@ -437,8 +440,9 @@ def q82_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        # customer is entity-scale: un-hinted (stats/AQE decide).
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])  # bounded: |nations|
         .select(
             F.year("o_orderdate").alias("o_year"),
             rev.alias("rev_cents"),
@@ -621,7 +625,7 @@ def q87_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_no", F.max("__day_max").over(w_prior).alias("prior_max")
     )
     return (
-        o.join(F.broadcast(prior), "day_no")
+        o.join(F.broadcast(prior), "day_no")  # bounded: |days| rollup
         .filter(
             F.col("prior_max").isNull()
             | (F.col("price_cents") > F.col("prior_max"))
@@ -1108,9 +1112,10 @@ def q104_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        # customer is entity-scale: un-hinted (stats/AQE decide).
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])  # bounded: |nations|
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])  # bounded: |regions|
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.sum(
@@ -1582,7 +1587,7 @@ def q121_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incoming = (
         fine.select("__b1", "__b2", F.max("__m2").over(w2).alias("__hw2"))
-        .join(F.broadcast(hw1), "__b1")
+        .join(F.broadcast(hw1), "__b1")  # bounded: |coarse buckets|
         .select(
             "__b1",
             "__b2",
@@ -1867,7 +1872,8 @@ def q176_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     rev = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        # customer is entity-scale: un-hinted (stats/AQE decide).
+        o.join(c.select("c_custkey", "c_nationkey"),
                o["o_custkey"] == F.col("c_custkey"))
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -1971,7 +1977,7 @@ def q184_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n"),
     )
     w_in = Window.partitionBy("stride").orderBy("price_e2", "o_orderkey")
-    ranked = o.join(F.broadcast(offsets), "stride").select(
+    ranked = o.join(F.broadcast(offsets), "stride").select(  # bounded: |price strides|
         "price_e2",
         (F.col("off") + F.row_number().over(w_in)).cast("long").alias("rnk"),
         "n",

@@ -130,7 +130,7 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     member = md5_int32(F.col("doc_id").cast("string")) % 10000 < F.col("thr")
     return (
-        docs.join(F.broadcast(rates), "source")
+        docs.join(F.broadcast(rates), "source")  # bounded: |sources|
         .groupBy(
             "source",
             fround(F.col("kk").cast("double") / _SHARE_DEN, 4).alias(
@@ -222,7 +222,7 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        survivors.join(F.broadcast(total))
+        survivors.join(F.broadcast(total))  # bounded: 1-row total
         .select(
             F.row_number().over(w_rank).alias("rank"),
             "token",
@@ -339,7 +339,7 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("n_chars"), F.array(*[F.lit(p) for p in _CURR_DECILES]))
         .alias("t")
     )
-    binned = docs.crossJoin(F.broadcast(th)).select(
+    binned = docs.crossJoin(F.broadcast(th)).select(  # bounded: 1-row thresholds
         "n_chars",
         F.size(F.filter("t", lambda x: F.col("n_chars") > x))
         .cast("long")

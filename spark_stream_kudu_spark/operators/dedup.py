@@ -1273,7 +1273,7 @@ def pipeline_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
     c1 = (F.col("doc_a") * 31 + F.col("doc_b") + 1) % F.col("n_docs")
     c2 = (F.col("doc_a") * 31 + F.col("doc_b") + 2) % F.col("n_docs")
     hit = lambda c: (c != F.col("doc_a")) & (c != F.col("doc_b"))  # noqa: E731
-    return pos.crossJoin(F.broadcast(n)).select(
+    return pos.crossJoin(F.broadcast(n)).select(  # bounded: 1-row count
         F.col("doc_a").alias("anchor"),
         F.col("doc_b").alias("positive"),
         F.when(hit(c0), c0).when(hit(c1), c1).otherwise(c2).alias("negative"),
@@ -1817,8 +1817,8 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
         arm = (
-            n_cand.crossJoin(F.broadcast(n_truth_df))
-            .crossJoin(F.broadcast(found))
+            n_cand.crossJoin(F.broadcast(n_truth_df))  # bounded: 1-row truth count
+            .crossJoin(F.broadcast(found))  # bounded: 1-row hit count
             .select(
                 F.lit(b).cast("int").alias("bands"),
                 F.lit(r).cast("int").alias("rows_per_band"),

@@ -424,7 +424,8 @@ def q128_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     grouped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is entity-scale: un-hinted (stats/AQE decide).
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .groupBy("okey")
         .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
@@ -459,9 +460,9 @@ def q128_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b")
     )
     return (
-        pairs.join(F.broadcast(ma), "brand_a")
-        .join(F.broadcast(mb), "brand_b")
-        .join(F.broadcast(total))
+        pairs.join(F.broadcast(ma), "brand_a")  # bounded: |brands| marginals
+        .join(F.broadcast(mb), "brand_b")  # bounded: |brands| marginals
+        .join(F.broadcast(total))  # bounded: 1-row total
         .select(
             "brand_a",
             "brand_b",
@@ -1069,17 +1070,19 @@ FROM scored GROUP BY 1, 2, 3
     "fixed scoring instant), frequency, and monetary value scored into "
     f"{_RFM_TILES} quintiles under TOTAL orders (metric + user_id "
     "tiebreak — deterministic in both engines), then segment cells "
-    "aggregated with exact cents totals. Each quintile is NTILE "
-    "rebuilt exactly from a TWO-PHASE global rank (functions/ranks.py) "
-    "— recency buckets by day, frequency by freq stride, monetary by "
-    "cent stride, each with key-stride tie sub-buckets — three calls "
-    "to the q184-family kernel instead of three single-partition "
-    "windows over the |users| rollup. The rollup is pinned once "
-    "(localCheckpoint, q128 precedent: three rank branches would "
-    "otherwise re-aggregate raw events 3x) and the per-metric score "
-    "maps re-join on user_id, all |users|-sized co-partitioned joins. "
-    "The classic customer-value grid as a declared query: raw events "
-    "are touched exactly once.",
+    "aggregated with exact cents totals. All three quintiles come "
+    "from ONE melted two-phase rank pass (functions/ranks.py, round-8 "
+    "verdict item 3): the pinned |users| rollup unpivots to 3|users| "
+    "(metric_tag, stride, user) rows via stack, the kernel ranks them "
+    "under the composite coarse bucket (tag, stride) — recency by "
+    "day, frequency by freq stride, monetary by cent stride, each "
+    "with key-stride tie sub-buckets — in a SINGLE leaf-count shuffle "
+    "+ offset join (vs three of each before), and per-metric ranks "
+    "fall out arithmetically: every tag holds exactly |users| rows, "
+    "so rank_m = rank - tag_idx*(n/3) and n_m = n/3. NTILE is rebuilt "
+    "exactly from (rank_m, n_m); one groupBy(user_id) re-pivots the "
+    "three scores (replacing two |users| joins). Raw events are "
+    "touched exactly once.",
     oracle=_RFM_ORACLE,
 )
 def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,60 +1094,45 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
     ).localCheckpoint(eager=True)
-    ub = F.expr(f"user_id div {_RANK_KEY_STRIDE}").alias("__ub")
 
-    def _quintile(staged, b2, alias):
-        # pin=False: staged is a cheap projection of the ALREADY
-        # pinned per_user rollup — a second pin per metric would just
-        # re-materialize |users| rows three more times.
-        ranked = two_phase_order_stats(
-            staged,
-            "__b1",
-            [F.asc("user_id")],
-            b2=b2,
-            rank_alias="__rk",
-            n_alias="__n",
-            pin=False,
-        )
-        return ranked.select(
-            "user_id",
-            *([c for c in staged.columns if c == "cents"]),
-            exact_ntile(F.col("__rk"), F.col("__n"), _RFM_TILES)
-            .cast("int")
-            .alias(alias),
-        )
-
-    # Global orders as lex buckets: (rec_days ASC, uid), (freq DESC,
-    # uid), (cents DESC, uid).
-    r = _quintile(
-        per_user.select(
-            "user_id", F.col("rec_days").alias("__b1"), ub
+    # Melt: one row per (user, metric), each carrying its coarse
+    # stride bucket and the metric value negated for DESC orders
+    # (recency is ASC and day-grain, so its fine key is a constant 0
+    # — ties split purely on the user-id stride, same as before).
+    melted = per_user.select(
+        "user_id",
+        "cents",
+        F.expr(f"user_id div {_RANK_KEY_STRIDE}").alias("__ub"),
+        F.expr(
+            "stack(3, "
+            "0L, CAST(rec_days AS BIGINT), 0L, "
+            f"1L, -(freq div {_RANK_FREQ_STRIDE}), -freq, "
+            f"2L, -(cents div {_RANK_CENT_STRIDE}), -cents"
+            ") AS (__m, __b1s, __negm)"
         ),
-        ["__ub"],
-        "r_score",
     )
-    f_ = _quintile(
-        per_user.select(
-            "user_id",
-            F.expr(f"-(freq div {_RANK_FREQ_STRIDE})").alias("__b1"),
-            (-F.col("freq")).alias("__negf"),
-            ub,
-        ),
-        ["__negf", "__ub"],
-        "f_score",
+    # pin=False: melted is a cheap stack projection of the ALREADY
+    # pinned per_user rollup.
+    ranked = two_phase_order_stats(
+        melted,
+        ["__m", "__b1s"],
+        [F.asc("user_id")],
+        b2=["__negm", "__ub"],
+        rank_alias="__rk",
+        n_alias="__n",
+        pin=False,
     )
-    m = _quintile(
-        per_user.select(
-            "user_id",
-            "cents",
-            F.expr(f"-(cents div {_RANK_CENT_STRIDE})").alias("__b1"),
-            (-F.col("cents")).alias("__negc"),
-            ub,
-        ),
-        ["__negc", "__ub"],
-        "m_score",
+    # Exactly |users| rows per tag, so the global (tag, ...) rank
+    # localizes per metric by subtracting the tag's base offset.
+    n_m = (F.col("__n") / F.lit(3)).cast("long")
+    rank_m = F.col("__rk") - F.col("__m") * n_m
+    score = exact_ntile(rank_m, n_m, _RFM_TILES).cast("int")
+    scored = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("__m") == 0, score)).alias("r_score"),
+        F.max(F.when(F.col("__m") == 1, score)).alias("f_score"),
+        F.max(F.when(F.col("__m") == 2, score)).alias("m_score"),
+        F.max("cents").alias("cents"),
     )
-    scored = r.join(f_, "user_id").join(m, "user_id")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").alias("segment_cents"),
@@ -1540,7 +1528,10 @@ def q150_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = (
         ev.select(F.col("ts").cast("date").alias("day"), "user_id")
         .distinct()
-        .join(F.broadcast(first_seen), "user_id")
+        # first_seen is a |users| rollup (corpus-scaling): un-hinted —
+        # AQE broadcasts it from runtime size at test SF and falls back
+        # to a user_id-co-partitioned shuffle join at 100 TB.
+        .join(first_seen, "user_id")
     )
     return active.groupBy("day").agg(
         F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias("n_new"),
@@ -1747,7 +1738,9 @@ def q153_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         week(F.min("ts")).alias("cohort_week")
     ).localCheckpoint(eager=True)
     rev = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        # first_seen is a |users| rollup (corpus-scaling): un-hinted
+        # (the pinned plan reports no stats, so AQE decides at runtime).
+        ev.join(first_seen, "user_id")
         .groupBy(
             "cohort_week",
             (week(F.col("ts")) - F.col("cohort_week")).alias("age_week"),
@@ -1768,7 +1761,7 @@ def q153_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week", "age_week", F.sum("cents").over(wcum).alias("cum_cents")
     )
     scale = F.lit(10000.0)
-    return cum.join(F.broadcast(sized), "cohort_week").select(
+    return cum.join(F.broadcast(sized), "cohort_week").select(  # bounded: |weeks|
         "cohort_week",
         "age_week",
         "n_users",
@@ -1843,7 +1836,7 @@ def q154_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     wau = act.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
-    return wk.join(F.broadcast(wau), "week").select(
+    return wk.join(F.broadcast(wau), "week").select(  # bounded: |weeks|
         "week",
         "n_days",
         "wau",

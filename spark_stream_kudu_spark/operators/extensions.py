@@ -211,7 +211,7 @@ GROUP BY n.n_regionkey
 def q66_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])  # bounded: |nations|
     partials = joined.groupBy("n_regionkey", "n_name").agg(
         F.hll_sketch_agg("c_custkey").alias("sk")
     )
@@ -407,7 +407,9 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
     return (
-        train.join(F.broadcast(bench), "s")
+        # bench is a corpus-fraction shingle set (corpus-scaling):
+        # un-hinted — AQE broadcasts at test SF, shuffles at 100 TB.
+        train.join(bench, "s")
         .groupBy("doc_id")
         .agg(F.count_distinct("s").alias("n_shared_ngrams"))
     )
@@ -444,7 +446,7 @@ def q67_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         c.filter(F.col("c_acctbal") > 9900)
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])  # bounded: |nations|
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
@@ -596,7 +598,7 @@ def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = (
         base.agg(F.hll_union_agg("sk").alias("g"))
         .crossJoin(
-            F.broadcast(
+            F.broadcast(  # bounded: 1-row exact count
                 triples.agg(F.count_distinct("user_id").alias("exact_users"))
             )
         )

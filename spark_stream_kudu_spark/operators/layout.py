@@ -392,7 +392,7 @@ def ivf_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         (
-            e.crossJoin(F.broadcast(cent))
+            e.crossJoin(F.broadcast(cent))  # bounded: k centroids
             .select("vec_id", "embedding", "label", "cid", csim.alias("csim"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -652,7 +652,7 @@ def q118_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        fact.join(F.broadcast(dim), fact["event_date"] == dim["d"])
+        fact.join(F.broadcast(dim), fact["event_date"] == dim["d"])  # bounded: |days|
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1179,7 +1179,7 @@ def two_phase_rowid(
     )
     w_in = Window.partitionBy(bucket).orderBy(*order_cols)
     return (
-        df.join(F.broadcast(offsets), bucket)
+        df.join(F.broadcast(offsets), bucket)  # bounded: |day buckets| offsets
         .withColumn(
             id_alias,
             (F.col("__off") + F.row_number().over(w_in) - 1).cast("long"),
@@ -1626,7 +1626,7 @@ def q189_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date date, bin_id long",
     )
     src = partitioned_events(spark, sf_dir).join(
-        F.broadcast(plan_map), "event_date"
+        F.broadcast(plan_map), "event_date"  # bounded: |partitions| plan
     )
     before = src.groupBy("bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("src_rows"),

@@ -250,10 +250,12 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         bc.filter(F.col("n_xy") >= _PMI_MIN_COUNT)
         .withColumn("term_x", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("term_y", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
-        .join(F.broadcast(ux), "term_x")
-        .join(F.broadcast(uy), "term_y")
-        .join(F.broadcast(tot))
-        .join(F.broadcast(tot2))
+        # ux/uy are |vocab| (corpus-scaling): un-hinted — stats/AQE
+        # broadcast them at test SF, shuffle on the term key at scale.
+        .join(ux, "term_x")
+        .join(uy, "term_y")
+        .join(F.broadcast(tot))   # bounded: 1-row total
+        .join(F.broadcast(tot2))  # bounded: 1-row total
     )
     pmi = fround(
         F.log(
@@ -440,7 +442,10 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_int_dot(F.col("qqv"), F.col("qqv")).cast("double"))
         * F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
     )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    scored = e.join(
+        F.broadcast(q),  # bounded: fixed _QN_QUERIES query set (non-equi probe)
+        F.col("vec_id") != F.col("qid"),
+    ).select(
         "qid",
         F.col("vec_id").alias("neighbor_id"),
         fround(cos_q, 6).alias("cosine_q"),
@@ -1200,7 +1205,8 @@ def _mv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer is entity-scale: un-hinted (stats/AQE decide).
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -1259,7 +1265,8 @@ def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer")
     delta_mv = (
-        delta_o.join(F.broadcast(c), delta_o["o_custkey"] == c["c_custkey"])
+        # customer is entity-scale: un-hinted (stats/AQE decide).
+        delta_o.join(c, delta_o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

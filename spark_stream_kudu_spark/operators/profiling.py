@@ -169,8 +169,11 @@ def q78_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, child, fk_col, parent, pk in _FK_RELATIONS:
         ch = load_table(spark, sf_dir, child)
         pa = load_table(spark, sf_dir, parent).select(pk)
+        # Parent pk tables are entity-scale (customer/orders/part/
+        # supplier): un-hinted, exactly the degrade-to-shuffled-anti
+        # behavior the docstring promises at 100 TB.
         orphans = (
-            ch.join(F.broadcast(pa), ch[fk_col] == pa[pk], "left_anti")
+            ch.join(pa, ch[fk_col] == pa[pk], "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(name).alias("fk"), "n_orphans")
         )
@@ -231,7 +234,7 @@ def q93_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.col("n") * 1.0 / F.col("total")
     benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
     return (
-        obs.crossJoin(F.broadcast(tot))
+        obs.crossJoin(F.broadcast(tot))  # bounded: 1-row total
         .select(
             "digit",
             "n",
@@ -775,14 +778,14 @@ def q174_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_level0"))
     cr = c.join(
-        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),  # bounded: |nations|
         c["c_nationkey"] == F.col("n_nationkey"),
     )
     l1 = cr.groupBy(
         F.col("c_mktsegment").alias("segment"),
         F.col("n_regionkey").alias("regionkey"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_level1"))
-    dim = F.broadcast(
+    dim = F.broadcast(  # bounded: |nations|
         n.select(
             F.col("n_nationkey").alias("nationkey"),
             F.col("n_regionkey").alias("regionkey"),
@@ -900,7 +903,8 @@ def q175_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") AS (rule, n_checked, n_violations)"
     )
     fk = (
-        o.join(F.broadcast(cust), o["o_custkey"] == F.col("c_custkey"), "left_anti")
+        # customer is entity-scale: un-hinted (stats/AQE decide).
+        o.join(cust, o["o_custkey"] == F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
         .crossJoin(o.agg(F.count(F.lit(1)).cast("long").alias("n_checked")))
         .select(

@@ -127,10 +127,13 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 5000))
         & F.nullif(F.col("o_orderpriority"), F.lit("2-HIGH")).isNotNull()
     )
-    # IN (subquery) == left-semi join; customer side is small after the
-    # filter -> broadcast (no shuffle of the orders side).
+    # IN (subquery) == left-semi join. The customer side is entity-
+    # scale (grows with the corpus), so it carries NO broadcast hint:
+    # the planner broadcasts it from scan stats while it fits under
+    # autoBroadcastJoinThreshold and degrades to a shuffled semi-join
+    # at 100 TB instead of a forced hint OOMing the executors.
     return filtered.join(
-        F.broadcast(c), filtered["o_custkey"] == c["c_custkey"], "left_semi"
+        c, filtered["o_custkey"] == c["c_custkey"], "left_semi"
     ).select(
         "o_orderkey",
         "o_custkey",
@@ -179,7 +182,9 @@ def q03_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer is entity-scale: un-hinted, the planner broadcasts
+        # it from stats at test SF and shuffles past the threshold.
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             fround(
@@ -265,12 +270,13 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
+        # supplier is entity-scale: un-hinted (stats/AQE decide).
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])  # bounded: |nations| domain
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])  # bounded: |regions| domain
         .groupBy("n_name")
         .agg(
             fround(

@@ -327,7 +327,7 @@ def sample_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(F.sum("n_chars").alias("chars"))
     tot = src.agg(F.sum("chars").alias("total"))
-    q = src.crossJoin(F.broadcast(tot)).select(
+    q = src.crossJoin(F.broadcast(tot)).select(  # bounded: 1-row total
         "source",
         "chars",
         F.expr(f"(chars * {_QUOTA_BUDGET}) div total").alias("floor_slots"),
@@ -421,7 +421,7 @@ def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("boundary"),
         F.max("n").cast("long").alias("n_events"),
     )
-    joined = ev.join(F.broadcast(b), "event_type")
+    joined = ev.join(F.broadcast(b), "event_type")  # bounded: |event_types|
     return joined.groupBy("event_type", "n_events", "boundary").agg(
         F.sum((F.col("ts") < F.col("boundary")).cast("long")).alias("n_train"),
         F.sum((F.col("ts") >= F.col("boundary")).cast("long")).alias("n_test"),

@@ -250,7 +250,7 @@ def q124_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cs = (
-        daily.join(F.broadcast(ref), "event_type")
+        daily.join(F.broadcast(ref), "event_type")  # bounded: |event_types|
         .withColumn("cum", F.sum(F.col("x_e4") - F.col("k_e4")).over(w))
     )
     # the empty prefix contributes min 0 (S_0 = 0): without it the first
@@ -490,7 +490,7 @@ def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
     seas = d.groupBy("wd").agg(
         F.expr("sum(detr_e6) div count(*)").cast("long").alias("seasonal_e6")
     )
-    return d.join(F.broadcast(seas), "wd").select(
+    return d.join(F.broadcast(seas), "wd").select(  # bounded: 7 weekday rows
         "day",
         "cnt",
         "trend_e6",

@@ -100,7 +100,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))  # bounded: N_QUERIES query set
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
@@ -208,7 +208,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     csim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
     assign = (
-        e.crossJoin(F.broadcast(cent))
+        e.crossJoin(F.broadcast(cent))  # bounded: k centroids
         .select("vec_id", "embedding", "cid", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -221,7 +221,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         assign.join(
-            F.broadcast(q),
+            F.broadcast(q),  # bounded: N_QUERIES query set
             (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
         )
         .select(
@@ -340,7 +340,7 @@ def sim_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
     )
     scored = ebkt.join(
-        F.broadcast(q),
+        F.broadcast(q),  # bounded: N_QUERIES query set
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
     ).select(
         "qid",
@@ -463,7 +463,7 @@ def sim_topk_rplsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         bands.join(
-            F.broadcast(q),
+            F.broadcast(q),  # bounded: N_QUERIES query set
             (F.col("tbl") == F.col("qtbl"))
             & (F.col("bkey") == F.col("qbkey"))
             & (F.col("vec_id") != F.col("qid")),
@@ -570,7 +570,7 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(  # bounded: N_QUERIES query set
         "qid",
         F.col("vec_id").alias("neighbor_id"),
         "label",
@@ -746,7 +746,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = _pq_d2(_pq_slice(F.col("embedding"), s), _pq_slice(F.col("cv"), s))
         w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
         best = (
-            e.crossJoin(F.broadcast(cents))
+            e.crossJoin(F.broadcast(cents))  # bounded: k centroids
             .select("vec_id", "cid", d2.alias("d2"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -837,7 +837,7 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for every (qid, sub, cid) — tiny, broadcast.
     lut = None
     for s in range(_PQ_SUBSPACES):
-        part = q.crossJoin(F.broadcast(cents)).select(
+        part = q.crossJoin(F.broadcast(cents)).select(  # bounded: PQ codebook
             "qid",
             F.lit(s).alias("sub"),
             "cid",
@@ -859,7 +859,7 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sc"),
     ).select("neighbor_id", F.col("sc.sub").alias("sub"), F.col("sc.cid").alias("cid"))
     adc = (
-        long_codes.join(F.broadcast(lut), ["sub", "cid"])
+        long_codes.join(F.broadcast(lut), ["sub", "cid"])  # bounded: N_QUERIES x codebook LUT
         .groupBy("qid", "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )
@@ -958,7 +958,7 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("csim").desc(), F.col("ccid").asc()
     )
     assign = (
-        e.crossJoin(F.broadcast(cent))
+        e.crossJoin(F.broadcast(cent))  # bounded: k centroids
         .select("vec_id", "embedding", "ccid", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -975,7 +975,7 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut = None
     for s in range(_PQ_SUBSPACES):
-        part = q.crossJoin(F.broadcast(pqcents)).select(
+        part = q.crossJoin(F.broadcast(pqcents)).select(  # bounded: PQ codebook
             "qid",
             "qcid",
             F.lit(s).alias("sub"),
@@ -1005,7 +1005,7 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         long_codes.join(
-            F.broadcast(lut),
+            F.broadcast(lut),  # bounded: N_QUERIES x codebook LUT
             (long_codes["sub"] == lut["sub"])
             & (long_codes["cid"] == lut["cid"])
             & (long_codes["ncid"] == lut["qcid"]),
@@ -1418,7 +1418,7 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("qcid"),
     )
     scored = assigned.join(
-        F.broadcast(q),
+        F.broadcast(q),  # bounded: N_QUERIES query set
         (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
     ).select(
         "qid",
@@ -1464,7 +1464,7 @@ def _trunc_topk(e: DataFrame, d: int) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.slice("embedding", 1, d).alias("qv")
     )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(  # bounded: N_QUERIES query set
         "qid",
         F.col("vec_id").alias("neighbor_id"),
         fround(

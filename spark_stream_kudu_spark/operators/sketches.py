@@ -144,12 +144,12 @@ def q138_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     cand = candidates.withColumnRenamed("item", "cand")
     verified = (
-        toks.join(F.broadcast(cand), toks["item"] == cand["cand"], "left_semi")
+        toks.join(F.broadcast(cand), toks["item"] == cand["cand"], "left_semi")  # bounded: k sketch candidates
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        verified.join(F.broadcast(total))
+        verified.join(F.broadcast(total))  # bounded: 1-row total
         .filter(F.col("cnt") * _MG_K > F.col("n"))
         .select(
             "item",
@@ -270,7 +270,7 @@ def ss_merge_bounds(summ: DataFrame) -> DataFrame:
         F.sum(F.col("est") - F.col("err")).alias("lower"),
         F.sum("absent_ub").alias("present_ub"),
     )
-    return per_item.crossJoin(F.broadcast(total_ub)).select(
+    return per_item.crossJoin(F.broadcast(total_ub)).select(  # bounded: 1-row bound
         F.col("item").alias("cand"),
         "lower",
         (F.col("sum_est") + F.col("total_ub") - F.col("present_ub")).alias(
@@ -294,7 +294,7 @@ def ss_finalize_topk(toks: DataFrame, bounds: DataFrame) -> DataFrame:
         .filter(F.col("rank") <= _SS_K)
     )
     return topk.join(
-        F.broadcast(bounds), topk["item"] == bounds["cand"], "left"
+        F.broadcast(bounds), topk["item"] == bounds["cand"], "left"  # bounded: k sketch rows
     ).select(
         "item",
         "cnt",
@@ -476,7 +476,7 @@ def cm_finalize_topk(toks: DataFrame, grid: DataFrame) -> DataFrame:
         ).alias("p"),
     ).select("item", "cnt", "rank", F.col("p.r").alias("r"), F.col("p.c").alias("c"))
     est = (
-        probes.join(F.broadcast(grid), ["r", "c"])
+        probes.join(F.broadcast(grid), ["r", "c"])  # bounded: CMS grid cells
         .groupBy("item", "cnt", "rank")
         .agg(F.min("cellsum").alias("est"))
     )
@@ -488,7 +488,7 @@ def cm_finalize_topk(toks: DataFrame, grid: DataFrame) -> DataFrame:
     # overest_ok above is the universal guarantee (see registration
     # docstring). If a new corpus flips eps_ok, that is the bound's
     # expected tail, not a kernel bug.
-    return est.crossJoin(F.broadcast(total)).select(
+    return est.crossJoin(F.broadcast(total)).select(  # bounded: 1-row total
         "item",
         "cnt",
         "rank",
@@ -711,8 +711,8 @@ def q185_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("users_a"))
     cb = counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("users_b"))
     return (
-        inter.join(F.broadcast(ca), "type_a")
-        .join(F.broadcast(cb), "type_b")
+        inter.join(F.broadcast(ca), "type_a")  # bounded: |event_types|
+        .join(F.broadcast(cb), "type_b")  # bounded: |event_types|
         .select(
             "type_a",
             "type_b",

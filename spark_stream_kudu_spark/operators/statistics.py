@@ -188,7 +188,7 @@ def q76_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edge = lambda b: F.col("lo") + b * ((F.col("hi") - F.col("lo")) / _N_BINS)
     return (
-        ev.crossJoin(F.broadcast(stats))
+        ev.crossJoin(F.broadcast(stats))  # bounded: 1-row min/max
         .groupBy(bucket.alias("bucket"), "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -324,7 +324,7 @@ def q89_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(l_extendedprice, {_WINSOR_HI})").alias("hi"),
     )
     j = li.select("l_returnflag", "l_extendedprice").join(
-        F.broadcast(bounds), "l_returnflag"
+        F.broadcast(bounds), "l_returnflag"  # bounded: |returnflags|
     )
     win = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
     cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")
@@ -400,12 +400,12 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(v, 0.5)").alias("med_v")
     )
     mad = (
-        cents.join(F.broadcast(med), "event_type")
+        cents.join(F.broadcast(med), "event_type")  # bounded: |event_types|
         .groupBy("event_type", "med_v")
         .agg(F.expr("percentile(abs(v - med_v), 0.5)").alias("mad_v"))
     )
     return (
-        cents.join(F.broadcast(mad), "event_type")
+        cents.join(F.broadcast(mad), "event_type")  # bounded: |event_types|
         .filter(F.abs(F.col("v") - F.col("med_v")) > _MAD_K * F.col("mad_v"))
         .select(
             "event_id",

@@ -83,7 +83,8 @@ def q47_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part is entity-scale: un-hinted (stats/AQE decide).
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(
             F.sum(cents4).alias("revenue_e4"),
@@ -214,7 +215,7 @@ def q50_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = rev.agg(F.max("total_rev_e4").alias("max_rev"))
     return (
-        rev.join(F.broadcast(top), rev.total_rev_e4 == top.max_rev)
+        rev.join(F.broadcast(top), rev.total_rev_e4 == top.max_rev)  # bounded: 1-row max
         .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev_e4")
     )
@@ -264,7 +265,7 @@ def q51_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rich = (
-        c.join(F.broadcast(thr))
+        c.join(F.broadcast(thr))  # bounded: 1-row threshold
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .drop("avg_bal")
     )
@@ -367,10 +368,11 @@ def q65_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        # customer/supplier are entity-scale: un-hinted (stats/AQE).
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))  # bounded: |nations|
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))  # bounded: |nations|
         .filter(pair)
     )
     return joined.groupBy(
@@ -429,8 +431,9 @@ def q122_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        # customer is entity-scale: un-hinted (stats/AQE decide).
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])  # bounded: |nations|
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).alias("revenue_e4"))
         .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
@@ -481,11 +484,10 @@ def q123_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    kept = li.join(
-        F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
-    )
+    # supplier/part sides are entity-scale: un-hinted (stats/AQE).
+    kept = li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
     return (
-        kept.join(F.broadcast(p), kept["l_partkey"] == p["p_partkey"])
+        kept.join(p, kept["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -535,7 +537,8 @@ def q130_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     agg = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # part is entity-scale: un-hinted (stats/AQE decide).
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
                 "promo_rev_e4"
@@ -763,13 +766,14 @@ def q158_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_partkey", "ps_suppkey", F.col("ps_unit_e2").alias("unit_e2")
     )
     europe = (
-        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])  # bounded: |nations|
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])  # bounded: |regions|
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     offers = (
         p.join(supply, p["p_partkey"] == supply["ps_partkey"])
-        .join(F.broadcast(europe), supply["ps_suppkey"] == europe["s_suppkey"])
+        # europe is supplier-derived (entity-scale): un-hinted.
+        .join(europe, supply["ps_suppkey"] == europe["s_suppkey"])
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_e2")
     )
     best = offers.groupBy(F.col("p_partkey").alias("bk")).agg(
@@ -879,9 +883,10 @@ def q160_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * CAST(l_quantity AS BIGINT)) div 10"
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        # part/supplier are entity-scale: un-hinted (stats/AQE).
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])  # bounded: |nations|
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -942,14 +947,15 @@ def q161_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     europe = (
-        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])  # bounded: |nations|
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])  # bounded: |regions|
         .select("s_suppkey")
     )
     europe_supply = (
         supply_table(spark, sf_dir)
+        # europe is supplier-derived (entity-scale): un-hinted.
         .join(
-            F.broadcast(europe),
+            europe,
             F.col("ps_suppkey") == europe["s_suppkey"],
             "left_semi",
         )
@@ -961,7 +967,7 @@ def q161_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
     )
     return (
-        europe_supply.crossJoin(F.broadcast(total))
+        europe_supply.crossJoin(F.broadcast(total))  # bounded: 1-row total
         .filter(F.col("value_e2") * F.col("n_parts") * 2 > 3 * F.col("t"))
         .select("p_partkey", "value_e2")
     )
@@ -1010,14 +1016,15 @@ def q162_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
     movers = (
         supply_table(spark, sf_dir)
-        .join(F.broadcast(p), F.col("ps_partkey") == p["p_partkey"], "left_semi")
+        # part is entity-scale: un-hinted (stats/AQE decide).
+        .join(p, F.col("ps_partkey") == p["p_partkey"], "left_semi")
         .filter(F.col("ps_qty") > 50)
         .select("ps_suppkey")
         .distinct()
     )
     return (
-        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])  # bounded: |nations|
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])  # bounded: |regions|
         .join(movers, s["s_suppkey"] == movers["ps_suppkey"], "left_semi")
         .select(
             "s_name",

@@ -347,7 +347,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = tf.join(F.broadcast(df), "term").join(F.broadcast(n_docs))
+    # df is |vocab| (corpus-scaling): un-hinted — its groupBy exchange
+    # co-partitions with the join key; AQE broadcasts at test SF.
+    scored = tf.join(df, "term").join(F.broadcast(n_docs))  # bounded: 1-row count
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf") * idf).desc(), F.col("term").asc()
@@ -536,7 +538,10 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("sig_a", "sig_b")
     return (
-        a.join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        a.join(
+            F.broadcast(b),  # bounded: fixed _ED_BLOCK prefix block (non-equi probe)
+            (F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")),
+        )
         .filter(dist <= _ED_MAX)
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_distance"))
     )
@@ -596,9 +601,9 @@ def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c") * 1.0 / F.col("n")
     q = F.col("g") * 1.0 / F.col("gn")
     return (
-        src_counts.join(F.broadcast(src_totals), "source")
+        src_counts.join(F.broadcast(src_totals), "source")  # bounded: |sources|
         .join(glob, "tok")
-        .crossJoin(F.broadcast(glob_total))
+        .crossJoin(F.broadcast(glob_total))  # bounded: 1-row total
         .groupBy("source", F.col("n").alias("n_tokens"))
         .agg(fround(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
     )
@@ -743,7 +748,7 @@ def bpe_merge_step(d: DataFrame) -> DataFrame:
     wrapped = F.concat(F.lit("|"), F.concat_ws("||", F.col("t")), F.lit("|"))
     search = F.concat(F.lit("|"), a, F.lit("||"), b, F.lit("|"))
     repl = F.concat(F.lit("|"), a, F.lit("_"), b, F.lit("|"))
-    merged = tok.crossJoin(F.broadcast(top1)).select(
+    merged = tok.crossJoin(F.broadcast(top1)).select(  # bounded: limit(1) row
         "source",
         "pair",
         "pair_count",
@@ -1031,7 +1036,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = per_doc.filter(
         sum(F.col(f"tf_{t}") for t in BM25_TERMS) > 0
-    ).crossJoin(F.broadcast(stats))
+    ).crossJoin(F.broadcast(stats))  # bounded: 1-row corpus stats
     scored = hits.withColumn("s", F.expr(_BM25_SCORE))
     w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
     return (

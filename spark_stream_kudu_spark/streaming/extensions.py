@@ -377,8 +377,11 @@ def stream_enrich_static_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
+    # The customer-derived dim is entity-scale: un-hinted — the
+    # static-side planner broadcasts it from scan stats per micro-batch
+    # at test SF and degrades to a shuffled stream-static join at scale.
     enriched = stream.join(
-        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+        dim, stream["user_id"] == dim["c_custkey"]
     ).select(
         "event_id",
         "user_id",
@@ -889,7 +892,7 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lut = None
         for s in range(_PQ_SUBSPACES):
-            part = q.crossJoin(F.broadcast(cents)).select(
+            part = q.crossJoin(F.broadcast(cents)).select(  # bounded: PQ codebook
                 "qid",
                 F.lit(s).alias("sub"),
                 "cid",
@@ -899,7 +902,7 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             lut = part if lut is None else lut.unionByName(part)
         adc = (
-            long_codes.join(F.broadcast(lut), ["sub", "cid"])
+            long_codes.join(F.broadcast(lut), ["sub", "cid"])  # bounded: |microbatch| x codebook
             .groupBy("qid", "neighbor_id")
             .agg(F.sum("d2").alias("adc_d2"))
         )
@@ -1720,7 +1723,8 @@ def stream_contract_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fk = (
             batch_df.join(
-                F.broadcast(cust),
+                # customer is entity-scale: un-hinted (stats/AQE).
+                cust,
                 batch_df["o_custkey"] == F.col("c_custkey"),
                 "left_anti",
             )

@@ -36,7 +36,7 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "q135_pareto_curve": (1, "kernel offsets (|strides|)"),
     "q136_gini": (1, "kernel offsets (|strides|)"),
     "q142_mutual_information": (2, "kernel offsets + |cells| grid"),
-    "q144_rfm_segmentation": (3, "three kernel offset tables"),
+    "q144_rfm_segmentation": (1, "one melted kernel offset table"),
     "q145_zipf_fit": (1, "kernel offsets (|strides|)"),
     "q155_abc_xyz": (1, "kernel offsets (|strides|)"),
     "q177_compaction_plan": (1, "|partitions| scan-metadata rollup"),

@@ -1198,6 +1198,63 @@ def test_exact_ntile_matches_spark_ntile(sess, vals, k):
         assert r["t"] == r["t_ref"], (r["key"], r["t"], r["t_ref"])
 
 
+@SETTINGS
+@given(vals=_VALS)
+def test_two_phase_rank_composite_b1_melted(sess, vals):
+    """Composite coarse buckets (round-9): melting TWO independent
+    orders into (tag, stride) coarse buckets and ranking in ONE kernel
+    pass must reproduce each order's flat ranks after subtracting the
+    tag's base offset (every tag holds exactly |rows| rows). This is
+    the q144 single-shuffle RFM shape."""
+    from spark_stream_kudu_spark.functions.ranks import two_phase_order_stats
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = sess.createDataFrame(rows, "k long, v long")
+    # tag 0: v ASC, k tiebreak; tag 1: v DESC, k tiebreak.
+    melted = df.select(
+        "k",
+        "v",
+        F.expr("k div 3").alias("kb"),
+        F.expr(
+            "stack(2, 0L, v div 2, CAST(v AS BIGINT), "
+            "1L, -(v div 2), -v) AS (tag, b1s, fine)"
+        ),
+    )
+    ranked = two_phase_order_stats(
+        melted,
+        ["tag", "b1s"],
+        [F.asc("k")],
+        b2=["fine", "kb"],
+        rank_alias="rnk",
+        n_alias="n",
+        pin=False,
+    ).collect()
+    n = len(vals)
+    got_asc = {r["k"]: r["rnk"] for r in ranked if r["tag"] == 0}
+    got_desc = {r["k"]: r["rnk"] - n for r in ranked if r["tag"] == 1}
+    asc = sorted(rows, key=lambda r: (r[1], r[0]))
+    desc = sorted(rows, key=lambda r: (-r[1], r[0]))
+    assert got_asc == {k: i + 1 for i, (k, _) in enumerate(asc)}
+    assert got_desc == {k: i + 1 for i, (k, _) in enumerate(desc)}
+    assert all(r["n"] == 2 * n for r in ranked)
+
+
+def test_two_phase_rank_null_bucket_raises(sess):
+    """The kernel's non-null bucket contract (round-8 advice): a null
+    coarse-bucket key must fail LOUDLY at execution, not silently drop
+    the row the way the bare inner-join formulation would."""
+    import pytest
+
+    from spark_stream_kudu_spark.functions.ranks import two_phase_order_stats
+
+    df = sess.createDataFrame(
+        [(0, 1), (1, None), (2, 3)], "k long, v long"
+    ).select("k", F.col("v").alias("b1"))
+    out = two_phase_order_stats(df, "b1", [F.asc("k")], rank_alias="rnk")
+    with pytest.raises(Exception, match="null bucket key"):
+        out.collect()
+
+
 def test_basket_edges_hot_basket_no_self_join(sess):
     """The co-membership edge build must expand pairs basket-locally:
     a 60-item hub basket yields exactly C(60,2) canonical edges, the
