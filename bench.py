@@ -205,20 +205,27 @@ def _run_calib_unit(_: int) -> float:
 CALIB_SPARK_BAND = (0.40, 1.30)
 
 
-def _calibrate_spark(spark) -> float:
+def _calibrate_spark(spark, max_runs: int = 6) -> float:
     """SPARK-NATIVE calibration: a fixed 32-partition JVM workload
     (codegen'd xor-mix fold over range + a 100k-key shuffle) timed end
     to end. Runs on exactly the substrate the suite runs on — JVM task
     threads under this host's scheduler — so it sees drift the
     Python-side spins cannot (JIT/GC state, task scheduling, JVM-level
     CPU steal). Measured AFTER the suites (JVM warm) and repeated
-    until two consecutive runs agree within 8% (max 6), so an
-    unconverged JIT can't masquerade as a slow host; returns the best
-    observed. See CALIB_SPARK_REF_SEC / CALIB_SPARK_BAND notes."""
+    until two consecutive runs agree within 8% (max ``max_runs``), so
+    an unconverged JIT can't masquerade as a slow host; returns the
+    best observed. See CALIB_SPARK_REF_SEC / CALIB_SPARK_BAND notes.
+
+    ``max_runs=2`` is the PER-SUITE probe mode (round-8 verdict item
+    4): sampled immediately after each suite, warm, it timestamps the
+    host's speed DURING that suite's window, so a mid-run co-tenant
+    burst is adjudicable from the artifact alone (the r8 v2 block's
+    2-4x inflation on byte-identical builders needed a judge re-run to
+    diagnose; the per-suite factors make that visible in the JSON)."""
     from pyspark.sql import functions as F  # noqa: N812
 
     times: list[float] = []
-    for _ in range(6):
+    for _ in range(max_runs):
         t0 = time.perf_counter()
         (
             spark.range(0, 100_000_000, 1, 32)
@@ -300,11 +307,21 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
-    timings = run_suite(specs)
-    timings_v2 = run_suite(specs_v2)
-    timings_v3 = run_suite(specs_v3)
-    timings_v4 = run_suite(specs_v4)
-    timings_v5 = run_suite(specs_v5)
+    # Per-suite host-factor sampling: a 2-probe warm Spark calibration
+    # immediately after each suite stamps the host speed its timings
+    # actually experienced (see _calibrate_spark max_runs doc).
+    calib_per_suite: dict[str, float] = {}
+
+    def run_suite_probed(tag: str, suite: dict) -> dict[str, float]:
+        out = run_suite(suite)
+        calib_per_suite[tag] = round(_calibrate_spark(spark, max_runs=2), 3)
+        return out
+
+    timings = run_suite_probed("v1", specs)
+    timings_v2 = run_suite_probed("v2", specs_v2)
+    timings_v3 = run_suite_probed("v3", specs_v3)
+    timings_v4 = run_suite_probed("v4", specs_v4)
+    timings_v5 = run_suite_probed("v5", specs_v5)
 
     total = round(sum(timings.values()), 3)
     total_v2 = round(sum(timings_v2.values()), 3)
@@ -346,6 +363,20 @@ def main() -> None:
                 "value_v2_normalized_mt": round(total_v2 / host_factor_mt, 3),
                 "value_v3_normalized_mt": round(total_v3 / host_factor_mt, 3),
                 "calib_spark_sec": round(calib_spark, 3),
+                # Per-suite host factors (probe sampled right after each
+                # suite, warm JVM): a suite whose factor diverges from
+                # host_factor_spark flags a mid-run co-tenant burst —
+                # read rule in SCALE.md "Per-suite host factors".
+                **{
+                    f"calib_spark_{tag}_sec": v
+                    for tag, v in calib_per_suite.items()
+                },
+                **{
+                    f"host_factor_spark_{tag}": round(
+                        v / CALIB_SPARK_REF_SEC, 3
+                    )
+                    for tag, v in calib_per_suite.items()
+                },
                 "calib_spark_ref_sec": CALIB_SPARK_REF_SEC,
                 "calib_spark_band": list(CALIB_SPARK_BAND),
                 "calib_spark_ok": calib_spark_ok,
