@@ -97,6 +97,35 @@ def test_no_string_broadcast_hints():
     assert not offenders, f"string broadcast hints found: {offenders}"
 
 
+def test_reclassified_dims_degrade_without_threshold(spark, sf_smoke):
+    """Plan-level proof of the reclassification: with the broadcast
+    threshold disabled (the 100 TB stand-in — a corpus-scale customer
+    table never fits under it), q03's customer join must plan WITHOUT
+    any broadcast, i.e. the old hard hint is really gone and the
+    engine degrades to shuffled joins instead of OOMing. With the
+    default threshold the same query still broadcasts from scan stats
+    (sf0.1 plans unchanged — verified at sweep time)."""
+    from spark_stream_kudu_spark.registry import load_all
+
+    q03 = load_all()["q03_topk_revenue"]
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        plan = (
+            q03.builder(spark, sf_smoke)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert "BroadcastHashJoin" not in plan, (
+        "a broadcast survived threshold=-1 — a hard hint is back on "
+        "an entity-scale input"
+    )
+
+
 def test_gate_module_unchanged_contract():
     """gated_broadcast must stay the only untagged broadcast producer:
     it hints ONLY under the session threshold and falls back to a
