@@ -377,6 +377,23 @@ def main() -> None:
                     )
                     for tag, v in calib_per_suite.items()
                 },
+                # Machine-readable burst verdict (round-9 advice): an
+                # out-of-band SUITE probe is visible here, not only to
+                # a reader who knows the SCALE.md rule. worst = max
+                # factor across suites; ok = every suite's calib SECONDS
+                # inside CALIB_SPARK_BAND (same units/gate as
+                # calib_spark_ok). NOTE the per-suite probes are
+                # max_runs=2 (no convergence loop), so a single suite
+                # reading slightly past the band means "interpret that
+                # suite's raw timings with the burst rule", not "the
+                # whole artifact is invalid".
+                "host_factor_spark_worst_suite": round(
+                    max(calib_per_suite.values()) / CALIB_SPARK_REF_SEC, 3
+                ),
+                "calib_spark_suites_ok": all(
+                    CALIB_SPARK_BAND[0] <= v <= CALIB_SPARK_BAND[1]
+                    for v in calib_per_suite.values()
+                ),
                 "calib_spark_ref_sec": CALIB_SPARK_REF_SEC,
                 "calib_spark_band": list(CALIB_SPARK_BAND),
                 "calib_spark_ok": calib_spark_ok,

@@ -40,24 +40,78 @@ def broadcast_threshold_bytes(spark: SparkSession) -> int:
     return int(m.group(1)) * _UNIT[m.group(2).lower()]
 
 
-# Conservative in-memory footprint of one broadcast-relation row of a
-# few numeric columns (unsafe-row payload + hash-relation overhead).
+# Conservative FLOOR for the in-memory footprint of one
+# broadcast-relation row of a few numeric columns (unsafe-row payload
+# + hash-relation overhead). The actual estimate is schema-derived
+# (round-9 verdict item 3): a constant under-counts a wide row — an
+# embedding column is ~10-30x this — and would hint a broadcast that
+# OOMs at exactly the scale the gate exists to protect.
 DEFAULT_BYTES_PER_ROW = 64
+
+# Per-row hash-relation overhead on top of the unsafe-row payload
+# (LongToUnsafeRowMap / BytesToBytesMap entry + pointer + padding).
+_HASH_RELATION_OVERHEAD = 16
+
+# Payload defaults for variable-width leaves where the schema cannot
+# know the data: deliberately on the heavy side — the gate's failure
+# mode is asymmetric (a false "fits" OOMs; a false "too big" costs one
+# extra shuffle on a table that was borderline anyway).
+_VAR_DEFAULTS = {"string": 48, "binary": 128}
+_ARRAY_DEFAULT_ELEMS = 128  # embedding-class default when unsized
+
+
+def _field_bytes(dt) -> int:
+    """Estimated unsafe-row footprint of one field of type ``dt``:
+    8-byte fixed slot + variable-region payload for var-width types."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StringType):
+        return 8 + _VAR_DEFAULTS["string"]
+    if isinstance(dt, T.BinaryType):
+        return 8 + _VAR_DEFAULTS["binary"]
+    if isinstance(dt, T.ArrayType):
+        return 8 + 16 + _ARRAY_DEFAULT_ELEMS * _field_bytes(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return 8 + 32 + _ARRAY_DEFAULT_ELEMS * (
+            _field_bytes(dt.keyType) + _field_bytes(dt.valueType)
+        )
+    if isinstance(dt, T.StructType):
+        return 8 + sum(_field_bytes(f.dataType) for f in dt.fields)
+    # numeric / boolean / date / timestamp / decimal(<=18): one slot
+    return 8
+
+
+def schema_bytes_per_row(df: DataFrame) -> int:
+    """Schema-derived per-row broadcast footprint: unsafe-row slots +
+    var-width payload defaults + hash-relation overhead, floored at
+    ``DEFAULT_BYTES_PER_ROW`` (the old constant — narrow (id, value)
+    tables keep their historical estimate and plans)."""
+    est = _HASH_RELATION_OVERHEAD + sum(
+        _field_bytes(f.dataType) for f in df.schema.fields
+    )
+    return max(est, DEFAULT_BYTES_PER_ROW)
 
 
 def gated_broadcast(
     df: DataFrame,
     est_rows: int,
     spark: SparkSession,
-    bytes_per_row: int = DEFAULT_BYTES_PER_ROW,
+    bytes_per_row: int | None = None,
 ) -> DataFrame:
     """Broadcast ``df`` iff ``est_rows`` fits under the session's
     autoBroadcastJoinThreshold; otherwise hint a shuffled hash join.
 
     ``est_rows`` is the caller's upper bound on the table's row count
     (e.g. |nodes|, counted once before an iterative loop) — estimating
-    here would trigger a job per call.
+    here would trigger a job per call. ``bytes_per_row`` defaults to
+    the SCHEMA-DERIVED estimate (``schema_bytes_per_row``), so a
+    wide-row table — one carrying an embedding array — degrades to a
+    shuffled hash join at a threshold the old flat constant would have
+    broadcast under; pass an explicit value only when the caller knows
+    the actual payload (e.g. measured average string length).
     """
+    if bytes_per_row is None:
+        bytes_per_row = schema_bytes_per_row(df)
     threshold = broadcast_threshold_bytes(spark)
     if threshold > 0 and est_rows * bytes_per_row <= threshold:
         return F.broadcast(df)

@@ -1,5 +1,7 @@
-"""Lineage-cut helper shared by the iterative operators (connected
-components in operators/dedup.py, PageRank in operators/graph.py).
+"""Lineage-cut helpers shared by the iterative operators (connected
+components in operators/dedup.py, PageRank in operators/graph.py) and
+the multiply-consumed rollup pins (two_phase_order_stats /
+two_phase_rowid and the pinned rollups across operators/).
 
 An iterative DataFrame loop must cut lineage every round or the plan
 grows without bound. ``localCheckpoint`` is the fast default, but it is
@@ -8,6 +10,33 @@ lineage recompute. When ``SPARK_GRAFT_CC_CHECKPOINT_DIR`` points at a
 reliable store (HDFS / object store), every ``interval``-th round is
 written through a *reliable* checkpoint instead, bounding the
 recomputation window on executor loss to ``interval`` rounds.
+
+``pin`` is the second seam (round-9 verdict item 2): a rollup consumed
+by two or more downstream branches is materialized ONCE instead of
+re-running its lineage per branch (Spark's ReuseExchange does not
+dedupe the subtrees). The mechanism is env-selected via
+``SPARK_GRAFT_PIN_MODE`` so a production deployment on preemptible
+executors can switch every pin in the engine without editing kernels:
+
+  local (default)  eager ``localCheckpoint`` — fastest; blocks live on
+                   executors, so a lost executor FAILS the job (the
+                   lineage was truncated). Right for the sandbox and
+                   for on-demand clusters.
+  persist          ``MEMORY_AND_DISK`` persist, eagerly materialized.
+                   Lineage is KEPT: a lost executor's blocks recompute
+                   from source instead of failing — the
+                   preemptible-executor mode. Entries stay in the
+                   cache manager for the session (bounded: pins hold
+                   entity rollups, not corpus scans).
+  reliable         ``checkpoint(eager=True)`` through the
+                   ``SPARK_GRAFT_CC_CHECKPOINT_DIR`` store — survives
+                   any executor loss; one HDFS/object-store round-trip
+                   per pin. Raises loudly if no dir is configured
+                   rather than silently degrading.
+
+At 100 TB the strongest form is still a PERSISTED rollup table written
+by the upstream pipeline stage (SCALE.md "Pin -> persisted-table
+contract"); the seam covers the deployments in between.
 """
 
 from __future__ import annotations
@@ -15,9 +44,12 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 RELIABLE_CKPT_ENV = "SPARK_GRAFT_CC_CHECKPOINT_DIR"
 CKPT_INTERVAL = 3
+PIN_MODE_ENV = "SPARK_GRAFT_PIN_MODE"
+_PIN_MODES = ("local", "persist", "reliable")
 
 
 def configure_reliable_checkpoints(spark: SparkSession) -> bool:
@@ -51,3 +83,37 @@ def cut_lineage(
     if round_no % local_interval == local_interval - 1:
         return df.localCheckpoint(eager=True)
     return df
+
+
+def pin_mode() -> str:
+    """The active pin mode (validated). Read per-call, not at import:
+    tests and long-lived drivers may flip the env between queries."""
+    mode = os.environ.get(PIN_MODE_ENV, "local") or "local"
+    if mode not in _PIN_MODES:
+        raise ValueError(
+            f"{PIN_MODE_ENV}={mode!r}: expected one of {_PIN_MODES}"
+        )
+    return mode
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize a multiply-consumed rollup once, via the mechanism
+    selected by ``SPARK_GRAFT_PIN_MODE`` (module docstring). All
+    three modes are EAGER — callers rely on the input being computed
+    exactly once regardless of how many branches consume the result."""
+    mode = pin_mode()
+    if mode == "persist":
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager: materialize before any branch consumes it
+        return df
+    if mode == "reliable":
+        spark = df.sparkSession
+        if not configure_reliable_checkpoints(spark):
+            raise RuntimeError(
+                f"{PIN_MODE_ENV}=reliable requires {RELIABLE_CKPT_ENV} "
+                "to name a durable checkpoint store (HDFS/object "
+                "store) — refusing to silently degrade to an "
+                "executor-local pin"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -51,6 +51,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
+
 
 def two_phase_order_stats(
     df: DataFrame,
@@ -99,16 +101,15 @@ def two_phase_order_stats(
     counts branch and the decorating join — and Spark's ReuseExchange
     does not dedupe the subtrees, so an unpinned rollup re-runs its
     whole lineage (typically a corpus scan + aggregate) per branch.
-    An eager localCheckpoint pins the |rollup| rows once — the
-    round-7 duplicate-scan convention; at 100 TB the rank input is
-    the PERSISTED entity rollup, which the pin stands in for (see
-    SCALE.md "Pin -> persisted-table contract" for when a production
-    deployment must swap the pin for a reliable checkpoint or a
-    materialized rollup table). Pass ``pin=False`` when the caller
-    already pinned the input (q144's shared per-user rollup).
+    The shared ``functions.lineage.pin`` seam materializes the
+    |rollup| rows once — mechanism selected by ``SPARK_GRAFT_PIN_MODE``
+    (local localCheckpoint by default; ``persist`` / ``reliable`` for
+    preemptible-executor production, no kernel edit needed); at 100 TB
+    the rank input is the PERSISTED entity rollup, which the pin
+    stands in for (see SCALE.md "Pin -> persisted-table contract").
+    Pass ``pin=False`` when the caller already pinned the input
+    (q144's shared per-user rollup).
     """
-    if pin:
-        df = df.localCheckpoint(eager=True)
     b1s = [b1] if isinstance(b1, str) else list(b1)
     b2 = list(b2)
     leaf = [*b1s, *b2]
@@ -122,6 +123,11 @@ def two_phase_order_stats(
     # (A left-join + conditional-rank formulation was measured ~1.3x
     # slower at sf0.1 across the rank family — the outer join blocks
     # the tighter inner-join plan.)
+    # Applied BEFORE the pin (round-9 advice): the checkpoint then
+    # materializes already-validated keys, so a nullable-input caller
+    # pays the per-row check once and both downstream consumptions
+    # (counts branch + decorating join) see plain attributes as
+    # join/group keys rather than CASE WHEN expressions.
     for c in leaf:
         df = df.withColumn(
             c,
@@ -136,6 +142,8 @@ def two_phase_order_stats(
                 )
             ),
         )
+    if pin:
+        df = _pin(df)
     aggs = [F.count(F.lit(1)).alias("__c")]
     want_sum = value_col is not None and (cumsum_alias or total_alias)
     if want_sum:

@@ -45,6 +45,7 @@ from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,9 +1573,9 @@ def q121_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pinned: the coarse rollup and the within-coarse prefix both
     # consume the fine-bucket maxima; unpinned, each branch re-scans
     # events (round-7 duplicate-scan convention; |fine buckets| rows).
-    fine = a0.groupBy("__b1", "__b2").agg(
+    fine = _pin(a0.groupBy("__b1", "__b2").agg(
         F.max("t_ms").alias("__m2")
-    ).localCheckpoint(eager=True)
+    ))
     # Exclusive prefix max over |coarse| rows — the only global window.
     w1 = Window.orderBy("__b1").rowsBetween(Window.unboundedPreceding, -1)
     coarse = fine.groupBy("__b1").agg(F.max("__m2").alias("__m1"))

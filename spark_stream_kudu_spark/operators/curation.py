@@ -46,6 +46,7 @@ from spark_stream_kudu_spark.functions.textutil import (
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 # Global token budget = BUDGET_NUM/BUDGET_DEN of total corpus mass,
 # computed in exact integer arithmetic.
@@ -198,14 +199,13 @@ WHERE rank <= {_VOCAB_TOP}
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
+    counts = _pin(
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         # Pinned: the corpus total and the shard ranking both consume
         # the vocab table, and an unpinned one re-tokenizes the whole
         # corpus per branch (round-7 duplicate-scan convention).
-        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n").alias("__total"))
     # Phase 1: shard-local rank — parallel across token-hash shards.

@@ -45,6 +45,7 @@ from spark_stream_kudu_spark.functions.lineage import (
     RELIABLE_CKPT_ENV,
     configure_reliable_checkpoints,
     cut_lineage,
+    pin as _pin,
 )
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.functions.textutil import (
@@ -853,7 +854,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # The edge set is reused every iteration — materialize it once
     # instead of recomputing the whole LSH+verify pipeline per round.
-    edges = edges.localCheckpoint(eager=True)
+    edges = _pin(edges)
     labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
     labels = propagate_min_labels(
         labels, edges, reliable_checkpoint=configure_reliable_checkpoints(spark)
@@ -1034,9 +1035,7 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
     # inverted-index materialization every dedup pipeline stores
     # anyway; at 100 TB it trades one local write for a repeated
     # full-corpus tokenize+shingle pass.
-    ex = sh.select("doc_id", F.explode("s").alias("g")).localCheckpoint(
-        eager=True
-    )
+    ex = _pin(sh.select("doc_id", F.explode("s").alias("g")))
     df_counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # Rarest-first total order (df, then shingle text) — identical for
     # every document, which is what the prefix-filter guarantee needs.
@@ -1045,7 +1044,7 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
     # "runs once" claim is made literal by the checkpoint; without it
     # the whole scan->tokenize->df->sort chain re-ran per consumer:
     # 8 corpus scans measured for this one query).
-    ranked = (
+    ranked = _pin(
         ex.join(df_counts, "g")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("ordered"))
@@ -1054,7 +1053,6 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
             F.transform("ordered", lambda x: x["g"]).alias("os"),
             F.size("ordered").alias("n"),
         )
-        .localCheckpoint(eager=True)
     )
     # Probe prefix: |S| - ceil(t*|S|) + 1 rarest shingles. J(A,B) >= t
     # forces |A n B| >= t*max(|A|,|B|), so two qualifying prefixes must
@@ -1338,7 +1336,7 @@ def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table once each. In production both ARE stored tables (the
     # signature index this query maintains), so the pins mirror the
     # deployment exactly.
-    bands = _minhash_bands(d).localCheckpoint(eager=True)
+    bands = _pin(_minhash_bands(d))
     is_new = F.col("doc_id") % 4 == 3
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("n"), "band", "bkey"
@@ -1356,10 +1354,10 @@ def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.session import spread_small_scan
 
     # Spread before shingling — same rationale as dedup_verified_pairs.
-    sh = spread_small_scan(d.select("doc_id", "text")).select(
+    sh = _pin(spread_small_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
-    ).localCheckpoint(eager=True)
+    ))
     a = sh.select(F.col("doc_id").alias("n"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("m"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -1557,9 +1555,9 @@ def star_contraction_components(
     every edge touches its component's minimum, and labels read off in
     one pass). Raises if the fixed point is not reached in
     ``max_rounds`` — wrong cluster ids must never ship silently."""
-    canon = _canon_pairs(
+    canon = _pin(_canon_pairs(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint(eager=True)
+    ))
 
     def _digest(e: DataFrame) -> tuple[int, int]:
         """(row count, order-independent xxhash64 checksum) in one
@@ -1768,11 +1766,10 @@ FROM ({union})
 )
 def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sig = minhash_signatures(d).localCheckpoint(eager=True)
-    truth = (
+    sig = _pin(minhash_signatures(d))
+    truth = _pin(
         dedup_prefix_filter(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
     )
     n_truth_df = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     out = None
@@ -2140,7 +2137,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding magnitude violates the q8 overflow contract "
         f"(n8 > 2^26)') AS BIGINT), n8)"
     )
-    m = (
+    m = _pin(
         assigned.select(
             "vec_id",
             F.col("cid").cast("long").alias("cluster_id"),
@@ -2163,7 +2160,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin the trained assignment once, the stored-table stand-in
         # pattern (this IS the persisted cluster-membership table of a
         # real SemDeDup deployment).
-        .localCheckpoint(eager=True)
     )
     return semantic_decision(spark, m, m.count())
 

@@ -423,7 +423,7 @@ def q128_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    grouped = (
+    grouped = _pin(
         # part is entity-scale: un-hinted (stats/AQE decide).
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
@@ -433,7 +433,6 @@ def q128_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair expansion; ReuseExchange does not dedupe the subtrees,
         # so without the cut the lineitem x part join ran 4x
         # (measured: 4 scans of each). |orders| rows — cheap to pin.
-        .localCheckpoint(eager=True)
     )
     marginals = grouped.select(F.explode("brands").alias("brand")).groupBy(
         "brand"
@@ -1087,13 +1086,13 @@ FROM scored GROUP BY 1, 2, 3
 )
 def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(
+    per_user = _pin(ev.groupBy("user_id").agg(
         F.datediff(
             F.lit(_RFM_ASOF).cast("date"), F.max("ts").cast("date")
         ).alias("rec_days"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
-    ).localCheckpoint(eager=True)
+    ))
 
     # Melt: one row per (user, metric), each carrying its coarse
     # stride bucket and the metric value negated for DESC orders
@@ -1124,7 +1123,9 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exactly |users| rows per tag, so the global (tag, ...) rank
     # localizes per metric by subtracting the tag's base offset.
-    n_m = (F.col("__n") / F.lit(3)).cast("long")
+    # Integral `div` keeps the per-tag count exact by construction
+    # (round-9 advice) instead of leaning on double being exact < 2^53.
+    n_m = F.expr("__n div 3")
     rank_m = F.col("__rk") - F.col("__m") * n_m
     score = exact_ntile(rank_m, n_m, _RFM_TILES).cast("int")
     scored = ranked.groupBy("user_id").agg(
@@ -1144,6 +1145,7 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from spark_stream_kudu_spark.functions.textutil import sql_tokens as _sql_tokens
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 _ZIPF_ORACLE = f"""
 WITH tok AS (
@@ -1734,9 +1736,9 @@ def q153_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event fact was scanned 3x (measured). The per-user rollup is the
     # table the query already assumes broadcastable, so the eager
     # checkpoint is cheap and events scan once per remaining consumer.
-    first_seen = ev.groupBy("user_id").agg(
+    first_seen = _pin(ev.groupBy("user_id").agg(
         week(F.min("ts")).alias("cohort_week")
-    ).localCheckpoint(eager=True)
+    ))
     rev = (
         # first_seen is a |users| rollup (corpus-scaling): un-hinted
         # (the pinned plan reports no stats, so AQE decides at runtime).
@@ -1819,7 +1821,7 @@ FROM wk k JOIN wau w ON w.week = k.week
 )
 def q154_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    act = ev.select(
+    act = _pin(ev.select(
         F.col("ts").cast("date").alias("day"),
         F.floor(
             F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
@@ -1827,7 +1829,7 @@ def q154_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("week"),
         "user_id",
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct())
     # act feeds both DAU and WAU; without the lineage cut the fact was
     # scanned and re-distincted twice (ReuseExchange does not dedupe).
     dau = act.groupBy("week", "day").agg(F.count(F.lit(1)).alias("dau"))

@@ -49,6 +49,7 @@ from spark_stream_kudu_spark.functions.textutil import (
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -549,15 +550,13 @@ def q106_sketch_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equals it over raw events, since every (grain, user) pair
     # survives the projection). The anchor scan exists only for the
     # gate; production ships the sketch table alone.
-    base = (
+    base = _pin(
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .localCheckpoint(eager=True)
     )
-    triples = (
+    triples = _pin(
         ev.select(F.to_date("ts").alias("day"), "event_type", "user_id")
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _ok():

@@ -35,6 +35,7 @@ from spark_stream_kudu_spark.functions.joins import gated_broadcast
 from spark_stream_kudu_spark.functions.lineage import (
     configure_reliable_checkpoints,
     cut_lineage,
+    pin as _pin,
 )
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
@@ -133,10 +134,8 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs only the |nodes|-sized rank table on the build side —
     # broadcast below the session threshold (edge list never
     # re-shuffles), shuffled hash join above it (the web-scale path).
-    edges = raw.join(outdeg, "src").localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    edges = _pin(raw.join(outdeg, "src"))
+    nodes = _pin(edges.select(F.col("src").alias("node")).distinct())
     # Size-gate the per-round rank-table join ONCE (the node set is
     # static across rounds): broadcast while |nodes| fits under the
     # session's autoBroadcastJoinThreshold, shuffled hash join above it
@@ -224,11 +223,10 @@ def q114_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edge list is reused four times (degrees, orientation, closing,
     # count) — materialize once; it is O(parts x co-rate), tiny next to
     # the fact table.
-    edges = (
+    edges = _pin(
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -242,10 +240,10 @@ def q114_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     keyed = edges.join(du, "u").join(dv, "v")
     fwd = F.struct("du", "u") < F.struct("dv", "v")
-    oriented = keyed.select(
+    oriented = _pin(keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).localCheckpoint(eager=True)
+    ))
     o1 = oriented.select(F.col("s").alias("c"), F.col("t").alias("x"))
     o2 = oriented.select(F.col("s").alias("c"), F.col("t").alias("y"))
     wedges = o1.join(o2, "c").filter(F.col("x") < F.col("y"))
@@ -357,9 +355,9 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = e0.unionByName(
+    edges = _pin(e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
+    ))
     c_nodes = edges.select(F.col("dst").alias("node")).distinct()
     seeds_c = cust.select(
         F.col("c_custkey").alias("node"), F.col("c_nationkey").cast("long").alias("label")
@@ -576,9 +574,9 @@ def q165_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(cents).alias("w"))
     )
-    edges = e0.unionByName(
+    edges = _pin(e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
+    ))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     dist = nodes.select(
         "node",
@@ -667,11 +665,10 @@ def q180_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    edges = _pin(
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -683,10 +680,10 @@ def q180_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     keyed = edges.join(du, "u").join(dv, "v")
     fwd = F.struct("du", "u") < F.struct("dv", "v")
-    oriented = keyed.select(
+    oriented = _pin(keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).localCheckpoint(eager=True)
+    ))
     o1 = oriented.select(F.col("s").alias("c"), F.col("t").alias("x"))
     o2 = oriented.select(F.col("s").alias("c"), F.col("t").alias("y"))
     wedges = o1.join(o2, "c").filter(F.col("x") < F.col("y"))
@@ -839,7 +836,7 @@ def kcore_trajectory(
     itself), so converged rounds emit without launching jobs.
     Property-tested against plain-Python peeling on arbitrary graphs
     in tests/test_properties.py."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = _pin(edges)
     n_edges = edges.count()
     metrics: list[tuple[int, int, int]] = []
     converged = False

@@ -25,6 +25,7 @@ from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.bucketed import write_bucketed
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 NUM_BUCKETS = 8  # test scale; at 100 TB size so max bucket file ~<=1 GB
 
@@ -1741,11 +1742,10 @@ def resharding_overlay(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        moved = (
+        moved = _pin(
             sharded_customer(spark, sf_dir)
             .withColumn("new_shard", hrw_shard_col(_RS_NEW))
             .filter(F.col("new_shard") != F.col("shard"))
-            .localCheckpoint(eager=True)
         )
         (
             moved.select(*_CUST_COLS, F.col("new_shard").alias("shard"))

@@ -37,6 +37,7 @@ from spark_stream_kudu_spark.functions.rounding import fround
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 FRAME_BYTES = 256  # fake "frame" granularity for sampling offsets
 
@@ -998,7 +999,7 @@ def blockhash_signatures(d: DataFrame) -> DataFrame:
     oracle=_PH_PAIRS_ORACLE,
 )
 def multimodal_blockhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = blockhash_signatures(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sig = _pin(blockhash_signatures(_docs(spark, sf_dir)))
     bands = sig.select(
         "doc_id",
         F.explode(

@@ -38,6 +38,7 @@ from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 _EWMA_WINDOW = 20  # trailing observations; (1-alpha)^20 ~ 0.08% residual weight
 _EWMA_ALPHA = 0.3
@@ -476,7 +477,7 @@ def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
         F.sum("cnt").over(w7).cast("long").alias("s7"),
         F.count(F.lit(1)).over(w7).cast("long").alias("n7"),
     ).filter(F.col("n7") == 7)
-    d = t.select(
+    d = _pin(t.select(
         "day",
         "cnt",
         F.expr("(s7 * 1000000) div 7").cast("long").alias("trend_e6"),
@@ -486,7 +487,7 @@ def seasonal_decompose_from_daily(daily: DataFrame) -> DataFrame:
         F.expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS BIGINT)").alias(
             "wd"
         ),
-    ).localCheckpoint(eager=True)
+    ))
     seas = d.groupBy("wd").agg(
         F.expr("sum(detr_e6) div count(*)").cast("long").alias("seasonal_e6")
     )

@@ -24,6 +24,7 @@ from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 
 _Q36_ORACLE = """
@@ -691,7 +692,7 @@ def q185_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The words are ~|types| x |id-space|/63 rows, so the eager
     # checkpoint is tiny and the fact scans once (the "compute once,
     # answer both" claim made literal). Plan-asserted in test_plans.
-    words = bitmap_words(ev).localCheckpoint(eager=True)
+    words = _pin(bitmap_words(ev))
     wa = words.select(
         F.col("event_type").alias("type_a"), "word", F.col("mask").alias("ma")
     )

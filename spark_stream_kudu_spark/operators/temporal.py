@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 RANGE_JOIN_WINDOW_SEC = 3600  # range-join window length H (1 hour)
 TRAILING_DAYS = 90  # RANGE-frame trailing window
@@ -528,14 +529,14 @@ def _bucket(col, width_ms):
 def q59_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     ms = F.unix_millis("ts")
-    minute = (
+    minute = _pin((
         ev.groupBy(
             _bucket(ms, _MIN_MS).alias("bucket_ms"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value_e4"),
         )
-    ).localCheckpoint()
+    ))
     def up(parent, width):
         return (
             parent.groupBy(

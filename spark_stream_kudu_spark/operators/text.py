@@ -939,6 +939,224 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batched BPE training (top-m disjoint merges per driver round-trip)
+# --------------------------------------------------------------------------
+#
+# text_bpe_encode is one driver round-trip PER MERGE — honest about it,
+# but real BPE training runs 10k-50k merges, i.e. 10k+ job launches and
+# a plan that grows per round (round-9 verdict item 4). The batched
+# trainer amortizes: per round-trip it collects the TOP-K candidate
+# pairs (bounded, ordered count DESC / pair ASC), greedily keeps up to
+# M whose tokens are mutually DISJOINT (no token participates in two
+# kept merges — kept replaces then cannot interact, so one chained
+# scan-local rewrite applies them all), and rewrites once. M merges
+# per shuffle+collect instead of 1: 50k merges become ~6k round-trips
+# at M=8, and each round-trip's collect is <= K rows regardless of
+# corpus size. The bounded-K candidate window is part of the DECLARED
+# semantics (both the Spark side and the oracle consider exactly the
+# top K), so the query stays hash-checkable end-to-end.
+
+_BPE_BATCH_SUPER = 2  # super-rounds (fixture-scale; production: n/M)
+_BPE_BATCH_M = 8  # max merges applied per round-trip
+_BPE_BATCH_K = 256  # candidate window collected per round-trip
+
+
+def _bpe_batched_oracle_sql(
+    super_rounds: int, m: int, k: int
+) -> str:
+    """Unrolled recursive-CTE oracle for the batched trainer: per
+    super-round, rank pairs (count DESC, pair ASC) LIMIT k, run the
+    SAME greedy disjoint selection as the Spark driver loop via a
+    recursive CTE threading (chosen, used-token) lists, and apply the
+    up-to-m kept merges as one nested replace chain (chr(1) sentinel
+    pads unused slots — it cannot occur in whitespace-split tokens)."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    # recursive greedy selection would otherwise re-evaluate the full
+    # corpus pair count once per recursion step (256x) and each of the
+    # replace slots would re-run the recursion — hours instead of
+    # seconds at sf0.01.
+    parts = [
+        f"""WITH RECURSIVE s0 AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(len(t) AS BIGINT) AS n0,
+         '|' || array_to_string(t, '||') || '|' AS s
+  FROM (SELECT doc_id, source, {sql_tokens('text')} AS t FROM documents)
+)"""
+    ]
+    for r in range(1, super_rounds + 1):
+        prev = f"s{r - 1}"
+        sel = f"(SELECT chosen FROM m{r})"
+
+        def _tok(i: int, part: int) -> str:
+            return (
+                f"coalesce(split_part(list_extract({sel}, {i}), ' ', "
+                f"{part}), chr(1))"
+            )
+
+        expr = "s"
+        for i in range(1, m + 1):
+            pat = f"'|' || {_tok(i, 1)} || '||' || {_tok(i, 2)} || '|'"
+            rep = f"'|' || {_tok(i, 1)} || '_' || {_tok(i, 2)} || '|'"
+            expr = f"replace({expr}, {pat}, {rep})"
+        parts.append(
+            f""", p{r} AS (
+  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i + 1])) AS pair
+  FROM (SELECT str_split(substr(s, 2, length(s) - 2), '||') AS tk
+        FROM {prev} WHERE length(s) > 2)
+  WHERE len(tk) >= 2
+), k{r} AS MATERIALIZED (
+  SELECT pair, split_part(pair, ' ', 1) AS t1,
+         split_part(pair, ' ', 2) AS t2,
+         row_number() OVER (ORDER BY c DESC, pair ASC) AS rn
+  FROM (SELECT pair, count(*) AS c FROM p{r} GROUP BY pair)
+  ORDER BY c DESC, pair ASC LIMIT {k}
+), g{r} AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS chosen,
+         CAST([] AS VARCHAR[]) AS used
+  UNION ALL
+  SELECT c.rn,
+         CASE WHEN len(g.chosen) >= {m} OR list_contains(g.used, c.t1)
+                   OR list_contains(g.used, c.t2)
+              THEN g.chosen ELSE list_append(g.chosen, c.pair) END,
+         CASE WHEN len(g.chosen) >= {m} OR list_contains(g.used, c.t1)
+                   OR list_contains(g.used, c.t2)
+              THEN g.used ELSE list_concat(g.used, [c.t1, c.t2]) END
+  FROM g{r} g JOIN k{r} c ON c.rn = g.rn + 1
+), m{r} AS MATERIALIZED (
+  SELECT chosen FROM g{r} ORDER BY rn DESC LIMIT 1
+), s{r} AS MATERIALIZED (
+  SELECT doc_id, source, n0, {expr} AS s
+  FROM {prev}
+)"""
+        )
+    merge_cols = ",\n       ".join(
+        f"array_to_string((SELECT chosen FROM m{r}), ',') AS merges_r{r}"
+        for r in range(1, super_rounds + 1)
+    )
+    parts.append(
+        f"""
+SELECT f.source,
+       {merge_cols},
+       CAST(sum(f.n0) AS BIGINT) AS tokens_before,
+       CAST(sum(length(z.s) - length(f.s)) AS BIGINT) AS n_merges,
+       CAST(sum(f.n0) - sum(length(z.s) - length(f.s)) AS BIGINT)
+         AS tokens_after
+FROM s{super_rounds} f JOIN s0 z USING (doc_id)
+GROUP BY f.source"""
+    )
+    return "".join(parts)
+
+
+def bpe_greedy_disjoint(
+    pairs: list[str], m: int
+) -> list[str]:
+    """Greedy disjoint merge selection shared by the trainer and its
+    tests: walk candidates in (count DESC, pair ASC) order, keep a
+    pair iff neither token was used by an earlier kept pair, stop at
+    ``m``. Disjoint tokens => the kept replaces cannot create or
+    destroy each other's match sites, so one chained rewrite equals
+    applying them one-per-round in any order."""
+    chosen: list[str] = []
+    used: set[str] = set()
+    for pr in pairs:
+        if len(chosen) >= m:
+            break
+        a, b = pr.split(" ")
+        if a in used or b in used:
+            continue
+        chosen.append(pr)
+        used.update((a, b))
+    return chosen
+
+
+@register(
+    "text_bpe_batched",
+    "text",
+    f"Batched BPE training: {_BPE_BATCH_SUPER} super-rounds, each ONE "
+    f"driver round-trip — count adjacent pairs, collect the top-"
+    f"{_BPE_BATCH_K} candidates (bounded, count DESC / pair ASC), "
+    f"greedily keep up to {_BPE_BATCH_M} merges with mutually disjoint "
+    "tokens, and apply them in one chained scan-local rewrite. The "
+    "scale-safe form of text_bpe_encode's merge-per-round-trip loop: "
+    "50k production merges need ~50k/m collects instead of 50k, each "
+    "bounded by the candidate window regardless of corpus size. "
+    "Disjointness makes the batch order-independent; the bounded "
+    "window is part of the declared semantics, so the recursive-CTE "
+    "oracle replays the identical greedy selection and the result "
+    "stays hash-checked end-to-end.",
+    oracle=_bpe_batched_oracle_sql(
+        _BPE_BATCH_SUPER, _BPE_BATCH_M, _BPE_BATCH_K
+    ),
+)
+def text_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    state = tok.select(
+        "doc_id",
+        "source",
+        F.size("t").cast("long").alias("n0"),
+        F.concat(
+            F.lit("|"), F.concat_ws("||", F.col("t")), F.lit("|")
+        ).alias("s"),
+        F.length(
+            F.concat(F.lit("|"), F.concat_ws("||", F.col("t")), F.lit("|"))
+        ).alias("len0"),
+    )
+
+    round_merges: list[list[str]] = []
+    for _ in range(_BPE_BATCH_SUPER):
+        tk = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\|\|")
+        pair_arr = F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        # ONE bounded collect per super-round: top-K candidate pairs
+        # (TakeOrderedAndProject — K rows cross the driver, never the
+        # corpus), then the greedy disjoint pick runs driver-side in
+        # plain Python over those K rows.
+        cand = (
+            state.filter(F.length("s") > 2)
+            .select(F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(_BPE_BATCH_K)
+            .collect()
+        )
+        chosen = bpe_greedy_disjoint(
+            [r["pair"] for r in cand], _BPE_BATCH_M
+        )
+        round_merges.append(chosen)
+        col = F.col("s")
+        for pr in chosen:
+            a, b = pr.split(" ")
+            col = F.replace(
+                col, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}_{b}|")
+            )
+        state = state.withColumn("s", col)
+
+    n_merges = (F.col("len0") - F.length("s")).cast("long")
+    out = state.groupBy("source").agg(
+        F.sum("n0").alias("tokens_before"),
+        F.sum(n_merges).alias("n_merges"),
+        (F.sum("n0") - F.sum(n_merges)).alias("tokens_after"),
+    )
+    sel = [F.col("source")]
+    sel += [
+        F.lit(",".join(ms)).alias(f"merges_r{i + 1}")
+        for i, ms in enumerate(round_merges)
+    ]
+    sel += [F.col("tokens_before"), F.col("n_merges"), F.col("tokens_after")]
+    return out.select(*sel)
+
+
+# --------------------------------------------------------------------------
 # BM25 ranked retrieval (the corpus-curation search primitive)
 # --------------------------------------------------------------------------
 

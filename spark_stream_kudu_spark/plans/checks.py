@@ -86,6 +86,52 @@ def single_partition_order_ops(df: DataFrame) -> list[str]:
     )
 
 
+def _parse_plan_tree(text: str) -> list[tuple[int, str]]:
+    """(depth, body) per node of a rendered executedPlan tree,
+    recovering structure from the 3-char-per-level indentation. Shared
+    by the funnel sweep and the broadcast-subtree extractor; carries
+    the renderer-drift canary (root must parse at depth 0) so a Spark
+    upgrade fails loudly instead of silently blinding the lints."""
+    import re
+
+    nodes: list[tuple[int, str]] = []
+    for line in text.splitlines():
+        m = re.match(r"^([ :+\-|]*)(.*)$", line)
+        indent, body = m.group(1), m.group(2)
+        if not body:
+            continue
+        body = re.sub(r"^\*\(\d+\) ", "", body)  # codegen stage tag
+        nodes.append((len(indent) // 3, body))
+    if nodes and nodes[0][0] != 0:
+        raise AssertionError(
+            "plan-text parser: root node did not parse at depth 0 — "
+            "renderer layout changed; re-derive the indent rule "
+            f"(got depth {nodes[0][0]}: {nodes[0][1]!r})"
+        )
+    return nodes
+
+
+def broadcast_build_subtrees_from_text(text: str) -> list[list[str]]:
+    """The node bodies under each BroadcastExchange in a rendered
+    executedPlan tree — i.e. what each broadcast actually ships. Lets
+    tests assert that no ENTITY-SCALE relation (a parquet scan of an
+    entity table, a corpus-scaling rollup) sits on a broadcast build
+    side, which is sharper than counting join nodes: a bounded 1-row
+    total may legitimately broadcast in the same plan."""
+    nodes = _parse_plan_tree(text)
+    subtrees: list[list[str]] = []
+    for i, (depth, body) in enumerate(nodes):
+        if not body.startswith("BroadcastExchange"):
+            continue
+        sub: list[str] = []
+        for d2, b2 in nodes[i + 1 :]:
+            if d2 <= depth:
+                break
+            sub.append(b2)
+        subtrees.append(sub)
+    return subtrees
+
+
 def single_partition_order_ops_from_text(text: str) -> list[str]:
     """Order-sensitive operators (Sort / Window / WindowGroupLimit)
     whose DIRECT child is a SinglePartition shuffle — the one plan
@@ -105,26 +151,10 @@ def single_partition_order_ops_from_text(text: str) -> list[str]:
     """
     import re
 
-    nodes: list[tuple[int, str]] = []
-    for line in text.splitlines():
-        m = re.match(r"^([ :+\-|]*)(.*)$", line)
-        indent, body = m.group(1), m.group(2)
-        if not body:
-            continue
-        body = re.sub(r"^\*\(\d+\) ", "", body)  # codegen stage tag
-        nodes.append((len(indent) // 3, body))
-    # Renderer-drift canary: the depth recovery assumes the root node
-    # renders unindented. If a Spark upgrade changes the tree layout,
-    # fail LOUDLY here instead of silently under-counting funnels
-    # (a false-negative lint is worse than a broken one). The positive
+    # Renderer-drift canary lives in _parse_plan_tree; the positive
     # counterpart — a known allow-listed query must still produce a
     # hit — lives in tests/test_plan_lint.py::test_parser_canary.
-    if nodes and nodes[0][0] != 0:
-        raise AssertionError(
-            "plan-text parser: root node did not parse at depth 0 — "
-            "renderer layout changed; re-derive the indent rule "
-            f"(got depth {nodes[0][0]}: {nodes[0][1]!r})"
-        )
+    nodes = _parse_plan_tree(text)
     hits: list[str] = []
     for i, (depth, body) in enumerate(nodes):
         if not body.startswith("Exchange SinglePartition"):

@@ -91,29 +91,12 @@ def register(
 # drops into the staleness-ordered tail once the driver certifies it),
 # so later rounds only append new registrations here.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- 1. round-7 registrations (zero driver rows yet; round-7
-    #        verdict task 3: these five lead the round-8 window) ---
-    "q189_compaction_execute",
-    "q190_kcore",
-    "dedup_semantic",
-    "stream_semantic_dedup_e2e",
-    "q191_resharding_execute",
-    # --- 2. round-8 replanned queries: migrated off single-partition
-    #        global windows onto the two-phase kernels (functions/
-    #        ranks.py) or de-skewed (q190's edge build above) — their
-    #        driver rows predate the new plans, so re-certify first ---
-    "q87_skyline",
-    "q110_gains_table",
-    "q121_lateness_audit",
-    "q135_pareto_curve",
-    "q136_gini",
-    "q142_mutual_information",
-    "q144_rfm_segmentation",
-    "q145_zipf_fit",
-    "q155_abc_xyz",
-    "text_vocab",
-    # --- 3. round-8 registrations (zero driver rows) ---
-    "stream_rate_limit_resume_e2e",
+    # --- round-10 registrations (zero driver rows yet). The r8/r9
+    #     prefixes fully self-retired (every name has an r8/r9 driver
+    #     row), so the rest of the ~50-slot window falls to the
+    #     staleness tail: the 39 live r3-era rows + the stalest r4
+    #     rows — exactly the round-9 verdict's burn-down order. ---
+    "text_bpe_batched",
 )
 
 # The round the explicit prefix above was assembled for. load_all drops
@@ -121,10 +104,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 # driver CORRECTNESS row from this round or later, so the prefix
 # retires itself as the driver certifies it — later rounds only append
 # new registrations (or rebuild the prefix and bump this constant).
-# The remaining ~35 window slots fall to the staleness-ordered tail,
-# which at round-8 build time is the r2-era rows (q20...q62) — the
-# burn-down the round-7 verdict's item 8 asks for happens automatically.
-_PRIORITY_BUILT_FOR_ROUND = 8
+# The remaining ~49 window slots fall to the staleness-ordered tail,
+# which at round-10 build time is the 39 live r3-era rows + the
+# stalest r4 rows — the burn-down the round-9 verdict's item 1 asks
+# for happens automatically.
+_PRIORITY_BUILT_FOR_ROUND = 10
 
 
 def _driver_row_rounds() -> dict[str, int]:

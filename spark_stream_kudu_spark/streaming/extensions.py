@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 from spark_stream_kudu_spark.sources.tables import load_table
 from spark_stream_kudu_spark.streaming.joins import interval_join
 from spark_stream_kudu_spark.streaming.stateful import dedup_within_watermark
@@ -880,7 +881,7 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sc"),
     ).select("neighbor_id", F.col("sc.sub").alias("sub"), F.col("sc.cid").alias("cid"))
-    long_codes = long_codes.localCheckpoint(eager=True)  # static index, built once
+    long_codes = _pin(long_codes)  # static index, built once
 
     out = os.path.join(base, "out")
 
@@ -1495,14 +1496,22 @@ def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingle lookup is an enrichment join against the static corpus
     # table (the store holds bands only — at 100 TB you shard text by
     # doc_id and look it up the same way).
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
-    ).localCheckpoint(eager=True)
+    sh = _pin(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokens(F.col("text")), SHINGLE_N)
+            ).alias("s"),
+        )
+    )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Per-micro-batch pin: deliberately executor-local regardless
+        # of SPARK_GRAFT_PIN_MODE — batch data is replayable from the
+        # stream checkpoint, and a persist per batch would leak cache
+        # entries across the run.
         bands = _minhash_bands(batch_df).localCheckpoint(eager=True)
         nb = bands.select(F.col("doc_id").alias("n"), "band", "bkey")
         prev = band_store.read(spark)
@@ -1801,11 +1810,13 @@ def stream_ivm_retraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = md5_int32(F.col("o_orderkey").cast("string")) % 100
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     bumped = F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)).cast("long")
-    base = o.filter(pct < 80).select(
-        F.col("o_orderkey").alias("okey"),
-        F.col("o_orderstatus").alias("status"),
-        cents.alias("price_cents"),
-    ).localCheckpoint(eager=True)
+    base = _pin(
+        o.filter(pct < 80).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+            cents.alias("price_cents"),
+        )
+    )
     changes = o.filter((pct >= 80) | (pct < 20)).select(
         F.col("o_orderkey").alias("okey"),
         F.when(pct >= 80, "I").when(pct < 10, "D").otherwise("U").alias("op"),
@@ -2186,6 +2197,8 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Per-micro-batch pin: executor-local by design (see the
+        # incremental-LSH twin above — replayable source, no leak).
         new = _prep(batch_df).localCheckpoint(eager=True)
         partial = semantic_batch_credits(spark, new, member_store.read(spark))
         dom_store(partial, batch_id)

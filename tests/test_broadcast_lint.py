@@ -30,6 +30,8 @@ from __future__ import annotations
 import ast
 from pathlib import Path
 
+import pytest
+
 PKG = Path(__file__).resolve().parent.parent / "spark_stream_kudu_spark"
 
 # The gate module: its internal F.broadcast IS the bounded path
@@ -97,33 +99,86 @@ def test_no_string_broadcast_hints():
     assert not offenders, f"string broadcast hints found: {offenders}"
 
 
-def test_reclassified_dims_degrade_without_threshold(spark, sf_smoke):
-    """Plan-level proof of the reclassification: with the broadcast
-    threshold disabled (the 100 TB stand-in — a corpus-scale customer
-    table never fits under it), q03's customer join must plan WITHOUT
-    any broadcast, i.e. the old hard hint is really gone and the
-    engine degrades to shuffled joins instead of OOMing. With the
-    default threshold the same query still broadcasts from scan stats
-    (sf0.1 plans unchanged — verified at sweep time)."""
+# One representative reclassified query PER MODULE that lost hints in
+# the round-9 sweep (round-9 advice: q03 alone left the other modules
+# unproven — a hard hint reintroduced there with a bogus `# bounded:`
+# tag would have passed the lint). Expected values are the RESIDUAL
+# broadcasts under threshold=-1, i.e. exactly the legitimately-tagged
+# bounded hints that survive when stats/AQE can no longer broadcast
+# anything: (BroadcastHashJoin count, BroadcastExchange count).
+_DEGRADE_SAMPLE = {
+    "q03_topk_revenue": (0, 0),  # relational.py — customer un-hinted
+    "q82_market_share": (1, 1),  # analytics.py — nation dim stays hinted
+    "q123_supplier_diversity": (0, 0),  # subqueries.py — supplier/part
+    "q78_fk_orphans": (0, 0),  # profiling.py — FK parent keys
+    "q150_new_vs_returning": (0, 0),  # drift.py — |users| first_seen
+    "text_tfidf": (0, 1),  # text.py — |vocab| df; 1-row n_docs stays
+    "text_collocations": (0, 2),  # pipeline.py — ux/uy; 2 1-row totals
+}
+
+# Bounded domain dims whose scans MAY sit on a broadcast build side
+# (schema-fixed cardinality: 25 nations, 5 regions).
+_BOUNDED_SCAN_PREFIXES = ("n_", "r_")
+
+
+@pytest.mark.parametrize("name", sorted(_DEGRADE_SAMPLE))
+def test_reclassified_dims_degrade_without_threshold(spark, sf_smoke, name):
+    """Plan-level proof of the reclassification, one query per swept
+    module: with the broadcast threshold disabled (the 100 TB stand-in
+    — a corpus-scale relation never fits under it), the only
+    broadcasts left in the plan must be the tagged bounded hints
+    (counts pinned), and every broadcast build side must ship either a
+    bounded domain dim (nation/region scan) or a 1-row scalar
+    aggregate — never a raw entity-table scan. With the default
+    threshold the same queries still broadcast from scan stats (sf0.1
+    plans unchanged — verified at sweep time)."""
+    from spark_stream_kudu_spark.plans.checks import (
+        broadcast_build_subtrees_from_text,
+    )
     from spark_stream_kudu_spark.registry import load_all
 
-    q03 = load_all()["q03_topk_revenue"]
+    spec = load_all()[name]
     key = "spark.sql.autoBroadcastJoinThreshold"
     old = spark.conf.get(key)
     try:
         spark.conf.set(key, "-1")
         plan = (
-            q03.builder(spark, sf_smoke)
+            spec.builder(spark, sf_smoke)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
     finally:
         spark.conf.set(key, old)
-    assert "BroadcastHashJoin" not in plan, (
-        "a broadcast survived threshold=-1 — a hard hint is back on "
-        "an entity-scale input"
+    want_bhj, want_bex = _DEGRADE_SAMPLE[name]
+    subtrees = broadcast_build_subtrees_from_text(plan)
+    assert plan.count("BroadcastHashJoin") == want_bhj, (
+        f"{name}: BroadcastHashJoin count changed under threshold=-1 — "
+        "a hard hint was added or removed on this query"
     )
+    assert len(subtrees) == want_bex, (
+        f"{name}: broadcast build-side count changed under threshold=-1"
+    )
+    for sub in subtrees:
+        scans = [s for s in sub if s.startswith("FileScan")]
+        entity_scans = [
+            s
+            for s in scans
+            if not any(
+                s.split("[", 1)[1].startswith(p)
+                for p in _BOUNDED_SCAN_PREFIXES
+            )
+        ]
+        if entity_scans:
+            # a corpus scan below the exchange is fine ONLY when a
+            # scalar aggregate reduces it to 1 row before shipping
+            assert any(
+                s.startswith("HashAggregate(keys=[]") for s in sub
+            ), (
+                f"{name}: an entity-scale scan sits on a broadcast "
+                f"build side without a scalar-agg reducer: "
+                f"{entity_scans[0][:120]}"
+            )
 
 
 def test_gate_module_unchanged_contract():

@@ -1351,3 +1351,74 @@ def test_dedup_semantic_matches_pure_python_pipeline(spark):
             ):
                 late_flips += 1
     assert late_flips > 0, "fixture lost its cross-batch late-dominator pairs"
+
+
+def test_bpe_batched_matches_pure_python_trainer(spark, sf_smoke):
+    """The batched BPE trainer (text_bpe_batched — top-K candidates,
+    greedy disjoint pick of up to M merges, one chained rewrite per
+    super-round) equals a from-scratch plain-Python trainer with the
+    IDENTICAL declared semantics: same kept merges per round, same
+    per-source token compression. The greedy selection is re-derived
+    here independently (not imported) so a drift in either side fails."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from spark_stream_kudu_spark.operators.text import (
+        _BPE_BATCH_K,
+        _BPE_BATCH_M,
+        _BPE_BATCH_SUPER,
+    )
+    from spark_stream_kudu_spark.registry import load_all
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"SELECT doc_id, source, lower(trim(text)) FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    docs = {
+        doc_id: (src, "|" + "||".join(re.split(r"\s+", txt)) + "|")
+        for doc_id, src, txt in raw
+    }
+    n0 = {doc_id: s.count("||") + 1 for doc_id, (_, s) in docs.items()}
+    rounds: list[list[str]] = []
+    for _ in range(_BPE_BATCH_SUPER):
+        pc: Counter = Counter()
+        for _, (_, s) in docs.items():
+            if len(s) <= 2:
+                continue
+            tk = s[1:-1].split("||")
+            for x, y in zip(tk, tk[1:]):
+                pc[f"{x} {y}"] += 1
+        cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        cand = [p for p, _ in cand[:_BPE_BATCH_K]]
+        chosen: list[str] = []
+        used: set = set()
+        for pr in cand:
+            if len(chosen) >= _BPE_BATCH_M:
+                break
+            a, b = pr.split(" ")
+            if a in used or b in used:
+                continue
+            chosen.append(pr)
+            used.update((a, b))
+        rounds.append(chosen)
+        for pr in chosen:
+            a, b = pr.split(" ")
+            docs = {
+                d: (src, s.replace(f"|{a}||{b}|", f"|{a}_{b}|"))
+                for d, (src, s) in docs.items()
+            }
+    per_source: dict = defaultdict(lambda: [0, 0])
+    for doc_id, (src, s) in docs.items():
+        after = s.count("||") + 1 if len(s) > 2 else 0
+        per_source[src][0] += n0[doc_id]
+        per_source[src][1] += after
+    rows = load_all()["text_bpe_batched"].builder(spark, sf_smoke).collect()
+    for r in rows:
+        for i, ms in enumerate(rounds):
+            assert r[f"merges_r{i + 1}"] == ",".join(ms), (i, ms)
+        b, a = per_source[r["source"]]
+        assert (r["tokens_before"], r["tokens_after"]) == (b, a), r["source"]
+        assert r["n_merges"] == b - a

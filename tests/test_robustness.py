@@ -391,3 +391,98 @@ def test_bucketed_dir_sweep_reclaims_only_dead_pids(tmp_path, monkeypatch):
     assert not dead.exists()
     assert own.exists()
     assert legacy.exists()
+
+
+def _rank_rows(spark):
+    """Small multiply-tied input for the two-phase kernel's pin path."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 7) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    return df.select("k", "v", F.expr("v div 2").alias("b1"))
+
+
+def test_pin_mode_seam_kernel_parity(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_PIN_MODE (round-9 verdict item 2): the two-phase
+    kernel's pin=True path must produce IDENTICAL ranks under all three
+    pin mechanisms — the mode swaps durability, never values — and
+    reliable mode must actually land checkpoint files on the configured
+    store, exactly like the SPARK_GRAFT_CC_CHECKPOINT_DIR seam."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.functions.lineage import (
+        PIN_MODE_ENV,
+        RELIABLE_CKPT_ENV,
+    )
+    from spark_stream_kudu_spark.functions.ranks import two_phase_order_stats
+
+    def run():
+        out = two_phase_order_stats(
+            _rank_rows(spark),
+            "b1",
+            [F.asc("v"), F.asc("k")],
+            rank_alias="rnk",
+            n_alias="n",
+            pin=True,
+        )
+        return {r["k"]: (r["rnk"], r["n"]) for r in out.collect()}
+
+    monkeypatch.delenv(PIN_MODE_ENV, raising=False)
+    local = run()
+
+    monkeypatch.setenv(PIN_MODE_ENV, "persist")
+    assert run() == local
+
+    ckpt = str(tmp_path / "pin_ckpt")
+    monkeypatch.setenv(PIN_MODE_ENV, "reliable")
+    monkeypatch.setenv(RELIABLE_CKPT_ENV, ckpt)
+    assert run() == local
+    assert any(files for _, _, files in _os.walk(ckpt))
+
+
+def test_pin_mode_seam_q144_all_modes(spark, sf_smoke, tmp_path, monkeypatch):
+    """The registered kernel consumers run green under every pin mode:
+    q144's pinned per-user rollup (the q144 melt) value-matches its
+    local-mode result under persist and reliable."""
+    from spark_stream_kudu_spark.functions.lineage import (
+        PIN_MODE_ENV,
+        RELIABLE_CKPT_ENV,
+    )
+    from spark_stream_kudu_spark.registry import load_all
+
+    builder = load_all()["q144_rfm_segmentation"].builder
+
+    def run():
+        return sorted(map(tuple, builder(spark, sf_smoke).collect()))
+
+    monkeypatch.delenv(PIN_MODE_ENV, raising=False)
+    local = run()
+    monkeypatch.setenv(PIN_MODE_ENV, "persist")
+    assert run() == local
+    monkeypatch.setenv(PIN_MODE_ENV, "reliable")
+    monkeypatch.setenv(RELIABLE_CKPT_ENV, str(tmp_path / "q144_ckpt"))
+    assert run() == local
+
+
+def test_pin_mode_invalid_and_undirected_reliable_raise(spark, monkeypatch):
+    """The seam fails LOUDLY on misconfiguration: an unknown mode and a
+    reliable mode without a durable store both raise instead of
+    silently degrading to an executor-local pin."""
+    import pytest as _pytest
+
+    from spark_stream_kudu_spark.functions.lineage import (
+        PIN_MODE_ENV,
+        RELIABLE_CKPT_ENV,
+        pin,
+    )
+
+    df = spark.range(3)
+    monkeypatch.setenv(PIN_MODE_ENV, "bogus")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_PIN_MODE"):
+        pin(df)
+    monkeypatch.setenv(PIN_MODE_ENV, "reliable")
+    monkeypatch.delenv(RELIABLE_CKPT_ENV, raising=False)
+    with _pytest.raises(RuntimeError, match="durable checkpoint store"):
+        pin(df)

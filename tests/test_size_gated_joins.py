@@ -88,3 +88,51 @@ def test_graph_loops_identical_across_gate(spark, sf_smoke, restore_threshold, n
     shuffled = {tuple(r) for r in spec.builder(spark, sf_smoke).collect()}
     assert base == shuffled
     assert len(base) > 0
+
+
+def test_schema_derived_bytes_per_row_wide_row_degrades(
+    spark, restore_threshold
+):
+    """Round-9 verdict item 3: the gate's footprint estimate is
+    schema-derived, so a WIDE row — an embedding array column — must
+    flip to shuffle_hash at a threshold the old flat 64-byte constant
+    would have broadcast under, while a narrow (id, value) table keeps
+    the historical floor (identical estimate, identical plans)."""
+    from pyspark.sql import functions as F
+
+    from spark_stream_kudu_spark.functions.joins import (
+        DEFAULT_BYTES_PER_ROW,
+        schema_bytes_per_row,
+    )
+
+    narrow = spark.range(0, 1000).selectExpr("id AS node", "id % 7 AS v")
+    assert schema_bytes_per_row(narrow) == DEFAULT_BYTES_PER_ROW
+
+    wide = spark.range(0, 1000).select(
+        F.col("id").alias("node"),
+        F.expr(
+            "transform(sequence(1, 128), x -> CAST(x AS FLOAT))"
+        ).alias("embedding"),
+    )
+    per_row = schema_bytes_per_row(wide)
+    assert per_row >= 10 * DEFAULT_BYTES_PER_ROW, per_row
+
+    # Threshold between the constant's estimate (1000*64 = 64 KB:
+    # fits) and the schema estimate (>= 640 KB: does not fit).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(256 << 10))
+    est_rows = 1000
+    gated = gated_broadcast(wide, est_rows, spark)
+    big = spark.range(0, 20000).selectExpr("id AS k")
+    plan = big.join(
+        gated, big["k"] == gated["node"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, (
+        "wide-row table broadcast under a threshold only the flat "
+        "constant fits — the schema-derived estimate is not applied"
+    )
+    # ...and the narrow table still broadcasts at that same threshold.
+    gated_n = gated_broadcast(narrow, est_rows, spark)
+    plan_n = big.join(
+        gated_n, big["k"] == gated_n["node"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_n
