@@ -1473,3 +1473,84 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("long")
         ).alias("sum_quality_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF tier (SURVEY §2.2 custom-function surface closure)
+# --------------------------------------------------------------------------
+
+_UDTF_RUNS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest(tk) AS tok,
+         generate_subscripts(tk, 1) AS pos
+  FROM (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents)
+), m AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM tok
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+), g AS (
+  SELECT doc_id, tok, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+)
+SELECT doc_id,
+       CAST(grp AS BIGINT) AS span_idx,
+       tok AS token,
+       CAST(count(*) AS BIGINT) AS run_len,
+       CAST(min(pos) AS BIGINT) AS start_pos
+FROM g GROUP BY doc_id, grp, tok
+"""
+
+
+@register(
+    "text_udtf_token_runs",
+    "text",
+    "Per-document token RUN-LENGTH expansion via a registered Python "
+    "UDTF called through SQL LATERAL — one input document row expands "
+    "to one output row per maximal run of consecutive equal tokens "
+    "(span_idx, token, run_len, start_pos). Closes the declared "
+    "custom-function surface's table-function tier (SURVEY §2.2: "
+    "UDF/UDAF/UDTF — scalar, grouped-agg, map, grouped-map and "
+    "stateful tiers already exist). Per-row Python is the declared "
+    "slow path, appropriate here because the expansion is inherently "
+    "imperative per row and row-local (no shuffle, parallel across "
+    "partitions); the DuckDB oracle is the equivalent DECLARATIVE "
+    "gaps-and-islands form (lag + running break sum + group), which is "
+    "what the hot path would use if this op ever left the extension "
+    "tier — the hash check proves the two formulations equal.",
+    oracle=_UDTF_RUNS_ORACLE,
+)
+def text_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id: bigint, span_idx: bigint, token: string, "
+        "run_len: bigint, start_pos: bigint"
+    )
+    class TokenRuns:
+        def eval(self, doc_id, text):
+            import re
+
+            # EXACTLY sql_tokens semantics: whitespace-regex split of
+            # the lowercased, trimmed text (yields [''] for empty —
+            # same one-token run both engines).
+            toks = re.split(r"\s+", (text or "").lower().strip())
+            idx = 0
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                idx += 1
+                yield (doc_id, idx, toks[i], j - i, i + 1)
+                i = j
+
+    spark.udtf.register("ssk_token_runs", TokenRuns)
+    _docs(spark, sf_dir).createOrReplaceTempView("ssk_udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.span_idx, s.token, s.run_len, s.start_pos "
+        "FROM ssk_udtf_docs AS d, "
+        "LATERAL ssk_token_runs(d.doc_id, d.text) AS s"
+    )

@@ -97,6 +97,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     #     staleness tail: the 39 live r3-era rows + the stalest r4
     #     rows — exactly the round-9 verdict's burn-down order. ---
     "text_bpe_batched",
+    "text_udtf_token_runs",
 )
 
 # The round the explicit prefix above was assembled for. load_all drops
