@@ -262,16 +262,22 @@ def two_phase_order_stats(
 def exact_ntile(rank: Column, n: Column, k: int) -> Column:
     """SQL NTILE(k) reconstructed from a 1-based global rank and the
     total row count: the first ``n % k`` tiles take ``ceil(n/k)`` rows,
-    the rest ``floor(n/k)``. Pure integer arithmetic on longs (the
-    float divisions are exact: operands stay far below 2^53); the
-    ``greatest(q, 1)`` guard keeps the untaken branch well-defined when
-    n < k (where every row is its own tile via the first branch)."""
+    the rest ``floor(n/k)``. Integral ``div`` throughout (round-9
+    advice on the same class in q144: exact by construction, not by
+    the operands-below-2^53 property of double); the ``greatest(q, 1)``
+    guard keeps the untaken branch well-defined when n < k (where
+    every row is its own tile via the first branch)."""
+    def idiv(a: Column, b: Column) -> Column:
+        # SQL `div` (integral division, exact on longs). Operands here
+        # are non-negative ranks/counts, so div == floor-div.
+        return F.call_function("div", a.cast("long"), b.cast("long"))
+
     kk = F.lit(k).cast("long")
-    q = F.floor(n / kk).cast("long")
+    q = idiv(n, kk)
     r = (n - q * kk).cast("long")
     thr = r * (q + F.lit(1))
-    first = (F.floor((rank - 1) / (q + F.lit(1))) + 1).cast("long")
+    first = (idiv(rank - F.lit(1), q + F.lit(1)) + 1).cast("long")
     rest = (
-        r + F.floor((rank - 1 - thr) / F.greatest(q, F.lit(1))) + 1
+        r + idiv(rank - F.lit(1) - thr, F.greatest(q, F.lit(1))) + 1
     ).cast("long")
     return F.when(rank <= thr, first).otherwise(rest)

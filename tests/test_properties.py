@@ -1250,9 +1250,11 @@ def test_two_phase_rank_null_bucket_raises(sess):
     df = sess.createDataFrame(
         [(0, 1), (1, None), (2, 3)], "k long, v long"
     ).select("k", F.col("v").alias("b1"))
-    out = two_phase_order_stats(df, "b1", [F.asc("k")], rank_alias="rnk")
+    # The guard sits BEFORE the pin (round-9 advice), so with pin=True
+    # the eager materialization raises during kernel CONSTRUCTION —
+    # even earlier than the collect the contract promises.
     with pytest.raises(Exception, match="null bucket key"):
-        out.collect()
+        two_phase_order_stats(df, "b1", [F.asc("k")], rank_alias="rnk").collect()
 
 
 def test_basket_edges_hot_basket_no_self_join(sess):
