@@ -61,3 +61,29 @@ def favg(sum_col: Column, count_col: Column, d: int, sum_decimals: int = 2) -> C
 def sql_favg(sum_expr: str, count_expr: str, d: int, sum_decimals: int = 2) -> str:
     snapped = sql_fround(sum_expr, sum_decimals)
     return sql_fround(f"{snapped} / ({count_expr})", d)
+
+
+def idiv(a: Column | int, b: Column | int) -> Column:
+    """Integral division on longs (SQL ``div``) — exact by
+    CONSTRUCTION, never routed through double (round-9/10 advisory
+    class: ``floor(int / int)`` is exact only while operands stay
+    below 2^53, a property a 100 TB rollup can silently outgrow).
+    ``div`` truncates toward zero, so callers must pass NON-NEGATIVE
+    operands where floor semantics are intended (every engine site
+    does: epoch millis/micros, sizes, counts)."""
+    if isinstance(a, int):
+        a = F.lit(a)
+    if isinstance(b, int):
+        b = F.lit(b)
+    return F.call_function("div", a.cast("long"), b.cast("long"))
+
+
+def ceil_div(a: Column | int, b: Column | int) -> Column:
+    """Ceiling division for NON-NEGATIVE integer operands:
+    (a + b - 1) div b — the integral-exact form of ceil(a / b)."""
+    if isinstance(a, int):
+        a = F.lit(a)
+    b_int = b if isinstance(b, int) else None
+    if b_int is not None:
+        return idiv(a + F.lit(b_int - 1), b_int)
+    return idiv(a + b - F.lit(1), b)

@@ -47,7 +47,7 @@ from spark_stream_kudu_spark.functions.lineage import (
     cut_lineage,
     pin as _pin,
 )
-from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.rounding import ceil_div, fround, sql_fround
 from spark_stream_kudu_spark.functions.textutil import (
     sql_tokens,
     sql_word_shingles,
@@ -298,7 +298,7 @@ def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
         .filter(F.col("bsize") >= 2)
     )
     joined = bands.join(stats, ["band", "bkey"])  # inner: singleton buckets drop
-    n_salts = F.ceil((F.col("bsize") - 1) / F.lit(cap)).cast("int")
+    n_salts = ceil_div(F.col("bsize") - 1, cap).cast("int")
     # One branch, no union: the anchor explodes into every salt group,
     # everyone else into exactly one — a conditional salt array keeps
     # the whole pipeline a single plan (no duplicated join subtree).

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.rounding import ceil_div, fround, idiv
 from spark_stream_kudu_spark.functions.vectors import cosine_similarity
 from spark_stream_kudu_spark.operators.similarity import (
     _DIM,
@@ -268,7 +268,7 @@ FROM c
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n_chunks = F.ceil(F.size("t") * F.lit(1.0) / CHUNK_TOKENS).cast("int")
+    n_chunks = ceil_div(F.size("t"), CHUNK_TOKENS).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(F.col("t"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS),
@@ -350,8 +350,7 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = base.select(
         "bucket",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_CAPACITY)
-        .cast("long")
+        idiv(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)), PACK_CAPACITY)
         .alias("bin_id"),
         "doc_id",
         "n_tokens",
@@ -661,7 +660,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.explode(
         F.transform(
             F.sequence(
-                F.lit(0), F.floor((F.size("tk") - 1) / F.lit(_OV_STRIDE)).cast("int")
+                F.lit(0), idiv(F.size("tk") - 1, _OV_STRIDE).cast("int")
             ),
             lambda i: F.struct(
                 i.cast("long").alias("chunk_id"),

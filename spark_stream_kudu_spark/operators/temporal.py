@@ -45,6 +45,7 @@ from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
 from spark_stream_kudu_spark.functions.lineage import pin as _pin
+from spark_stream_kudu_spark.functions.rounding import idiv
 
 RANGE_JOIN_WINDOW_SEC = 3600  # range-join window length H (1 hour)
 TRAILING_DAYS = 90  # RANGE-frame trailing window
@@ -188,12 +189,12 @@ def q39_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.explode(
             F.array(
-                (F.col("s_us") / h_us).cast("long"),
-                (F.col("s_us") / h_us).cast("long") + 1,
+                idiv(F.col("s_us"), h_us),
+                idiv(F.col("s_us"), h_us) + 1,
             )
         ),
     )
-    e_bucketed = e.withColumn("bucket", (F.col("e_us") / h_us).cast("long"))
+    e_bucketed = e.withColumn("bucket", idiv(F.col("e_us"), h_us))
     matched = (
         s_bucketed.join(
             e_bucketed,
@@ -459,7 +460,7 @@ GROUP BY f.cohort_day
 )
 def q54_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    day = F.floor(F.unix_millis("ts") / 86400000).cast("long")
+    day = idiv(F.unix_millis("ts"), 86400000)
     first_day = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
     activity = ev.select("user_id", day.alias("active_day")).distinct()
     joined = first_day.join(activity, "user_id", "left")
@@ -508,7 +509,7 @@ UNION ALL SELECT '1d', * FROM d
 
 
 def _bucket(col, width_ms):
-    return (F.floor(col / width_ms) * width_ms).cast("long")
+    return (idiv(col, width_ms) * width_ms).cast("long")
 
 
 @register(
@@ -739,8 +740,8 @@ def q109_daily_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day_no = F.explode(
         F.sequence(
-            F.floor(F.col("ms") / _DAY_MS).cast("long"),
-            F.floor((F.col("me") - 1) / _DAY_MS).cast("long"),
+            idiv(F.col("ms"), _DAY_MS),
+            idiv(F.col("me") - 1, _DAY_MS),
         )
     ).alias("day_no")
     days = merged.select("user_id", "ms", "me", day_no)

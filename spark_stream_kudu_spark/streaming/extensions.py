@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.functions.lineage import pin as _pin
+from spark_stream_kudu_spark.functions.rounding import idiv
 from spark_stream_kudu_spark.sources.tables import load_table
 from spark_stream_kudu_spark.streaming.joins import interval_join
 from spark_stream_kudu_spark.streaming.stateful import dedup_within_watermark
@@ -304,7 +305,7 @@ def stream_rollup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         partial = (
             batch_df.groupBy(
-                (F.floor(F.unix_millis("ts") / _MIN_MS) * _MIN_MS).alias("bucket_ms"),
+                (idiv(F.unix_millis("ts"), _MIN_MS) * _MIN_MS).alias("bucket_ms"),
                 "event_type",
             ).agg(
                 F.count(F.lit(1)).alias("n_events"),
