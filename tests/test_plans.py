@@ -68,6 +68,10 @@ def test_relational_core_never_enters_python(spark, sf_smoke):
         "q178_countmin_frequency",
         "emb_norm_stats_pandas",
         "multimodal_byte_histogram",
+        # Python UDTF tier (round 10): the table function IS the
+        # declared Python crossing — row-local, no shuffle; the
+        # gaps-and-islands oracle shows the declarative hot-path form.
+        "text_udtf_token_runs",
     }
     for name, spec in ALL.items():
         if name in allowed_python:
