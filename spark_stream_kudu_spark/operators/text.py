@@ -902,13 +902,18 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[str] = []
     for _ in range(_BPE_ROUNDS):
         tk = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\|\|")
+        # zip_with over two slices, NOT transform+element_at: `tk` is
+        # a lambda-free argument here, so it evaluates a constant
+        # number of times per row. A lambda-bound element_at(tk, i)
+        # defeats Catalyst's subexpression elimination (the minhash
+        # convention) and re-runs the split+replace chain PER ELEMENT
+        # — measured 6x slower on this exact expansion at sf0.1.
         pair_arr = F.when(
             F.size(tk) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
-                ),
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
             ),
         ).otherwise(F.array().cast("array<string>"))
         top = (
@@ -1107,13 +1112,18 @@ def text_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     round_merges: list[list[str]] = []
     for _ in range(_BPE_BATCH_SUPER):
         tk = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\|\|")
+        # zip_with over two slices, NOT transform+element_at: `tk` is
+        # a lambda-free argument here, so it evaluates a constant
+        # number of times per row. A lambda-bound element_at(tk, i)
+        # defeats Catalyst's subexpression elimination (the minhash
+        # convention) and re-runs the split+replace chain PER ELEMENT
+        # — measured 6x slower on this exact expansion at sf0.1.
         pair_arr = F.when(
             F.size(tk) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
-                ),
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
             ),
         ).otherwise(F.array().cast("array<string>"))
         # ONE bounded collect per super-round: top-K candidate pairs
