@@ -30,18 +30,30 @@ def sql_tokens(expr: str) -> str:
 
 
 def word_shingles(tok: Column, n: int) -> Column:
-    """n-token shingles as space-joined strings; empty array if < n tokens.
+    """n-token shingles as space-joined strings; single whole-text
+    shingle if < n tokens.
 
-    Pure Catalyst: sequence + transform + slice, no explode — the
-    shingle array stays row-local so no shuffle is introduced.
+    Pure Catalyst and row-local (no explode/shuffle) — and ``tok``
+    appears ONLY as a higher-order-function ARGUMENT (the n slices
+    zipped elementwise), never inside a lambda body: every caller
+    passes the tokens() split EXPRESSION, and a lambda-bound
+    ``slice(tok, i+1, n)`` would defeat Catalyst's subexpression
+    elimination and re-run the split once PER SHINGLE — O(tokens^2)
+    per document (the round-10 BPE finding; measured ~6x on the same
+    expansion shape). The zip form evaluates ``tok`` a constant ~2n
+    times per row regardless of document length.
     """
-    return F.when(
-        F.size(tok) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tok)))
+    m = F.size(tok) - (n - 1)  # shingle count when size >= n
+    joined = F.slice(tok, 1, m)
+    for i in range(1, n):
+        joined = F.zip_with(
+            joined,
+            F.slice(tok, i + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(tok) >= n, joined).otherwise(
+        F.array(F.concat_ws(" ", tok))
+    )
 
 
 def sql_word_shingles(tokens_expr: str, n: int) -> str:
