@@ -67,6 +67,7 @@ def cut_lineage(
     reliable: bool,
     interval: int = CKPT_INTERVAL,
     local_interval: int = 1,
+    eager: bool = True,
 ) -> DataFrame:
     """Cut lineage after an iteration: reliable checkpoint on every
     ``interval``-th round when active, executor-local otherwise.
@@ -77,11 +78,26 @@ def cut_lineage(
     but each eager checkpoint is a blocking materialization whose
     latency dominates small-data rounds. Loops that DO act on each
     round's result (connected components' convergence probe) keep the
-    default of 1."""
+    default of 1.
+
+    ``eager=False`` (round-11): a LAZY localCheckpoint cuts the
+    Catalyst plan just the same (the DataFrame wraps a LogicalRDD
+    immediately), but defers materialization to the next action that
+    consumes the round — the per-round convergence probe where one
+    exists, else the query's final action. Every eager cut is a
+    blocking driver round-trip (one job submission + wait per round);
+    deferring it removes that barrier while keeping both the bounded
+    plan and the executor-local persistence of the cut. Loops that
+    run an action on each round's result anyway (k-core's edge count,
+    star contraction's digest) get the materialization for free
+    inside that action; loops with no per-round action pipeline every
+    round into the single final job. The reliable branch stays eager:
+    a durable checkpoint's point is that the data is on stable store
+    BEFORE the loop proceeds."""
     if reliable and round_no % interval == interval - 1:
         return df.checkpoint(eager=True)
     if round_no % local_interval == local_interval - 1:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     return df
 
 

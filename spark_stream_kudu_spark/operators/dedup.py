@@ -767,7 +767,12 @@ def propagate_min_labels(
     """
 
     def _cut_lineage(df: DataFrame, round_no: int) -> DataFrame:
-        return cut_lineage(df, round_no, reliable_checkpoint, checkpoint_interval)
+        # Lazy cut (round-11): the per-round convergence probe below is
+        # the materializing action — the old eager cut ran the same
+        # computation as a separate blocking job first (2 jobs -> 1).
+        return cut_lineage(
+            df, round_no, reliable_checkpoint, checkpoint_interval, eager=False
+        )
 
     converged = False
     for i in range(max_iter):
@@ -1619,7 +1624,10 @@ def star_contraction_components(
         new_canon = _canon_pairs(
             small.select(F.col("a").alias("u"), F.col("b").alias("v"))
         )
-        new_canon = cut_lineage(new_canon, i, False, local_interval=1)
+        # Lazy cut (round-11): the digest aggregate below is the
+        # round's materializing action — the old eager cut ran the
+        # same computation as a separate blocking job first.
+        new_canon = cut_lineage(new_canon, i, False, local_interval=1, eager=False)
         # Fixed-point test, two tiers (was two exceptAll count jobs per
         # round): a 1-row digest aggregate rules out rounds that still
         # moved; only a digest match runs the EXACT set-equality check —

@@ -118,7 +118,14 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    e0 = (
+    # Pin the fact-scale join+agg FIRST: the union / out-degree /
+    # edge-join below each consume it, and without the pin the planner
+    # duplicates the lineitem x orders subtree into every branch (the
+    # slightly different pushed filters per branch defeat exchange
+    # reuse — 4 copies in the executed plan). One materialization of
+    # |edges0| rows replaces four fact-table joins; at 100 TB this is
+    # the difference between one pass over the fact join and four.
+    e0 = _pin(
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_custkey").alias("src"),
@@ -129,18 +136,23 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    outdeg = raw.groupBy("src").agg(F.sum("w").alias("wout"))
-    # Fold the static out-degree into the edge list ONCE; each round then
-    # needs only the |nodes|-sized rank table on the build side —
-    # broadcast below the session threshold (edge list never
-    # re-shuffles), shuffled hash join above it (the web-scale path).
-    edges = _pin(raw.join(outdeg, "src"))
-    nodes = _pin(edges.select(F.col("src").alias("node")).distinct())
-    # Size-gate the per-round rank-table join ONCE (the node set is
-    # static across rounds): broadcast while |nodes| fits under the
-    # session's autoBroadcastJoinThreshold, shuffled hash join above it
-    # — the web-scale path where a broadcast would OOM the driver.
-    n_nodes = nodes.count()
+    # The out-degree rollup IS the node set (its keys are exactly
+    # distinct src of the symmetrized edge list), so pin it once and
+    # reuse it both as the join side below and as `nodes` — the
+    # separate nodes-distinct pin the old shape paid is gone.
+    outdeg = _pin(raw.groupBy("src").agg(F.sum("w").alias("wout")))
+    # Size-gate the static-table joins ONCE (the node set is static
+    # across rounds): broadcast while |nodes| fits under the session's
+    # autoBroadcastJoinThreshold, shuffled hash join above it — the
+    # web-scale path where a broadcast would OOM the driver.
+    n_nodes = outdeg.count()
+    # Fold the static out-degree into the edge list ONCE; each round
+    # then needs only the |nodes|-sized rank table on the build side —
+    # the edge list never re-shuffles. Gating the out-degree side turns
+    # the old SortMergeJoin (full edge-list exchange + sort) into a
+    # broadcast hash join at dimension scale.
+    edges = _pin(raw.join(gated_broadcast(outdeg, n_nodes, spark), "src"))
+    nodes = outdeg.select(F.col("src").alias("node"))
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     base = int(_PR_SCALE * 15 // 100)
     reliable = configure_reliable_checkpoints(spark)
@@ -173,7 +185,10 @@ def q86_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the dominant cost here, so keep 2: lineage stays <=2 rounds
         # deep for free, which is the setting that also survives a
         # longer-horizon loop at web scale.
-        ranks = cut_lineage(ranks, i, reliable, local_interval=2)
+        # Lazy cut (round-11): no per-round convergence probe exists, so
+        # the blocking per-cut job is pure barrier cost — the final
+        # action materializes every round in one pipelined job.
+        ranks = cut_lineage(ranks, i, reliable, local_interval=2, eager=False)
     return ranks.select("node", F.col("rank").alias("rank_e9"))
 
 
@@ -347,7 +362,11 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    e0 = (
+    # Pin the fact-scale join+agg BEFORE symmetrizing (the q86/q165
+    # round-11 pattern): without it the union duplicates the
+    # lineitem x orders subtree per branch, and the old pin(edges)
+    # computed the fact join twice.
+    e0 = _pin(
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_custkey").alias("src"),
@@ -355,10 +374,12 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = _pin(e0.unionByName(
+    edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ))
-    c_nodes = edges.select(F.col("dst").alias("node")).distinct()
+    )
+    # One distinct pass serves both the label init and the gate count
+    # (the old shape ran it once lazily for labels and once for count).
+    c_nodes = _pin(edges.select(F.col("dst").alias("node")).distinct())
     seeds_c = cust.select(
         F.col("c_custkey").alias("node"), F.col("c_nationkey").cast("long").alias("label")
     )
@@ -389,7 +410,8 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("node", "label")
         )
-        labels = cut_lineage(labels, i, reliable, local_interval=2)
+        # Lazy cut (round-11): no per-round probe — see q86.
+        labels = cut_lineage(labels, i, reliable, local_interval=2, eager=False)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
@@ -470,7 +492,8 @@ def q156_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # path of length d is composed from several (da, db) splits —
         # distinct() collapses them before the next squaring round.
         closure = closure.unionByName(hops).distinct()
-        closure = cut_lineage(closure, i, reliable, local_interval=2)
+        # Lazy cut (round-11): no per-round probe — see q86.
+        closure = cut_lineage(closure, i, reliable, local_interval=2, eager=False)
     rollup_src = closure.join(
         c.select(
             F.col("c_custkey").cast("long").alias("node"),
@@ -566,7 +589,13 @@ def q165_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    e0 = (
+    # Pin the fact-scale join+agg BEFORE symmetrizing: the union
+    # duplicates its subtree otherwise (the q86 pattern — per-branch
+    # pushed filters defeat exchange reuse), so the old pin(edges)
+    # computed the lineitem x orders join twice. Materializing e0 once
+    # makes the union a narrow re-read of checkpointed blocks — cheap
+    # per round, no second materialization of the doubled edge list.
+    e0 = _pin(
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_custkey").alias("src"),
@@ -574,10 +603,14 @@ def q165_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(cents).alias("w"))
     )
-    edges = _pin(e0.unionByName(
+    edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    )
+    # One distinct pass serves both the frontier init AND the gate
+    # count (the old shape ran the full distinct twice — once for
+    # nodes, once again for n_nodes).
+    nodes = _pin(edges.select(F.col("src").alias("node")).distinct())
+    n_nodes = nodes.count()
     dist = nodes.select(
         "node",
         F.when(
@@ -585,7 +618,6 @@ def q165_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("dist"),
     )
-    n_nodes = edges.select("src").distinct().count()
     reliable = configure_reliable_checkpoints(spark)
     for i in range(_SSSP_ROUNDS):
         frontier = gated_broadcast(
@@ -600,7 +632,8 @@ def q165_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        dist = cut_lineage(dist, i, reliable, local_interval=2)
+        # Lazy cut (round-11): no per-round probe — see q86.
+        dist = cut_lineage(dist, i, reliable, local_interval=2, eager=False)
     return dist.filter(F.col("dist").isNotNull()).select(
         "node", F.col("dist").alias("dist_cents")
     )
@@ -830,48 +863,93 @@ def kcore_trajectory(
     """``rounds`` peel iterations over an undirected (u, v) edge list
     (canonical u < v, deduplicated): per round, nodes whose degree in
     the surviving subgraph is below ``k`` drop with their edges.
-    Returns the (round, n_nodes, n_edges) trajectory. Frontier gate:
-    an unchanged edge count proves the fixed point (a dropped node
-    always carries away an edge, since degrees come from the edge set
-    itself), so converged rounds emit without launching jobs.
-    Property-tested against plain-Python peeling on arbitrary graphs
-    in tests/test_properties.py."""
-    edges = _pin(edges)
-    n_edges = edges.count()
+    Returns the (round, n_nodes, n_edges) trajectory.
+
+    Round-11 restructure — NODE-set loop state, not edge-set: survivor
+    sets shrink monotonically (S_r ⊆ S_{r-1}), so the surviving edge
+    set is fully determined by the LATEST survivor set alone
+    (e_r = e_base ∩ S_r x S_r). The loop therefore never materializes
+    a filtered edge list per round; it pins only the |nodes|-sized
+    degree table. One degree aggregate per round yields THREE things
+    at once: sum(deg)/2 = |e_{r-1}| (the previous round's edge
+    metric — every edge is counted at both endpoints), the c >= k
+    filter = S_r (next round's semi-join side), and count(c >= k)
+    = n_nodes_r. The old shape localCheckpointed the full edge list
+    every round (O(|E|) writes/round — 1.16M rows/round at sf0.1 for
+    a peel that was dropping ~0.1% of them); this writes O(|N|) and
+    streams the pinned base through two size-gated broadcast
+    semi-joins instead.
+
+    Convergence: |S_r| == |S_{r-1}| with monotone subsets proves
+    S_r == S_{r-1}, hence e_r == e_{r-1} and a fixed point — detected
+    from the counts already in hand, one round EARLIER than the old
+    edge-count rule (which needed e_r materialized first). Converged
+    rounds emit without launching jobs, as before.
+
+    Contraction re-pin: when the live edge set has shrunk below half
+    of the pinned base, the base is re-pinned to the filtered set —
+    so a peel that DOES collapse its graph gets the old shape's
+    shrinking-scan behavior, while a stable core never pays the
+    per-round edge rewrite. Property-tested against plain-Python
+    peeling on arbitrary graphs in tests/test_properties.py (which
+    exercises both regimes: tiny graphs collapse fast and re-pin;
+    k=1 graphs stay stable)."""
+    base = _pin(edges)
+    base_bound: int | None = None  # upper bound on |base|, from the aggs
     metrics: list[tuple[int, int, int]] = []
+    surv: DataFrame | None = None  # S_{r-1}; None means "all nodes"
+    n_prev = 0  # |S_{r-1}|, the gate bound for the semi-join sides
     converged = False
-    reliable = configure_reliable_checkpoints(spark)
+
+    def _live(surv_df: DataFrame, bound: int) -> DataFrame:
+        su = gated_broadcast(
+            surv_df.select(F.col("node").alias("u")), bound, spark
+        )
+        sv = gated_broadcast(
+            surv_df.select(F.col("node").alias("v")), bound, spark
+        )
+        return base.join(su, "u", "left_semi").join(sv, "v", "left_semi")
+
     for r in range(1, rounds + 1):
-        if converged:
-            metrics.append((r, metrics[-1][1], metrics[-1][2]))
-            continue
-        deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
+        live = base if surv is None else _live(surv, n_prev)
+        deg = _pin(
+            live.select(F.col("u").alias("node"))
+            .unionAll(live.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        # NOT pinned, deliberately: the round-7 duplicate-scan sweep
-        # pattern (eager localCheckpoint for multiply-consumed derived
-        # tables) was TRIED here and measured 7.5 s -> 21 s at sf0.1 —
-        # the two endpoint broadcasts share one ReusedExchange when the
-        # subtree stays declarative, and the checkpoint breaks that
-        # reuse while adding a synchronous materialization per round.
+        # bounded collect: 1-row aggregate over the |nodes|-sized
+        # pinned degree table.
+        row = deg.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("s"),
+            F.coalesce(
+                F.sum((F.col("c") >= k).cast("long")), F.lit(0)
+            ).cast("long").alias("n"),
+        ).first()
+        e_before = int(row["s"]) // 2  # |e_{r-1}|
+        n_r = int(row["n"])  # |S_r|
+        if r == 1:
+            base_bound = e_before
+        else:
+            # Fill the previous round's pending edge metric.
+            metrics[-1] = (r - 1, n_prev, e_before)
+        if r >= 2 and n_r == n_prev:
+            # Fixed point: S_r == S_{r-1} (monotone + equal count), so
+            # e_r == e_{r-1}; later rounds replicate without jobs.
+            metrics.extend((r2, n_r, e_before) for r2 in range(r, rounds + 1))
+            converged = True
+            break
+        metrics.append((r, n_r, -1))  # n_edges filled next iteration
+        n_prev = n_r
         surv = deg.filter(F.col("c") >= k).select("node")
-        n_nodes = surv.count()
-        su = gated_broadcast(
-            surv.select(F.col("node").alias("u")), n_nodes, spark
-        )
-        sv = gated_broadcast(
-            surv.select(F.col("node").alias("v")), n_nodes, spark
-        )
-        nxt = edges.join(su, "u", "left_semi").join(sv, "v", "left_semi")
-        nxt = cut_lineage(nxt, r, reliable, local_interval=1).select("u", "v")
-        prev_edges = n_edges
-        n_edges = nxt.count()
-        metrics.append((r, n_nodes, n_edges))
-        edges = nxt
-        # Convergence check against the PREVIOUS round's edge count:
-        # later iterations hit the gate above and emit without jobs.
-        converged = n_edges == prev_edges
+        if base_bound is not None and e_before < base_bound // 2:
+            # The live set collapsed — re-pin it as the new base so
+            # later rounds scan the shrunken graph, not e_0.
+            base = _pin(_live(surv, n_prev).select("u", "v"))
+            base_bound = e_before
+            surv = None
+    if not converged:
+        # The last round's edge metric needs one more filtered count.
+        live = base if surv is None else _live(surv, n_prev)
+        metrics[-1] = (rounds, n_prev, int(live.count()))
     return metrics

@@ -1512,8 +1512,10 @@ def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Per-micro-batch pin: deliberately executor-local regardless
         # of SPARK_GRAFT_PIN_MODE — batch data is replayable from the
         # stream checkpoint, and a persist per batch would leak cache
-        # entries across the run.
-        bands = _minhash_bands(batch_df).localCheckpoint(eager=True)
+        # entries across the run. LAZY (round-11): the pair-store write
+        # below is the batch's first action and materializes the cut —
+        # the eager form paid one extra blocking job per micro-batch.
+        bands = _minhash_bands(batch_df).localCheckpoint(eager=False)
         nb = bands.select(F.col("doc_id").alias("n"), "band", "bkey")
         prev = band_store.read(spark)
         targets = None
@@ -2200,7 +2202,10 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         # Per-micro-batch pin: executor-local by design (see the
         # incremental-LSH twin above — replayable source, no leak).
-        new = _prep(batch_df).localCheckpoint(eager=True)
+        # LAZY (round-11): semantic_batch_credits' size-gate count is
+        # the batch's first action and materializes the cut — the eager
+        # form paid one extra blocking job per micro-batch.
+        new = _prep(batch_df).localCheckpoint(eager=False)
         partial = semantic_batch_credits(spark, new, member_store.read(spark))
         dom_store(partial, batch_id)
         member_store(new, batch_id)
