@@ -31,6 +31,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from spark_stream_kudu_spark.functions.lineage import release_pins  # noqa: E402
 from spark_stream_kudu_spark.registry import load_all  # noqa: E402
 from spark_stream_kudu_spark.session import get_spark  # noqa: E402
 
@@ -305,6 +306,12 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 3)
+            # Query-boundary pin release: a no-op in the default local
+            # pin mode (nothing registers); under
+            # SPARK_GRAFT_PIN_MODE=persist it stops the sweep from
+            # accumulating MEMORY_AND_DISK cache entries across queries
+            # (round-10 advice). Outside the timed region.
+            release_pins()
         return out
 
     # Per-suite host-factor sampling: a 2-probe warm Spark calibration

@@ -112,6 +112,33 @@ def pin_mode() -> str:
     return mode
 
 
+# Persist-mode pins registered since the last release_pins() call.
+# localCheckpoint/checkpoint blocks are dropped by the context cleaner
+# once the DataFrame is garbage-collected, but persist() entries stay
+# registered in the cache manager for the session — a long-lived
+# driver (bench sweep, correctness harness) running many queries under
+# SPARK_GRAFT_PIN_MODE=persist would otherwise accumulate
+# MEMORY_AND_DISK entries without bound (round-10 advice). Harnesses
+# call release_pins() at query boundaries; in the default local mode
+# the list stays empty and the call is a no-op.
+_PERSISTED_PINS: list[DataFrame] = []
+
+
+def release_pins() -> int:
+    """Unpersist every persist-mode pin registered since the last call;
+    returns how many were released. Safe to call in any pin mode."""
+    n = 0
+    while _PERSISTED_PINS:
+        df = _PERSISTED_PINS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # Session already stopped — nothing left to release.
+            pass
+    return n
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Materialize a multiply-consumed rollup once, via the mechanism
     selected by ``SPARK_GRAFT_PIN_MODE`` (module docstring). All
@@ -121,6 +148,7 @@ def pin(df: DataFrame) -> DataFrame:
     if mode == "persist":
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()  # eager: materialize before any branch consumes it
+        _PERSISTED_PINS.append(df)
         return df
     if mode == "reliable":
         spark = df.sparkSession

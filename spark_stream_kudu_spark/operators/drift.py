@@ -49,11 +49,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 from spark_stream_kudu_spark.functions.ranks import (
     exact_ntile,
     two_phase_order_stats,
 )
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.textutil import sql_tokens as _sql_tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -1143,9 +1145,6 @@ def q144_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q145: Zipf-exponent fit over the corpus vocabulary
 # --------------------------------------------------------------------------
-
-from spark_stream_kudu_spark.functions.textutil import sql_tokens as _sql_tokens
-from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
 _ZIPF_ORACLE = f"""
 WITH tok AS (

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
+from spark_stream_kudu_spark.functions.lineage import pin as _pin
 from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
 from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
@@ -964,6 +965,16 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_BATCH_SUPER = 2  # super-rounds (fixture-scale; production: n/M)
 _BPE_BATCH_M = 8  # max merges applied per round-trip
 _BPE_BATCH_K = 256  # candidate window collected per round-trip
+# Lineage-cut cadence for the super-round loop: every PIN_INTERVAL
+# super-rounds the rewrite state is pinned, so the live plan never
+# carries more than PIN_INTERVAL x M chained replace() expressions and
+# each candidate collect recomputes at most PIN_INTERVAL rounds of
+# rewrites instead of every round since source (round-11; closes the
+# advertised-production-scale plan-growth gap — at ~6k round-trips for
+# 50k merges the unpinned chain was unbounded). 4 keeps the fixture
+# run pin-free (SUPER=2), so the bounded-plan fix costs the bench
+# nothing locally.
+_BPE_PIN_INTERVAL = 4
 
 
 def _bpe_batched_oracle_sql(
@@ -1110,7 +1121,13 @@ def text_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     round_merges: list[list[str]] = []
-    for _ in range(_BPE_BATCH_SUPER):
+    for sr in range(_BPE_BATCH_SUPER):
+        # Bounded plan: pin every _BPE_PIN_INTERVAL super-rounds (the
+        # cut_lineage interval pattern) so neither the expression chain
+        # nor the per-collect recompute window grows with the round
+        # count. No-op at the fixture's 2 super-rounds.
+        if sr > 0 and sr % _BPE_PIN_INTERVAL == 0:
+            state = _pin(state)
         tk = F.split(F.expr("substr(s, 2, length(s) - 2)"), r"\|\|")
         # zip_with over two slices, NOT transform+element_at: `tk` is
         # a lambda-free argument here, so it evaluates a constant
@@ -1543,10 +1560,17 @@ def text_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, doc_id, text):
             import re
 
-            # EXACTLY sql_tokens semantics: whitespace-regex split of
-            # the lowercased, trimmed text (yields [''] for empty —
-            # same one-token run both engines).
-            toks = re.split(r"\s+", (text or "").lower().strip())
+            # EXACTLY the oracle's sql_tokens semantics, including the
+            # edges (round-10 advice): SQL trim() strips SPACES only,
+            # so strip(' ') — a bare .strip() would also eat
+            # tabs/newlines and merge runs the oracle keeps separate —
+            # and DuckDB's \s is ASCII (RE2), so flags=re.ASCII keeps
+            # NBSP and other Unicode whitespace inside tokens exactly
+            # as the SQL side does. Yields [''] for empty — same
+            # one-token run both engines.
+            toks = re.split(
+                r"\s+", (text or "").lower().strip(" "), flags=re.ASCII
+            )
             idx = 0
             i = 0
             while i < len(toks):

@@ -1422,3 +1422,41 @@ def test_bpe_batched_matches_pure_python_trainer(spark, sf_smoke):
         b, a = per_source[r["source"]]
         assert (r["tokens_before"], r["tokens_after"]) == (b, a), r["source"]
         assert r["n_merges"] == b - a
+
+
+def test_udtf_token_runs_whitespace_edge_parity(spark, tmp_path):
+    """The UDTF tokenizer mirrors the DuckDB oracle on the whitespace
+    edges the fixture never exercises (round-10 advice): trailing
+    tabs/newlines (SQL trim strips spaces ONLY) and NBSP (DuckDB \\s is
+    ASCII — Unicode whitespace stays inside tokens). A bare Python
+    .strip() / Unicode \\s would diverge on every one of these rows."""
+    import duckdb
+
+    from spark_stream_kudu_spark.registry import load_all
+
+    rows = [
+        (1, "plain plain text"),
+        (2, "tab\tseparated\ttokens\t"),       # trailing tab survives trim
+        (3, "line\nbreaks\nhere\n"),           # trailing newline survives
+        (4, "  leading and trailing spaces  "),  # spaces DO trim
+        (5, "nbsp joined tokens"),        # NBSP is NOT a separator
+        (6, "a a\ta  a"),                      # runs across mixed seps
+        (7, ""),                               # empty -> one '' token
+    ]
+    sf = str(tmp_path / "sf_udtf")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    spec = load_all()["text_udtf_token_runs"]
+    got = sorted(map(tuple, spec.builder(spark, sf).collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+    con.close()
+    assert got == want

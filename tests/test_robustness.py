@@ -466,6 +466,33 @@ def test_pin_mode_seam_q144_all_modes(spark, sf_smoke, tmp_path, monkeypatch):
     assert run() == local
 
 
+def test_release_pins_unpersists_persist_mode_entries(spark, monkeypatch):
+    """Persist-mode pins register for release and release_pins()
+    actually removes their cache entries (round-10 advice: a bench
+    sweep or long-lived driver under SPARK_GRAFT_PIN_MODE=persist must
+    not accumulate MEMORY_AND_DISK entries without bound). In the
+    default local mode nothing registers and the call is a no-op."""
+    from spark_stream_kudu_spark.functions.lineage import (
+        PIN_MODE_ENV,
+        pin,
+        release_pins,
+    )
+
+    release_pins()  # clean slate from any earlier test
+    monkeypatch.delenv(PIN_MODE_ENV, raising=False)
+    pin(spark.range(5))
+    assert release_pins() == 0  # local mode registers nothing
+
+    monkeypatch.setenv(PIN_MODE_ENV, "persist")
+    df1 = pin(spark.range(7))
+    df2 = pin(spark.range(9))
+    assert df1.storageLevel.useMemory and df2.storageLevel.useMemory
+    assert release_pins() == 2
+    assert not df1.storageLevel.useMemory
+    assert not df2.storageLevel.useMemory
+    assert release_pins() == 0  # idempotent
+
+
 def test_pin_mode_invalid_and_undirected_reliable_raise(spark, monkeypatch):
     """The seam fails LOUDLY on misconfiguration: an unknown mode and a
     reliable mode without a durable store both raise instead of
