@@ -121,6 +121,13 @@ class UpsertParquetSink:
         (AdditiveRollupSink sum-merges partial aggregates)."""
         return merge_by_key(current, batch_df, self.key)
 
+    def _layout(self, merged: DataFrame) -> DataFrame:
+        """Hash layout on the key before the store write. Aggregate-
+        merge subclasses repartition BEFORE their groupBy instead
+        (one exchange serves both the aggregation and the layout —
+        round-11) and override this to identity."""
+        return merged.repartition(self.num_buckets, *self.key)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # Empty-batch guard (reference O7, kafka_to_kudu.py:23).
         if batch_df.isEmpty():
@@ -137,7 +144,7 @@ class UpsertParquetSink:
         import shutil
 
         tmp = self._data + ".tmp"
-        merged.repartition(self.num_buckets, *self.key).write.mode("overwrite").parquet(tmp)
+        self._layout(merged).write.mode("overwrite").parquet(tmp)
         # Promote via rename-aside: the previous table is moved to .old
         # (not deleted) before tmp takes its place, so a crash anywhere
         # in the window leaves a recoverable copy instead of no table.
@@ -159,15 +166,25 @@ def merge_additive(
     updates: DataFrame,
     key: str | list[str],
     sum_cols: list[str],
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Additive (aggregate-merge) upsert: ``updates`` carries PARTIAL
     aggregates per key; merging SUMS them into the current table instead
     of replacing rows — the maintenance step of an incrementally-updated
     rollup (continuous aggregate). Commutative and associative, so the
     result is independent of micro-batch boundaries; one shuffle on the
-    key, same as the last-writer-wins merge."""
+    key, same as the last-writer-wins merge.
+
+    ``num_buckets`` (round-11): when set, the key shuffle is issued as
+    ``repartition(num_buckets, keys)`` BEFORE the groupBy — the
+    aggregate's clustered-distribution requirement is satisfied by that
+    partitioning (map-side partial aggregation is unchanged), so the
+    merged output already carries the store's hash layout and the sink
+    skips its separate layout exchange (2 exchanges -> 1 per batch)."""
     keys = [key] if isinstance(key, str) else list(key)
     both = updates if current is None else current.unionByName(updates)
+    if num_buckets is not None:
+        both = both.repartition(num_buckets, *keys)
     return both.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
@@ -191,7 +208,15 @@ class AdditiveRollupSink(UpsertParquetSink):
         self.sum_cols = list(sum_cols)
 
     def _merge(self, current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
-        return merge_additive(current, batch_df, self.key, self.sum_cols)
+        return merge_additive(
+            current, batch_df, self.key, self.sum_cols,
+            num_buckets=self.num_buckets,
+        )
+
+    def _layout(self, merged: DataFrame) -> DataFrame:
+        # The merge's pre-aggregation repartition already produced the
+        # store's hash layout — a second exchange would be redundant.
+        return merged
 
 
 class SketchUnionSink(UpsertParquetSink):
@@ -219,9 +244,14 @@ class SketchUnionSink(UpsertParquetSink):
             base = batch_df
         else:
             base = current.select(*batch_df.columns).unionByName(batch_df)
-        return base.groupBy(*self.key).agg(
-            F.hll_union_agg(self.sketch_col).alias(self.sketch_col)
-        )
+        # Pre-aggregation repartition = aggregation + layout in one
+        # exchange (see merge_additive).
+        return base.repartition(self.num_buckets, *self.key).groupBy(
+            *self.key
+        ).agg(F.hll_union_agg(self.sketch_col).alias(self.sketch_col))
+
+    def _layout(self, merged: DataFrame) -> DataFrame:
+        return merged
 
 
 class BitmapOrSink(UpsertParquetSink):
@@ -248,6 +278,11 @@ class BitmapOrSink(UpsertParquetSink):
             base = batch_df
         else:
             base = current.select(*batch_df.columns).unionByName(batch_df)
-        return base.groupBy(*self.key).agg(
-            F.bit_or(self.mask_col).alias(self.mask_col)
-        )
+        # Pre-aggregation repartition = aggregation + layout in one
+        # exchange (see merge_additive).
+        return base.repartition(self.num_buckets, *self.key).groupBy(
+            *self.key
+        ).agg(F.bit_or(self.mask_col).alias(self.mask_col))
+
+    def _layout(self, merged: DataFrame) -> DataFrame:
+        return merged
