@@ -2136,8 +2136,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         trained_codebook,
     )
 
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     tune_session(spark)
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Spread the one-file embeddings scan BEFORE the CPU-heavy
+    # row-local work (quantize + assignment + q8 norms) AND the pair
+    # join that inherits its partitioning: the pinned member table
+    # keeps the scan's partition count, so an unspread scan ran the
+    # within-cluster pair decision (interpreted HOF dot products —
+    # the query's dominant cost) on a fraction of the cores. Measured
+    # 3.99 s -> 1.84 s min-of-3 at sf0.1 (results identical); no-op at
+    # real scale where the table arrives in many splits.
+    e = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     cents = trained_codebook(spark, sf_dir)
     assigned = km_assign_dist(_km_quantize(e), cents)
     n8_guarded = F.expr(

@@ -948,7 +948,7 @@ def kcore_trajectory(
             base = _pin(_live(surv, n_prev).select("u", "v"))
             base_bound = e_before
             surv = None
-    if not converged:
+    if not converged and metrics:
         # The last round's edge metric needs one more filtered count.
         live = base if surv is None else _live(surv, n_prev)
         metrics[-1] = (rounds, n_prev, int(live.count()))
