@@ -206,6 +206,19 @@ def _run_calib_unit(_: int) -> float:
 CALIB_SPARK_BAND = (0.40, 1.30)
 
 
+def band_in_factor_units() -> list[float]:
+    """CALIB_SPARK_BAND expressed in host-factor units (seconds /
+    CALIB_SPARK_REF_SEC) — emitted as ``calib_spark_band_factor`` so a
+    reader comparing ``host_factor_spark_worst_suite`` (a factor) to a
+    band reaches the same verdict as ``calib_spark_suites_ok`` without
+    a unit conversion (round-10 verdict: the seconds band next to a
+    factor reading invited exactly that category error). The GATE is
+    still computed in seconds; this is the same interval, re-expressed
+    (3-decimal rounding on both sides, so only a sub-millisecond
+    knife-edge reading could disagree with the flag)."""
+    return [round(b / CALIB_SPARK_REF_SEC, 3) for b in CALIB_SPARK_BAND]
+
+
 def _calibrate_spark(spark, max_runs: int = 6) -> float:
     """SPARK-NATIVE calibration: a fixed 32-partition JVM workload
     (codegen'd xor-mix fold over range + a 100k-key shuffle) timed end
@@ -403,6 +416,9 @@ def main() -> None:
                 ),
                 "calib_spark_ref_sec": CALIB_SPARK_REF_SEC,
                 "calib_spark_band": list(CALIB_SPARK_BAND),
+                # Same band in factor units: compare the host_factor_*
+                # readings (incl. worst_suite above) to THIS one.
+                "calib_spark_band_factor": band_in_factor_units(),
                 "calib_spark_ok": calib_spark_ok,
                 "host_factor_spark": host_factor_spark,
                 "value_normalized_spark": _norm_spark(total),

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_stream_kudu_spark.functions.rounding import fround
+from spark_stream_kudu_spark.functions.rounding import fround, idiv
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -744,7 +744,9 @@ def q164_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types_all",
         "n_types_kept",
         "event_type",
-        (F.col("boosted") / 10).cast("long").alias("cnt"),
+        # Integral div (round-11): boosted is a count * 10, exact by
+        # construction instead of by a below-2^53 magnitude argument.
+        idiv(F.col("boosted"), 10).alias("cnt"),
         "boosted",
     )
 

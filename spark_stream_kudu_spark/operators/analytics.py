@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.functions.hashing import md5_int32, sql_md5_int32
-from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.rounding import fround, idiv, sql_fround
 from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
@@ -500,8 +500,10 @@ def q83_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = F.array_sort(F.collect_list(cents).over(w))
     n = F.size(arr)
-    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # Median picks via integral div (round-11, verdict residual): n is
+    # the non-negative frame size, idiv == the old double-div + cast.
+    mid_hi = F.element_at(arr, (idiv(n, 2) + 1).cast("int"))
+    mid_lo = F.element_at(arr, idiv(n + 1, 2).cast("int"))
     med_cents = (mid_lo + mid_hi) / 2.0
     return ev.select(
         "event_id",

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.functions.hashing import md5_int32, sql_md5_int32
-from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.rounding import fround, idiv, sql_fround
 from spark_stream_kudu_spark.functions.textutil import (
     sql_tokens,
     sql_word_shingles,
@@ -345,7 +345,9 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin"),
     )
-    epochs = (F.lit(1) + F.floor(F.col("bin") / 3)).cast("long")
+    # Integral div (round-11): the oracle's `bin // 3`; bin is a
+    # non-negative decile index, exact by construction.
+    epochs = (F.lit(1) + idiv(F.col("bin"), 3)).cast("long")
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars_total"),

@@ -54,7 +54,7 @@ from spark_stream_kudu_spark.functions.ranks import (
     exact_ntile,
     two_phase_order_stats,
 )
-from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.rounding import fround, idiv, sql_fround
 from spark_stream_kudu_spark.functions.textutil import sql_tokens as _sql_tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
@@ -599,8 +599,13 @@ def q133_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     age_days = F.datediff(
         F.lit(_DECAY_ASOF).cast("date"), F.col("ts").cast("date")
     )
+    # Integral div (round-11): the oracle's `// 7` truncates toward
+    # zero; the old float floor() rounded down — identical on the
+    # fixture's non-negative ages, and idiv now matches the declared
+    # oracle semantics on the FULL domain (a post-asof timestamp no
+    # longer diverges) while staying exact past 2^53.
     k = F.least(
-        F.floor(age_days / F.lit(_DECAY_HALFLIFE_DAYS)), F.lit(_DECAY_MAX_K)
+        idiv(age_days, _DECAY_HALFLIFE_DAYS), F.lit(_DECAY_MAX_K).cast("long")
     )
     shifted = ev.select(
         "user_id", (F.lit(_DECAY_MAX_K) - k).cast("int").alias("shift")
@@ -1727,9 +1732,12 @@ GROUP BY r.cohort_week, r.age_week, s.n_users
 )
 def q153_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    week = lambda c: F.floor(
-        F.datediff(c.cast("date"), F.lit("2024-01-01").cast("date")) / 7
-    ).cast("long")
+    # Integral div (round-11): the oracle's `// 7` (truncation), exact
+    # past 2^53; identical to the old floor() on the fixture's
+    # non-negative day offsets.
+    week = lambda c: idiv(
+        F.datediff(c.cast("date"), F.lit("2024-01-01").cast("date")), 7
+    )
     # first_seen is consumed twice (join side + cohort sizing) and
     # ReuseExchange does not dedupe the subtrees — without the cut the
     # event fact was scanned 3x (measured). The per-user rollup is the
@@ -1822,11 +1830,10 @@ def q154_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     act = _pin(ev.select(
         F.col("ts").cast("date").alias("day"),
-        F.floor(
-            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
-        )
-        .cast("long")
-        .alias("week"),
+        # Integral div (round-11): the oracle's `// 7`, see q153.
+        idiv(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")), 7
+        ).alias("week"),
         "user_id",
     ).distinct())
     # act feeds both DAU and WAU; without the lineage cut the fact was

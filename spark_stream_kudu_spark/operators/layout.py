@@ -26,6 +26,7 @@ from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.bucketed import write_bucketed
 from spark_stream_kudu_spark.sources.tables import load_table
 from spark_stream_kudu_spark.functions.lineage import pin as _pin
+from spark_stream_kudu_spark.functions.rounding import idiv
 
 NUM_BUCKETS = 8  # test scale; at 100 TB size so max bucket file ~<=1 GB
 
@@ -252,9 +253,12 @@ def _zbucket(col, mn: int, mx: int):
     this normalization the wider dimension's high bits dominate the
     interleave and the layout degrades to a single-column sort."""
     span = max(mx - mn + 1, 1)
-    return F.floor((col - F.lit(mn)).cast("double") * (1 << _Z_BITS) / span).cast(
-        "long"
-    )
+    # Integral div (round-11): col is integer and col >= mn, so the
+    # bucket id is exact long arithmetic — the old double route was
+    # exact only below 2^53 and its rounding could (harmlessly but
+    # needlessly) fuzz bucket boundaries. Same values on any input the
+    # double form computed exactly, and strictly monotone either way.
+    return idiv((col - F.lit(mn)) * (1 << _Z_BITS), span)
 
 
 def zordered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

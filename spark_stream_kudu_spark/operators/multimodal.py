@@ -84,6 +84,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.octet_length("payload").cast("long").alias("byte_len"),
+        # float-by-design: oracle computes ceil(len / 256.0) in double
         F.ceil(F.octet_length("payload") / F.lit(float(FRAME_BYTES)))
         .cast("long")
         .alias("n_frames"),
@@ -256,6 +257,7 @@ def ppm_decode_features(docs: DataFrame) -> DataFrame:
 def frame_offsets(d: DataFrame) -> DataFrame:
     """Frame-sampling plumbing: per-payload list of byte offsets, one per
     FRAME_BYTES window — the shape a video frame-sampler consumes."""
+    # float-by-design: oracle computes ceil(len / 256.0) in double
     n = F.ceil(F.octet_length("payload") / F.lit(float(FRAME_BYTES))).cast("int")
     return d.select(
         "doc_id",

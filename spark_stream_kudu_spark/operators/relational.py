@@ -933,8 +933,10 @@ def q26_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
         ).alias("charge"),
         fround(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
-        F.floor(F.col("l_quantity") / 7).cast("long").alias("q_div"),
-        F.ceil(F.col("l_quantity") / 7).cast("long").alias("q_ceil"),
+        # l_quantity is DOUBLE in the fixture schema; the oracle applies
+        # the identical floor/ceil-over-double expressions.
+        F.floor(F.col("l_quantity") / 7).cast("long").alias("q_div"),  # float-by-design: DOUBLE input
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("q_ceil"),  # float-by-design: DOUBLE input
         (F.col("l_quantity").cast("int") % 5).alias("q_mod"),
     )
 

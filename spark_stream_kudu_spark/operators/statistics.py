@@ -40,7 +40,7 @@ from spark_stream_kudu_spark.functions.ranks import (
     exact_ntile,
     two_phase_order_stats,
 )
-from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.rounding import fround, idiv, sql_fround
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
 from spark_stream_kudu_spark.sources.tables import load_table
@@ -184,6 +184,8 @@ def q76_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("hi") - F.col("lo")) / _N_BINS
     bucket = F.least(
         F.lit(_N_BINS - 1),
+        # float-by-design: value/lo/width are genuinely double (equi-width
+        # bins over a float metric); oracle applies the identical expression
         F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
     )
     edge = lambda b: F.col("lo") + b * ((F.col("hi") - F.col("lo")) / _N_BINS)
@@ -847,7 +849,9 @@ def q135_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_alias="total",
     )
     cum = ranked.select(
-        (((F.col("rk") - 1) * 10) / F.col("n")).cast("long").alias("decile_0"),
+        # Integral div (round-11): the oracle's `(rk - 1) * 10 // n`;
+        # rank and count are non-negative, exact past 2^53.
+        idiv((F.col("rk") - 1) * 10, F.col("n")).alias("decile_0"),
         "rev_cents",
         "total",
         "cum_rev",
@@ -971,7 +975,11 @@ def hq_bin_columns(cents_col):
     bounds (kept scaled so the bound check stays integral)."""
     k = (F.length(F.expr(f"bin({cents_col})")) - 1).cast("int")
     base = F.expr(f"shiftleft(CAST(1 AS BIGINT), length(bin({cents_col})) - 1)")
-    s = ((F.col(cents_col) - base) * _HQ_SUB / base).cast("long")
+    # Integral div (round-11, verdict residual): the docstring's "pure
+    # BIGINT arithmetic" promise previously leaked through a double
+    # division (exact only below 2^53); operands are non-negative
+    # (cents >= base by construction of the octave).
+    s = idiv((F.col(cents_col) - base) * _HQ_SUB, base)
     bin_id = (k.cast("long") * _HQ_SUB + s).alias("bin_id")
     lo16 = (base * (F.lit(_HQ_SUB) + s)).alias("lo16")
     hi16 = (base * (F.lit(_HQ_SUB + 1) + s)).alias("hi16")
@@ -1002,7 +1010,9 @@ def hq_quantiles_from_bins(bins: DataFrame, exact: DataFrame) -> DataFrame:
     pcts = None
     for p in _HQ_PCTS:
         tagged = cum.withColumn("pct", F.lit(p).cast("long")).withColumn(
-            "target", F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long")
+            "target",
+            # float-by-design: oracle computes ceil(pct * n / 100.0) in double
+            F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long"),
         )
         pcts = tagged if pcts is None else pcts.unionByName(tagged)
     wsel = Window.partitionBy("event_type", "pct").orderBy("bin_id")
@@ -1037,6 +1047,7 @@ def hq_exact_anchors(ev: DataFrame) -> DataFrame:
         t = (
             r.filter(
                 F.col("rn")
+                # float-by-design: oracle computes ceil(pct * n / 100.0) in double
                 == F.ceil(F.lit(p) * F.col("n") / F.lit(100.0)).cast("long")
             )
             .select(

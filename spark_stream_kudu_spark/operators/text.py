@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from spark_stream_kudu_spark.functions.hashing import sql_md5_int32
 from spark_stream_kudu_spark.functions.lineage import pin as _pin
-from spark_stream_kudu_spark.functions.rounding import fround, sql_fround
+from spark_stream_kudu_spark.functions.rounding import fround, idiv, sql_fround
 from spark_stream_kudu_spark.functions.textutil import sql_tokens, tokens
 from spark_stream_kudu_spark.registry import register
 from spark_stream_kudu_spark.session import tune_session
@@ -237,6 +237,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_RE), F.lit(0))).alias(
             "re_tokens"
         ),
+        # float-by-design: oracle computes ceil(length(text) / 4.0) in double
         F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_tokens_chars"),
         F.length("text").cast("long").alias("n_chars_obs"),
     )
@@ -1335,9 +1336,12 @@ def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     h = md5_int32(F.col("term"))
-    sgn = F.when(
-        ((h / _FH_DIMS).cast("long") % 2) == 0, F.lit(1)
-    ).otherwise(F.lit(-1))
+    # Sign bit via integral div (round-11, verdict residual): h is an
+    # int32 and may be NEGATIVE — SQL div truncates toward zero exactly
+    # like the previous (h / N).cast("long"), and like the oracle's
+    # DuckDB `//`, so results are bit-identical while retiring the
+    # floor(int/int)-in-double class (exact only below 2^53).
+    sgn = F.when((idiv(h, _FH_DIMS) % 2) == 0, F.lit(1)).otherwise(F.lit(-1))
     hashed = toks.select("doc_id", (h % _FH_DIMS).alias("dim"), sgn.alias("sgn"))
     return (
         hashed.groupBy("doc_id", "dim")

@@ -65,3 +65,36 @@ def test_bench_suites_reference_only_registered_queries():
     assert len(BENCH_V5) == 8
     n_bench = sum(1 for s in all_q.values() if s.bench)
     assert n_bench == 34, f"frozen headline suite changed size: {n_bench}"
+
+
+def test_calib_band_factor_agrees_with_suites_ok_flag():
+    """Round-10 verdict (What's wrong #1): the artifact used to emit
+    host_factor_spark_worst_suite in FACTOR units next to
+    calib_spark_band in SECONDS — a reader comparing the two reached
+    the opposite verdict from calib_spark_suites_ok (e.g. the r11
+    close: worst-suite factor 1.58 vs band upper 1.30 reads
+    out-of-band, while the 1.01 s probe behind it is comfortably in
+    band). calib_spark_band_factor is the same interval in factor
+    units; this pins the conversion and that both readings of any
+    probe value agree with the seconds gate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import (
+        CALIB_SPARK_BAND,
+        CALIB_SPARK_REF_SEC,
+        band_in_factor_units,
+    )
+
+    band_f = band_in_factor_units()
+    assert band_f == [
+        round(b / CALIB_SPARK_REF_SEC, 3) for b in CALIB_SPARK_BAND
+    ]
+    assert band_f[0] < 1.0 < band_f[1]  # a nominal host must be in band
+    # Representative probe readings (seconds): the r11-close per-suite
+    # probes, the round-open burst (2.71 s -> factor 4.23), a cold-JVM
+    # first run, and both band edges.
+    for probe_sec in (1.01, 0.745, 0.59, 0.71, 2.706, 0.92, 0.40, 1.30, 0.39, 1.31):
+        gate = CALIB_SPARK_BAND[0] <= probe_sec <= CALIB_SPARK_BAND[1]
+        reader = band_f[0] <= round(probe_sec / CALIB_SPARK_REF_SEC, 3) <= band_f[1]
+        assert reader == gate, probe_sec
