@@ -2206,7 +2206,16 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the batch's first action and materializes the cut — the eager
         # form paid one extra blocking job per micro-batch.
         new = _prep(batch_df).localCheckpoint(eager=False)
-        partial = semantic_batch_credits(spark, new, member_store.read(spark))
+        # LAZY cut on the credits partial too (round-11): the dominator
+        # sink's empty-batch guard is the partial's first action and
+        # materializes it; without the cut the guard and the store
+        # write EACH ran the full within+cross pair pipeline (member-
+        # store scan, broadcast pair joins, credit agg). Structural
+        # evidence, host-independent: 82 -> 75 jobs, 118 -> 104 stages,
+        # 169 -> 147 tasks per query run, results bit-identical.
+        partial = semantic_batch_credits(
+            spark, new, member_store.read(spark)
+        ).localCheckpoint(eager=False)
         dom_store(partial, batch_id)
         member_store(new, batch_id)
 
