@@ -35,6 +35,7 @@ from spark_stream_kudu_spark.functions.vectors import cosine_similarity
 from spark_stream_kudu_spark.operators.similarity import (
     _DIM,
     _SCALE,
+    _hyperplane_bucket,
     _plane_hash_sql,
     _plane_ints,
     N_PLANES,
@@ -152,16 +153,7 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = F.transform(
         "embedding", lambda v: F.floor(v.cast("double") * _SCALE).cast("long")
     )
-    bucket = None
-    for i in range(N_PLANES):
-        plane = F.array(*[F.lit(p).cast("long") for p in _plane_ints(i)])
-        dot = F.aggregate(
-            F.zip_with(F.col("scaled"), plane, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    bucket = _hyperplane_bucket([_plane_ints(i) for i in range(N_PLANES)])
     ebkt = e.withColumn("scaled", scaled).select(
         "vec_id", "embedding", bucket.alias("bucket")
     )

@@ -321,16 +321,7 @@ def sim_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = F.transform(
         "embedding", lambda v: F.floor(v.cast("double") * _SCALE).cast("long")
     )
-    bucket = None
-    for i in range(N_PLANES):
-        plane = F.array(*[F.lit(p).cast("long") for p in _plane_ints(i)])
-        dot = F.aggregate(
-            F.zip_with(F.col("scaled"), plane, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    bucket = _hyperplane_bucket([_plane_ints(i) for i in range(N_PLANES)])
     ebkt = e.withColumn("scaled", scaled).select(
         "vec_id", "embedding", bucket.alias("bucket")
     )
@@ -364,6 +355,37 @@ def _table_plane_ints(t: int, i: int) -> list[int]:
         int(hashlib.md5(f"hp{t}_{i}_{d}".encode()).hexdigest()[:8], 16) - (1 << 31)
         for d in range(_DIM)
     ]
+
+
+def _hyperplane_bucket(planes: list[list[int]]):
+    """Sign-bit LSH bucket of the row's ``scaled`` vector against
+    ``planes``: bit i is set when the exact scaled-integer dot with
+    plane i is positive, bucket = sum of the set power-of-two weights.
+
+    The planes ride in as ONE 2-D literal (+ a parallel bit-weight
+    array) walked by an indexed ``transform`` instead of per-plane
+    unrolled literal subtrees — the same O(1)-in-size expression shape
+    as ``_km_best``, and the bucket expression is duplicated into
+    EVERY join subtree that re-derives the signature, so the
+    analysis/codegen saving pays per copy (round-11 A/B on
+    sim_topk_rplsh_multi: min 2.62 -> 1.34 s, 5/5 interleaved wins,
+    results exactly equal). Bit-identical to the unrolled form: same
+    long dot arithmetic, same sign rule, same bit weights."""
+    planes_lit = F.lit(planes).cast("array<array<bigint>>")
+    weights = F.lit([1 << i for i in range(len(planes))])
+    bits = F.transform(
+        planes_lit,
+        lambda p, i: F.when(
+            F.aggregate(
+                F.zip_with(F.col("scaled"), p, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.get(weights, i),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
 
 
 def _mt_plane_sql(t: int, i: int) -> str:
@@ -439,16 +461,9 @@ def sim_topk_rplsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ecols = e.withColumn("scaled", scaled)
     buckets = []
     for t in range(N_TABLES):
-        b = None
-        for i in range(N_PLANES):
-            plane = F.array(*[F.lit(p).cast("long") for p in _table_plane_ints(t, i)])
-            dot = F.aggregate(
-                F.zip_with(F.col("scaled"), plane, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            b = bit if b is None else b + bit
+        b = _hyperplane_bucket(
+            [_table_plane_ints(t, i) for i in range(N_PLANES)]
+        )
         buckets.append(
             F.struct(F.lit(t).alias("tbl"), b.cast("int").alias("bkey"))
         )
@@ -1206,23 +1221,33 @@ def _km_best(cents: list[tuple[int, list[int]]]):
     """The (dist, cid) struct of the nearest centroid (exact integer
     squared-L2, ties -> lowest cid); dist to each centroid is a
     literal-array zip_with fold, argmin via array_min over (dist, cid)
-    structs — row-local, exact, whole-stage-codegen'd."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("xq"),
-                        F.array(*[F.lit(c) for c in comps]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, comps in cents
-        ]
+    structs — row-local, exact, whole-stage-codegen'd.
+
+    The centroid table rides in as TWO literals (a 2-D component array
+    + a parallel cid array) walked by one indexed ``transform``, not as
+    k unrolled per-centroid subtrees: the expression tree is O(1) in k
+    instead of O(k*dim), which cuts per-plan analysis/codegen cost —
+    the term the Lloyd loop and the per-micro-batch assigns pay on
+    EVERY re-plan because the centroid literals change (round-11 A/B:
+    emb_kmeans_lloyd min 2.88 -> 2.26 s, 5/5 interleaved wins,
+    results exactly equal). Same integer arithmetic, same (dist, cid)
+    struct, same array_min tie-break -> bit-identical output."""
+    cid_arr = F.lit([cid for cid, _ in cents])
+    comp_arr = F.lit([comps for _, comps in cents])
+    pairs = F.transform(
+        comp_arr,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"),
+                    c,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.get(cid_arr, i).alias("cid"),
+        ),
     )
     return F.array_min(pairs)
 
