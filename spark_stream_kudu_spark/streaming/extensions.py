@@ -1553,7 +1553,10 @@ def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         pair_store(verified, batch_id)
-        band_store(bands, batch_id)
+        # ``prev`` is this batch's read of the band store and nothing
+        # wrote it since — hand it to the sink so the store is
+        # listed/planned once per batch (round-11).
+        band_store(bands, batch_id, current=prev)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -2213,11 +2216,17 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # store scan, broadcast pair joins, credit agg). Structural
         # evidence, host-independent: 82 -> 75 jobs, 118 -> 104 stages,
         # 169 -> 147 tasks per query run, results bit-identical.
-        partial = semantic_batch_credits(
-            spark, new, member_store.read(spark)
-        ).localCheckpoint(eager=False)
+        # One member-store read per batch (round-11): the credits'
+        # ``prev`` and the upsert-merge's ``current`` are the same table
+        # version (nothing writes the member store in between), so the
+        # pre-read DataFrame is handed to the sink instead of letting it
+        # list/plan the store a second time.
+        prev = member_store.read(spark)
+        partial = semantic_batch_credits(spark, new, prev).localCheckpoint(
+            eager=False
+        )
         dom_store(partial, batch_id)
-        member_store(new, batch_id)
+        member_store(new, batch_id, current=prev)
 
     stream = (
         spark.readStream.schema(emb.schema)

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 # One sub-batch marker column used to disambiguate replays.
 _BATCH_COL = "__batch_id"
 
+# Sentinel distinguishing "caller did not pre-read the store" from "the
+# caller read it and it was missing (None)" in UpsertParquetSink.__call__.
+_READ_STORE = object()
+
 
 def merge_by_key(
     current: DataFrame | None, updates: DataFrame, key: str | list[str]
@@ -100,6 +104,14 @@ class UpsertParquetSink:
         self.num_buckets = num_buckets
         self._data = os.path.join(path, "data")
         self._marker = os.path.join(path, "_last_batch")
+        # Read-back schema, cached after the first inference (round-11):
+        # every merge preserves the column set (unionByName would fail
+        # otherwise), so the store's read schema is fixed for the life
+        # of the sink and re-inferring it per read pays one footer-scan
+        # job per micro-batch for nothing. Cached from an actual
+        # read-back (not from the written DataFrame) so nullability
+        # matches parquet inference exactly.
+        self._schema = None
 
     def _last_batch(self) -> int:
         try:
@@ -114,7 +126,11 @@ class UpsertParquetSink:
         # treat the table as empty and silently drop all upserted state.
         if not os.path.isdir(self._data):
             return None
-        return spark.read.parquet(self._data)
+        if self._schema is not None:
+            return spark.read.schema(self._schema).parquet(self._data)
+        df = spark.read.parquet(self._data)
+        self._schema = df.schema
+        return df
 
     def _merge(self, current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         """Merge policy — last-writer-wins here; subclasses override
@@ -128,14 +144,25 @@ class UpsertParquetSink:
         round-11) and override this to identity."""
         return merged.repartition(self.num_buckets, *self.key)
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def __call__(
+        self, batch_df: DataFrame, batch_id: int, current=_READ_STORE
+    ) -> None:
         # Empty-batch guard (reference O7, kafka_to_kudu.py:23).
         if batch_df.isEmpty():
             return
         if batch_id <= self._last_batch():
             return  # replayed batch: idempotent no-op
         spark = batch_df.sparkSession
-        current = self.read(spark)
+        # ``current`` (round-11): a caller that already read this
+        # store's CURRENT version for its own batch logic (e.g. the
+        # incremental-dedup streams join new arrivals against the
+        # accumulated store before upserting into it) passes that
+        # DataFrame here, so the store is listed/planned once per batch
+        # instead of twice. Must be the unmodified result of
+        # ``self.read(spark)`` taken in the same micro-batch, with no
+        # intervening write to this sink.
+        if current is _READ_STORE:
+            current = self.read(spark)
         merged = self._merge(current, batch_df)
         # Hash layout on the key (reference ddl:14, HASH PARTITIONS 4):
         # co-locates future merges and bounds file counts. Write to a
