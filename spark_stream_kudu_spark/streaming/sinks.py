@@ -40,7 +40,10 @@ _READ_STORE = object()
 
 
 def merge_by_key(
-    current: DataFrame | None, updates: DataFrame, key: str | list[str]
+    current: DataFrame | None,
+    updates: DataFrame,
+    key: str | list[str],
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Last-writer-wins merge of ``updates`` into ``current``.
 
@@ -49,39 +52,69 @@ def merge_by_key(
     If ``updates`` itself carries duplicate keys, the *last* occurrence
     wins, matching sequential upserts (requires a deterministic order
     column ``__batch_id`` if present, else arbitrary-but-single).
+
+    Shape (round-11): the merge is ONE keyed aggregate — union both
+    sides with a priority tag (current 0, updates 1) and keep, per key,
+    the max of ``struct(priority, non_keys...)``. Row-for-row identical
+    to the previous dedup -> anti-join -> union form: a key only in one
+    side keeps that side's (deduped) row, a key in both keeps the
+    updates row regardless of content, and duplicate update keys
+    resolve to the same lexicographically-largest non-key tuple the
+    dedup pass picked (struct comparison is field-order left-to-right,
+    priority first). One exchange instead of three (updates dedup +
+    anti-join + layout); with ``num_buckets`` set the exchange is
+    issued as ``repartition(num_buckets, keys)`` so the merged output
+    already carries the store's hash layout (same idiom as
+    ``merge_additive``). Requires orderable non-key columns (no maps),
+    which holds for every sink schema here.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    if _BATCH_COL in updates.columns:
+    had_batch_col = _BATCH_COL in updates.columns
+    if had_batch_col:
+        # Explicit arrival order: keep the row of the LATEST batch per
+        # key (window dedup, unchanged pre-round-11 semantics).
         w = Window.partitionBy(*keys).orderBy(F.col(_BATCH_COL).desc())
         updates = (
             updates.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", _BATCH_COL)
         )
+    non_keys = [c for c in updates.columns if c not in keys]
+    # Output column order replicates the pre-round-11 form exactly: the
+    # surviving-current union put current's order first; the first-batch
+    # struct-max dedup emitted keys-first; the first-batch window dedup
+    # kept updates' own order. The order is load-bearing — it becomes
+    # the store's parquet schema, which later batches read back.
+    if current is not None:
+        out_cols = current.columns
+    elif had_batch_col or not non_keys:
+        out_cols = updates.columns
     else:
-        # No order column: resolve duplicate keys DETERMINISTICALLY by
-        # taking the lexicographically-largest non-key tuple (struct
-        # max), not dropDuplicates' arbitrary-row pick — a replayed
-        # batch then always converges to the same table. Requires
-        # orderable non-key columns (no maps), which holds for every
-        # sink schema here.
-        non_keys = [c for c in updates.columns if c not in keys]
-        if non_keys:
-            packed = updates.groupBy(*keys).agg(
-                F.max(F.struct(*[F.col(c) for c in non_keys])).alias("__r")
-            )
-            updates = packed.select(
-                *keys, *[F.col(f"__r.{c}").alias(c) for c in non_keys]
-            )
-        else:
-            updates = updates.dropDuplicates(keys)
-    if current is None:
-        return updates
-    # anti-join keeps only survivor rows of the old table; union inserts
-    # the new versions. Both sides shuffle by key once; at scale the
-    # store would be bucketed by the key so this is a co-located join.
-    survivors = current.join(updates.select(*keys), on=keys, how="left_anti")
-    return survivors.unionByName(updates)
+        out_cols = [*keys, *non_keys]
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df if num_buckets is None else df.repartition(num_buckets, *keys)
+
+    if not non_keys:
+        # Key-only rows: the merge degenerates to a distinct union.
+        both = updates if current is None else current.unionByName(updates)
+        return _bucketed(both).dropDuplicates(keys)
+    tagged = updates.withColumn("__prio", F.lit(1))
+    if current is not None:
+        tagged = current.withColumn("__prio", F.lit(0)).unionByName(tagged)
+    packed = (
+        _bucketed(tagged)
+        .groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(F.col("__prio"), *[F.col(c) for c in non_keys])
+            ).alias("__r")
+        )
+    )
+    merged = packed.select(
+        *keys, *[F.col(f"__r.{c}").alias(c) for c in non_keys]
+    )
+    return merged.select(*out_cols)
 
 
 class UpsertParquetSink:
@@ -135,14 +168,16 @@ class UpsertParquetSink:
     def _merge(self, current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         """Merge policy — last-writer-wins here; subclasses override
         (AdditiveRollupSink sum-merges partial aggregates)."""
-        return merge_by_key(current, batch_df, self.key)
+        return merge_by_key(current, batch_df, self.key, num_buckets=self.num_buckets)
 
     def _layout(self, merged: DataFrame) -> DataFrame:
-        """Hash layout on the key before the store write. Aggregate-
-        merge subclasses repartition BEFORE their groupBy instead
-        (one exchange serves both the aggregation and the layout —
-        round-11) and override this to identity."""
-        return merged.repartition(self.num_buckets, *self.key)
+        """Hash layout on the key before the store write. Every merge
+        policy — last-writer-wins included since round-11 — issues its
+        key shuffle as ``repartition(num_buckets, key)`` feeding its
+        aggregate, so the merged output already carries the store's
+        hash layout (reference ddl:14, HASH PARTITIONS 4) and a second
+        exchange here would be redundant."""
+        return merged
 
     def __call__(
         self, batch_df: DataFrame, batch_id: int, current=_READ_STORE
