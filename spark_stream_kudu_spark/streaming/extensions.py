@@ -717,7 +717,13 @@ def stream_media_decode_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sink(ppm_decode_features(batch_df), batch_id)
+        # Lazy cut (round-11, the section-2c idiom): the sink's
+        # empty-batch probe would otherwise pay the Python-boundary
+        # decode once for the probe and again for the merge; the probe
+        # now materializes the checkpoint and the merge reads it back —
+        # each payload crosses the JVM<->Python boundary once per batch
+        # (guide section 4).
+        sink(ppm_decode_features(batch_df).localCheckpoint(eager=False), batch_id)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -1551,6 +1557,13 @@ def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m").alias("matched_doc"),
                 fround(raw, 6).alias("jaccard"),
             )
+            # Lazy cut (round-11, the section-2c idiom): the pair
+            # store's empty-batch probe is the first action on this
+            # plan; without the cut the probe runs the candidate joins
+            # (which shuffle everything before their first output row)
+            # and the merge then runs them AGAIN. The probe now
+            # materializes the checkpoint and the merge reads it back.
+            .localCheckpoint(eager=False)
         )
         pair_store(verified, batch_id)
         # ``prev`` is this batch's read of the band store and nothing
