@@ -2222,22 +2222,19 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the batch's first action and materializes the cut — the eager
         # form paid one extra blocking job per micro-batch.
         new = _prep(batch_df).localCheckpoint(eager=False)
-        # LAZY cut on the credits partial too (round-11): the dominator
-        # sink's empty-batch guard is the partial's first action and
-        # materializes it; without the cut the guard and the store
-        # write EACH ran the full within+cross pair pipeline (member-
-        # store scan, broadcast pair joins, credit agg). Structural
-        # evidence, host-independent: 82 -> 75 jobs, 118 -> 104 stages,
-        # 169 -> 147 tasks per query run, results bit-identical.
+        # The credits partial is handed to the dominator sink UNCUT:
+        # aggregate-merge sinks lazy-cut their input themselves
+        # (sinks.py ``_cut_input`` — the round-11 generalization of the
+        # caller-side cut that first landed here: without it the
+        # empty-batch guard and the store write EACH ran the full
+        # within+cross pair pipeline, 82 -> 75 jobs per query run).
         # One member-store read per batch (round-11): the credits'
         # ``prev`` and the upsert-merge's ``current`` are the same table
         # version (nothing writes the member store in between), so the
         # pre-read DataFrame is handed to the sink instead of letting it
         # list/plan the store a second time.
         prev = member_store.read(spark)
-        partial = semantic_batch_credits(spark, new, prev).localCheckpoint(
-            eager=False
-        )
+        partial = semantic_batch_credits(spark, new, prev)
         dom_store(partial, batch_id)
         member_store(new, batch_id, current=prev)
 

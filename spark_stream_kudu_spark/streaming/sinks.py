@@ -131,6 +131,17 @@ class UpsertParquetSink:
     reproducing the reference's replay-safety (java:113-115).
     """
 
+    #: Aggregate-merge subclasses set this True: their batch inputs are
+    #: by construction partial aggregates — a shuffle runs before the
+    #: first output row — so the empty-batch probe would execute the
+    #: aggregation once and the merge would execute it AGAIN (round-11).
+    #: A lazy lineage cut makes the probe the materializer and the merge
+    #: a read-back. The base last-writer-wins sink stays uncut: its
+    #: inputs are often raw or narrow scan-local plans whose limit-1
+    #: probe is cheaper than a full materialization (callers with
+    #: expensive plans cut at the call site instead).
+    _cut_input = False
+
     def __init__(self, path: str, key: str | list[str], num_buckets: int = 4):
         self.path = path
         self.key = [key] if isinstance(key, str) else list(key)
@@ -182,6 +193,8 @@ class UpsertParquetSink:
     def __call__(
         self, batch_df: DataFrame, batch_id: int, current=_READ_STORE
     ) -> None:
+        if self._cut_input:
+            batch_df = batch_df.localCheckpoint(eager=False)
         # Empty-batch guard (reference O7, kafka_to_kudu.py:23).
         if batch_df.isEmpty():
             return
@@ -259,6 +272,8 @@ class AdditiveRollupSink(UpsertParquetSink):
     Inherits the idempotent-replay marker and the crash-safe rename-aside
     promotion — replaying a committed batch must NOT double-count."""
 
+    _cut_input = True
+
     def __init__(
         self,
         path: str,
@@ -290,6 +305,8 @@ class SketchUnionSink(UpsertParquetSink):
     needs the replay marker to avoid double-counting; the marker is
     still inherited for IO economy). The streaming cardinality path
     that never stores identities."""
+
+    _cut_input = True
 
     def __init__(
         self,
@@ -324,6 +341,8 @@ class BitmapOrSink(UpsertParquetSink):
     bitmap is EXACT: popcount over the final words equals the true
     distinct count for any batch slicing, merge order, or replay. State
     is |keys| x |id-space/63| words, never raw identities."""
+
+    _cut_input = True
 
     def __init__(
         self,
