@@ -41,10 +41,14 @@ def test_empty_batch_is_noop_without_jar(spark):
 
 def test_interface_matches_parquet_sink():
     """Both sinks are drop-in foreachBatch targets: callable(batch_df,
-    batch_id) plus read(spark)."""
+    batch_id) plus read(spark). Extra parameters are allowed only with
+    defaults — foreachBatch calls with exactly (batch_df, batch_id)."""
     for cls in (KuduUpsertSink, UpsertParquetSink):
-        call_params = list(inspect.signature(cls.__call__).parameters)
-        assert call_params == ["self", "batch_df", "batch_id"]
+        sig = inspect.signature(cls.__call__)
+        call_params = list(sig.parameters)
+        assert call_params[:3] == ["self", "batch_df", "batch_id"]
+        for p in list(sig.parameters.values())[3:]:
+            assert p.default is not inspect.Parameter.empty, p.name
         read_params = list(inspect.signature(cls.read).parameters)
         assert read_params == ["self", "spark"]
 
