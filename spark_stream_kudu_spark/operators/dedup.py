@@ -1583,24 +1583,33 @@ def star_contraction_components(
 
     prev_digest = _digest(canon)
     converged = False
+    # Per-node neighborhood minimum as a WINDOW over the edge list
+    # partitioned by u (round-11): the min-groupBy + join-back pair
+    # needed one exchange for the aggregate AND one for re-attaching
+    # the result to every edge row; a min().over(partitionBy(u))
+    # computes the same per-u minimum and attaches it in the SAME
+    # exchange (guide §2.4 — a window keyed like the aggregation it
+    # follows needs no second shuffle), and the edge list is scanned
+    # once instead of twice. Min over a partition equals min over the
+    # grouped set, so every per-round edge set — and therefore the
+    # digest trajectory and the fixed point — is unchanged.
+    from pyspark.sql import Window
+
+    w_u = Window.partitionBy("u")
     for i in range(max_rounds):
         e = _sym(canon)
-        # large-star: every neighbor v > u rewires to min({u} u N(u))
-        m_all = (
-            e.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least(F.col("u"), F.col("mv")).alias("mu"))
-        )
+        # large-star: every neighbor v > u rewires to min({u} u N(u)).
+        # The window runs over ALL of N(u) (before the v > u filter),
+        # exactly like the old m_all aggregate.
         large = (
-            e.filter(F.col("v") > F.col("u"))
-            .join(m_all, "u")
+            e.withColumn("mu", F.least(F.col("u"), F.min("v").over(w_u)))
+            .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("mu").alias("b"))
         )
         # Normalize large-star output WITHOUT a distinct(): the only
-        # consumers are min-aggregations (m_less) and the small-star
-        # rewiring join, and min over a multiset equals min over its
-        # set — duplicate edges change no result, and map-side partial
-        # aggs absorb them. Saves one full shuffle per round; the
+        # consumers are min-windows in the small-star step, and min
+        # over a multiset equals min over its set — duplicate edges
+        # change no result. Saves one full shuffle per round; the
         # round's OUTPUT (new_canon) still deduplicates, so the
         # fixed-point set equality is unaffected.
         e2 = _sym(
@@ -1609,17 +1618,21 @@ def star_contraction_components(
             ).filter(F.col("a") != F.col("b"))
         )
         # small-star: neighbors v < u (and u itself) rewire to
-        # min({u} u {v in N(u): v < u})
-        lesser = e2.filter(F.col("v") < F.col("u"))
-        m_less = (
-            lesser.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least(F.col("u"), F.col("mv")).alias("mu"))
+        # min({u} u {v in N(u): v < u}). The windowed ``lesser`` rows
+        # carry (v, mu) directly; the per-u row the old m_less union
+        # branch added is the distinct (u, mu) projection — computed
+        # under the window's own hash(u) partitioning, so the distinct
+        # adds no exchange.
+        lw = e2.filter(F.col("v") < F.col("u")).withColumn(
+            "mu", F.least(F.col("u"), F.min("v").over(w_u))
         )
         small = (
-            lesser.join(m_less, "u")
-            .select(F.col("v").alias("a"), F.col("mu").alias("b"))
-            .unionByName(m_less.select(F.col("u").alias("a"), F.col("mu").alias("b")))
+            lw.select(F.col("v").alias("a"), F.col("mu").alias("b"))
+            .unionByName(
+                lw.select("u", "mu")
+                .distinct()
+                .select(F.col("u").alias("a"), F.col("mu").alias("b"))
+            )
         )
         new_canon = _canon_pairs(
             small.select(F.col("a").alias("u"), F.col("b").alias("v"))
