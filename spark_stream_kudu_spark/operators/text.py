@@ -325,12 +325,13 @@ WHERE rk = 1
     "text",
     "TF-IDF top term per document: explode tokens once, count (doc, term) "
     "pairs, derive document frequency from the SAME aggregate (a term appears "
-    "once per doc there — no second scan of the corpus), broadcast the "
-    "doc-count scalar and the df table back, rank per doc. Scores stay "
-    "smooth-idf doubles internally but the *output* is (term, tf, df) "
-    "integers, with a lexicographic tie-break, so engines agree exactly. At "
-    "100 TB: the only corpus-sized shuffle is the (doc, term) count; df is "
-    "|vocab| rows and broadcasts.",
+    "once per doc there — no second scan of the corpus) as a count window "
+    "partitioned by term (df attaches inside the term exchange itself — no "
+    "df-side aggregate exchange, no join back), broadcast the doc-count "
+    "scalar, rank per doc. Scores stay smooth-idf doubles internally but the "
+    "*output* is (term, tf, df) integers, with a lexicographic tie-break, so "
+    "engines agree exactly. At 100 TB: the only corpus-sized shuffles are "
+    "the (doc, term) count and the term-keyed df window.",
     oracle=_TFIDF_ORACLE,
     bench=True,
 )
@@ -347,11 +348,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    # df is |vocab| (corpus-scaling): un-hinted — its groupBy exchange
-    # co-partitions with the join key; AQE broadcasts at test SF.
-    scored = tf.join(df, "term").join(F.broadcast(n_docs))  # bounded: 1-row count
+    # Document frequency as a WINDOW over tf partitioned by term
+    # (round-11, guide §2.4): a term appears once per doc in tf, so
+    # count(*) over (partition by term) IS df, attached to every tf row
+    # inside ONE hash(term) exchange — the old df-groupBy + join-back
+    # needed the aggregate's own exchange AND a second full-|tf|
+    # exchange (or a |vocab| broadcast) to re-attach it.
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).join(F.broadcast(n_docs))  # bounded: 1-row count
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf") * idf).desc(), F.col("term").asc()
@@ -1259,7 +1265,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
-    per_doc = d.select(
+    # Pin the tokenize+pivot pass (round-11): both the corpus-stats
+    # aggregate and the hit filter consume per_doc, so without the pin
+    # the tokenization of every document ran TWICE (once per branch).
+    # The pinned rows are the ~56-byte (doc_id, dl, tf_*) metadata
+    # proxy, not the text — one corpus scan, as the scale note claims.
+    per_doc = _pin(d.select(
         "doc_id",
         F.size(toks).alias("dl"),
         # NB: the closure factory keeps the lambda single-arg — a
@@ -1271,7 +1282,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"tf_{t}")
             for t in BM25_TERMS
         ],
-    )
+    ))
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),

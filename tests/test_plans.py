@@ -163,11 +163,21 @@ def test_q52_sessionize_single_shuffle(spark, sf_smoke):
     assert audit_row(df)["exchanges"] == 1
 
 
-def test_tfidf_broadcasts_small_sides(spark, sf_smoke):
-    """df (|vocab| rows) and the doc-count scalar must broadcast — the
-    corpus-sized stream is joined without a corpus-sized shuffle."""
+def test_tfidf_df_is_a_window_not_a_join(spark, sf_smoke):
+    """Document frequency attaches as a count window inside the term
+    exchange (round-11): there is NO df-side aggregate exchange or
+    join-back — the plan carries exactly four Exchanges ((doc,term) tf
+    aggregate, term df window, the 1-row doc-count aggregate, doc_id
+    rank window) and the doc-count scalar joins via a broadcast, never
+    a corpus-sized shuffle."""
+    from spark_stream_kudu_spark.plans.audit import audit_row
+
     df = ALL["text_tfidf"].builder(spark, sf_smoke)
-    assert checks.uses_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    row = audit_row(df)
+    assert row["exchanges"] == 4, row
+    assert row["smj"] == 0, row
 
 
 def test_q50_scalar_max_broadcasts(spark, sf_smoke):
