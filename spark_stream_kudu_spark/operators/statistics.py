@@ -1007,14 +1007,22 @@ def hq_quantiles_from_bins(bins: DataFrame, exact: DataFrame) -> DataFrame:
         F.sum("c").over(wcum).alias("cum"),
         F.sum("c").over(wall).alias("n"),
     )
-    pcts = None
-    for p in _HQ_PCTS:
-        tagged = cum.withColumn("pct", F.lit(p).cast("long")).withColumn(
-            "target",
-            # float-by-design: oracle computes ceil(pct * n / 100.0) in double
-            F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long"),
-        )
-        pcts = tagged if pcts is None else pcts.unionByName(tagged)
+    # One explode instead of a |pcts|-way union of tagged copies
+    # (round-11): the union duplicated the whole bins subtree — count
+    # grid aggregate plus both windows — once per percentile in the
+    # physical plan (ReuseExchange did not dedupe it). Exploding a
+    # literal percentile array produces the identical row multiset
+    # (cum x pcts) from ONE evaluation of the subtree.
+    pcts = cum.select(
+        "*",
+        F.explode(
+            F.array([F.lit(p).cast("long") for p in _HQ_PCTS])
+        ).alias("pct"),
+    ).withColumn(
+        "target",
+        # float-by-design: oracle computes ceil(pct * n / 100.0) in double
+        F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long"),
+    )
     wsel = Window.partitionBy("event_type", "pct").orderBy("bin_id")
     selected = (
         pcts.filter(F.col("cum") >= F.col("target"))
@@ -1042,22 +1050,29 @@ def hq_exact_anchors(ev: DataFrame) -> DataFrame:
         F.row_number().over(wrn).alias("rn"),
         F.count(F.lit(1)).over(wall).alias("n"),
     )
-    out = None
-    for p in _HQ_PCTS:
-        t = (
-            r.filter(
-                F.col("rn")
-                # float-by-design: oracle computes ceil(pct * n / 100.0) in double
-                == F.ceil(F.lit(p) * F.col("n") / F.lit(100.0)).cast("long")
-            )
-            .select(
-                "event_type",
-                F.lit(p).cast("long").alias("pct"),
-                F.col("cents").alias("exact_q_cents"),
-            )
-        )
-        out = t if out is None else out.unionByName(t)
-    return out
+    # One pass instead of a |pcts|-way union of filters (round-11): the
+    # union evaluated the rank subtree — a full per-type sort of every
+    # event row — once per percentile (measured: 5 parquet scans and 5
+    # sort+window chains of the events table in q163's plan). A per-row
+    # array filter keeps the percentiles each row anchors (usually
+    # none; at most a few on tiny types), then explodes only those —
+    # identical row multiset, ONE sort.
+    pct_arr = F.array([F.lit(p).cast("long") for p in _HQ_PCTS])
+    anchored = r.select(
+        "event_type",
+        "cents",
+        F.filter(
+            pct_arr,
+            # float-by-design: oracle computes ceil(pct * n / 100.0) in double
+            lambda p: F.col("rn")
+            == F.ceil(p * F.col("n") / F.lit(100.0)).cast("long"),
+        ).alias("ps"),
+    ).filter(F.size("ps") > 0)
+    return anchored.select(
+        "event_type",
+        F.explode("ps").alias("pct"),
+        F.col("cents").alias("exact_q_cents"),
+    )
 
 
 @register(
