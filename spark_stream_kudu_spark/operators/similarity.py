@@ -629,24 +629,49 @@ FROM ev
 """
 
 
-def _recall_against_exact(method: str, exact: DataFrame, approx: DataFrame) -> DataFrame:
-    a = approx.select(
-        F.col("qid").alias("aqid"), F.col("neighbor_id").alias("aneighbor")
+def _recall_curve(
+    exact: DataFrame, arms: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """Recall of each named approximate arm against the exact top-k.
+
+    One plan for the whole curve (round-11): the exact ground truth —
+    the full brute-force cosine pass — is cross-exploded with the
+    method-name array and LEFT-joined against the union of tagged arm
+    outputs, so the exact subtree appears ONCE in the plan regardless
+    of arm count (it previously re-planned and re-ran per arm: 56
+    parquet scans / 52 Exchanges in sim_recall_eval_full's plan at
+    sf0.1). Row-for-row identical to the old per-arm join + union: the
+    join key gains the method tag, so each exact row matches only its
+    own arm's hits. No eager pin — everything stays in one job, so the
+    arms and the exact pass still schedule concurrently."""
+    e = exact.select(
+        F.explode(F.array([F.lit(m) for m, _ in arms])).alias("method"),
+        "qid",
+        "neighbor_id",
     )
+    tagged = None
+    for m, approx in arms:
+        t = approx.select(
+            F.lit(m).alias("amethod"),
+            F.col("qid").alias("aqid"),
+            F.col("neighbor_id").alias("aneighbor"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
     return (
-        exact.join(
-            a,
-            (F.col("qid") == F.col("aqid"))
+        e.join(
+            tagged,
+            (F.col("method") == F.col("amethod"))
+            & (F.col("qid") == F.col("aqid"))
             & (F.col("neighbor_id") == F.col("aneighbor")),
             "left",
         )
-        .groupBy("qid")
+        .groupBy("method", "qid")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("aneighbor").alias("n_hits"),
         )
         .select(
-            F.lit(method).alias("method"),
+            "method",
             "qid",
             "n_exact",
             "n_hits",
@@ -673,10 +698,12 @@ def _recall_against_exact(method: str, exact: DataFrame, approx: DataFrame) -> D
 )
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
-    ivf = sim_topk_ivf(spark, sf_dir)
-    rp = sim_topk_rplsh(spark, sf_dir)
-    return _recall_against_exact("ivf", exact, ivf).unionByName(
-        _recall_against_exact("rplsh", exact, rp)
+    return _recall_curve(
+        exact,
+        [
+            ("ivf", sim_topk_ivf(spark, sf_dir)),
+            ("rplsh", sim_topk_rplsh(spark, sf_dir)),
+        ],
     )
 
 
@@ -1091,18 +1118,16 @@ def sim_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.operators.pipeline import sim_topk_quantized
 
     exact = sim_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
-    arms = {
-        "ivf": sim_topk_ivf(spark, sf_dir),
-        "rplsh": sim_topk_rplsh(spark, sf_dir),
-        "quantized": sim_topk_quantized(spark, sf_dir),
-        "pq_adc": sim_topk_pq_adc(spark, sf_dir),
-        "ivf_adc": sim_topk_ivf_adc(spark, sf_dir),
-    }
-    out = None
-    for name, approx in arms.items():
-        r = _recall_against_exact(name, exact, approx)
-        out = r if out is None else out.unionByName(r)
-    return out
+    return _recall_curve(
+        exact,
+        [
+            ("ivf", sim_topk_ivf(spark, sf_dir)),
+            ("rplsh", sim_topk_rplsh(spark, sf_dir)),
+            ("quantized", sim_topk_quantized(spark, sf_dir)),
+            ("pq_adc", sim_topk_pq_adc(spark, sf_dir)),
+            ("ivf_adc", sim_topk_ivf_adc(spark, sf_dir)),
+        ],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1541,11 +1566,10 @@ FROM ev
 def sim_recall_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     exact = sim_topk_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
-    out = None
-    for d in _TRUNC_DIMS:
-        r = _recall_against_exact(f"trunc{d}", exact, _trunc_topk(e, d))
-        out = r if out is None else out.unionByName(r)
-    return out
+    return _recall_curve(
+        exact,
+        [(f"trunc{d}", _trunc_topk(e, d)) for d in _TRUNC_DIMS],
+    )
 
 
 # --------------------------------------------------------------------------
