@@ -139,15 +139,29 @@ def release_pins() -> int:
     return n
 
 
-def pin(df: DataFrame) -> DataFrame:
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a multiply-consumed rollup once, via the mechanism
-    selected by ``SPARK_GRAFT_PIN_MODE`` (module docstring). All
-    three modes are EAGER — callers rely on the input being computed
-    exactly once regardless of how many branches consume the result."""
+    selected by ``SPARK_GRAFT_PIN_MODE`` (module docstring).
+
+    ``eager=True`` (default): every mode blocks until the input is
+    materialized — callers rely on it being computed exactly once
+    before any branch consumes the result.
+
+    ``eager=False`` (round-11): the pin still guarantees compute-once
+    (all modes register a materialization point the first consuming
+    action fills and later consumers read back), but defers that
+    materialization into the first action instead of running a
+    blocking driver job per pin. Use it when every consumer lives in
+    the query's final job anyway — an eager pin's barrier serializes
+    phases that otherwise overlap on idle cores (measured losing on
+    the verify-family A/Bs). The reliable mode stays eager by design:
+    a durable checkpoint's point is that the data reaches stable
+    store before the query proceeds."""
     mode = pin_mode()
     if mode == "persist":
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()  # eager: materialize before any branch consumes it
+        if eager:
+            df.count()  # materialize before any branch consumes it
         _PERSISTED_PINS.append(df)
         return df
     if mode == "reliable":
@@ -160,4 +174,4 @@ def pin(df: DataFrame) -> DataFrame:
                 "executor-local pin"
             )
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)

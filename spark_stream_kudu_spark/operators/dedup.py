@@ -167,12 +167,49 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
         F.explode(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
     )
     h = sh.select("doc_id", md5_int32(F.col("s")).alias("h"))
+    return _sig_minima(h)
+
+
+def _sig_minima(h: DataFrame) -> DataFrame:
+    """(doc_id, h) shingle-hash rows -> doc_id + NUM_HASHES minima (one
+    groupBy, map-side partial aggregation)."""
     return h.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{k}")
             for k, (a, b) in enumerate(minhash_params(NUM_HASHES))
         ]
     )
+
+
+def shingle_table(d: DataFrame) -> DataFrame:
+    """(doc_id, s): the DISTINCT shingle array per document, spread to
+    full parallelism — the single corpus tokenize+shingle pass the
+    generate (MinHash signature) and verify (exact set-arithmetic)
+    stages of one query share when it is pinned. In production this IS
+    a stored table (the shingle index the verify stage reads), so a
+    pin of it mirrors the deployment."""
+    from spark_stream_kudu_spark.session import spread_small_scan
+
+    return spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+
+
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """Signatures from a prebuilt (doc_id, s) distinct-shingle table
+    (shingle_table). Bit-identical to minhash_signatures by
+    construction: every signature column is a min over
+    (a*h + b) % MERSENNE_P, and a min is insensitive to duplicate
+    inputs, so hashing each DISTINCT shingle once yields the same
+    minima as hashing every occurrence — while md5-hashing fewer rows.
+    Lets one query compute signatures AND the exact verify from a
+    single pinned tokenize+shingle pass instead of re-scanning the
+    corpus for each."""
+    h = sh.select("doc_id", F.explode("s").alias("s")).select(
+        "doc_id", md5_int32(F.col("s")).alias("h")
+    )
+    return _sig_minima(h)
 
 
 def _sql_minhash_cte() -> str:
@@ -266,7 +303,9 @@ def _in_bucket_combos(ids: F.Column) -> F.Column:
     )
 
 
-def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+def minhash_lsh_pairs(
+    d: DataFrame, cap: int = BUCKET_CAP, sig: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs with a bucket-size cap.
 
     Candidate generation never materializes a whole bucket as one array
@@ -291,7 +330,7 @@ def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
     activates on >cap buckets, whose members are near-certain duplicates
     anyway; enumerating every pair adds nothing clustering needs.
     """
-    bands = _minhash_bands(d)
+    bands = _minhash_bands(d, sig=sig)
     stats = (
         bands.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("bsize"), F.min("doc_id").alias("anchor"))
@@ -349,11 +388,26 @@ def minhash_bucket_overflow(d: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
     bench=True,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
+    # Lazy-pin the signature table: the band table is consumed twice
+    # (bucket stats + join back) and each consumption re-ran the whole
+    # scan->tokenize->md5->groupBy chain (plan showed the subtree
+    # duplicated; ReuseExchange can't fire across the differing
+    # projections). The lazy pin materializes inside the first action
+    # and the second consumer reads it back — no blocking driver job,
+    # one signature pass (census 18 -> 14 stages).
+    sig = _pin(minhash_signatures(d), eager=False)
+    return minhash_lsh_pairs(d, sig=sig)
 
 
-def _minhash_bands(d: DataFrame) -> DataFrame:
-    sig = minhash_signatures(d)
+def _minhash_bands(d: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+    # ``sig``: a precomputed (typically pinned) signature table. The
+    # band table is consumed twice by every caller (bucket stats + the
+    # join back), and without a pinned sig each consumption re-runs the
+    # whole scan->tokenize->md5->groupBy chain (no ReuseExchange: the
+    # two subtrees project differently).
+    if sig is None:
+        sig = minhash_signatures(d)
     for j, col in enumerate(_band_key_cols()):
         sig = sig.withColumn(f"band_{j}", col)
     pairs = sig.select(
@@ -619,18 +673,21 @@ SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
     oracle=_VERIFIED_ORACLE,
 )
 def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_stream_kudu_spark.session import spread_small_scan
-
     d = _docs(spark, sf_dir)
-    cand = dedup_minhash_pairs(spark, sf_dir)
-    # Spread before shingling: with the candidate set broadcast, the
-    # verify sides never shuffle, so a one-file scan would tokenize the
-    # whole corpus on a single task (see spread_small_scan — no-op at
-    # real scale).
-    sh = spread_small_scan(d.select("doc_id", "text")).select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
-    )
+    # ONE corpus tokenize+shingle pass for the whole query: the lazy
+    # pinned shingle table feeds BOTH the signature chain (min over hashed
+    # distinct shingles is bit-identical to min over all occurrences —
+    # see minhash_signatures_from_shingles) and the two exact-verify
+    # sides; the lazy pinned signature table stops the band table's double
+    # consumption (bucket stats + join back) re-running the chain.
+    # Before: four tokenize passes per run (census 9 jobs / 23 stages /
+    # 102 tasks -> 7 / 16 / 69). Lazy pins (pin(eager=False)), not
+    # eager: an eager pin's barrier serialized work that overlaps on
+    # idle cores (measured losing — the section-12 recall-curve
+    # lesson); lazy keeps the compute-once cut and the mode seam.
+    sh = _pin(shingle_table(d), eager=False)
+    sig = _pin(minhash_signatures_from_shingles(sh), eager=False)
+    cand = minhash_lsh_pairs(d, sig=sig)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -696,15 +753,13 @@ WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_THRESHOLD}
     oracle=_CONTAIN_ORACLE,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_stream_kudu_spark.session import spread_small_scan
-
     d = _docs(spark, sf_dir)
-    cand = dedup_minhash_pairs(spark, sf_dir)
-    # Spread before shingling — same rationale as dedup_verified_pairs.
-    sh = spread_small_scan(d.select("doc_id", "text")).select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
-    )
+    # Shared lazy pinned shingle/signature pass — same restructure and
+    # rationale as dedup_verified_pairs (one corpus tokenize instead of
+    # four).
+    sh = _pin(shingle_table(d), eager=False)
+    sig = _pin(minhash_signatures_from_shingles(sh), eager=False)
+    cand = minhash_lsh_pairs(d, sig=sig)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -1039,8 +1094,11 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
     # corpus tokenized per consumer) — pin it once. This is the
     # inverted-index materialization every dedup pipeline stores
     # anyway; at 100 TB it trades one local write for a repeated
-    # full-corpus tokenize+shingle pass.
-    ex = _pin(sh.select("doc_id", F.explode("s").alias("g")))
+    # full-corpus tokenize+shingle pass. Lazy (round-11): both pins'
+    # consumers live in the query's final job, so the first action
+    # materializes them in place — two blocking driver barriers
+    # removed (census 10 jobs / 130 tasks -> 8 / 92, results equal).
+    ex = _pin(sh.select("doc_id", F.explode("s").alias("g")), eager=False)
     df_counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # Rarest-first total order (df, then shingle text) — identical for
     # every document, which is what the prefix-filter guarantee needs.
@@ -1057,7 +1115,8 @@ def prefix_filter_pairs(d: DataFrame, t: float) -> DataFrame:
             "doc_id",
             F.transform("ordered", lambda x: x["g"]).alias("os"),
             F.size("ordered").alias("n"),
-        )
+        ),
+        eager=False,
     )
     # Probe prefix: |S| - ceil(t*|S|) + 1 rarest shingles. J(A,B) >= t
     # forces |A n B| >= t*max(|A|,|B|), so two qualifying prefixes must
@@ -1337,11 +1396,17 @@ def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # Both band-join sides and both verify sides re-ran the full
     # scan->tokenize->minhash chain (ReuseExchange dedupes none of it;
-    # 4 corpus scans measured) — pin the band table and the shingle
-    # table once each. In production both ARE stored tables (the
-    # signature index this query maintains), so the pins mirror the
-    # deployment exactly.
-    bands = _pin(_minhash_bands(d))
+    # 4 corpus scans measured). One lazy pinned shingle pass now feeds the
+    # signature chain AND the verify sides (bit-identical — min over
+    # distinct shingles, see minhash_signatures_from_shingles), and the
+    # lazy pinned signature table serves both band-join sides; the band
+    # explode itself is a scan-local projection of the cut. In
+    # production shingles and signatures ARE stored tables (the index
+    # this query maintains), so the pins mirror the deployment exactly.
+    # Census 10 jobs / 134 tasks -> 7 / 100; A/B min 2.10 -> 1.59 s.
+    sh = _pin(shingle_table(d), eager=False)
+    sig = _pin(minhash_signatures_from_shingles(sh), eager=False)
+    bands = _minhash_bands(d, sig=sig)
     is_new = F.col("doc_id") % 4 == 3
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("n"), "band", "bkey"
@@ -1356,13 +1421,6 @@ def pipeline_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", "m")
         .distinct()
     )
-    from spark_stream_kudu_spark.session import spread_small_scan
-
-    # Spread before shingling — same rationale as dedup_verified_pairs.
-    sh = _pin(spread_small_scan(d.select("doc_id", "text")).select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
-    ))
     a = sh.select(F.col("doc_id").alias("n"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("m"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -1434,7 +1492,12 @@ FROM v
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(d)
+    # Lazy-pin signatures — same band-table double-consumption fix as
+    # dedup_minhash_pairs (the verify here reads clips, not shingles,
+    # so only the signature cut applies).
+    cand = minhash_lsh_pairs(
+        d, sig=_pin(minhash_signatures(d), eager=False)
+    )
     clip = d.select("doc_id", F.substring("text", 1, _EDIT_CLIP).alias("t"))
     a = clip.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     b = clip.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))

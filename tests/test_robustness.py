@@ -466,6 +466,43 @@ def test_pin_mode_seam_q144_all_modes(spark, sf_smoke, tmp_path, monkeypatch):
     assert run() == local
 
 
+def test_pin_lazy_mode_parity_and_release(spark, sf_smoke, tmp_path, monkeypatch):
+    """pin(eager=False) (round-11): the lazy pin defers materialization
+    into the first consuming action but keeps value parity across all
+    three pin modes, and persist-mode lazy pins still register for
+    release. Exercised through a registered consumer — the verify
+    family's shared shingle/signature pass in dedup_verified_pairs."""
+    from spark_stream_kudu_spark.functions.lineage import (
+        PIN_MODE_ENV,
+        RELIABLE_CKPT_ENV,
+        pin,
+        release_pins,
+    )
+    from spark_stream_kudu_spark.registry import load_all
+
+    builder = load_all()["dedup_verified_pairs"].builder
+
+    def run():
+        out = sorted(map(tuple, builder(spark, sf_smoke).collect()))
+        release_pins()
+        return out
+
+    monkeypatch.delenv(PIN_MODE_ENV, raising=False)
+    local = run()
+    monkeypatch.setenv(PIN_MODE_ENV, "persist")
+    assert run() == local
+    monkeypatch.setenv(PIN_MODE_ENV, "reliable")
+    monkeypatch.setenv(RELIABLE_CKPT_ENV, str(tmp_path / "lazy_pin_ckpt"))
+    assert run() == local
+
+    # A persist-mode lazy pin registers for release even before any
+    # action computes it.
+    monkeypatch.setenv(PIN_MODE_ENV, "persist")
+    df = pin(spark.range(11), eager=False)
+    assert df.storageLevel.useMemory
+    assert release_pins() == 1
+
+
 def test_release_pins_unpersists_persist_mode_entries(spark, monkeypatch):
     """Persist-mode pins register for release and release_pins()
     actually removes their cache entries (round-10 advice: a bench
