@@ -1063,8 +1063,8 @@ def hq_exact_anchors(ev: DataFrame) -> DataFrame:
         "cents",
         F.filter(
             pct_arr,
-            # float-by-design: oracle computes ceil(pct * n / 100.0) in double
             lambda p: F.col("rn")
+            # float-by-design: oracle computes ceil(pct * n / 100.0) in double
             == F.ceil(p * F.col("n") / F.lit(100.0)).cast("long"),
         ).alias("ps"),
     ).filter(F.size("ps") > 0)
