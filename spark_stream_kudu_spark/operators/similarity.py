@@ -201,18 +201,30 @@ SELECT qid, neighbor_id, cosine, rank FROM r WHERE rank <= {TOP_K}
     oracle=_IVF_ORACLE,
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     cent = e.filter(F.col("vec_id") % IVF_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     csim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
-    assign = (
-        e.crossJoin(F.broadcast(cent))  # bounded: k centroids
+    # Lazy-pin the assignment (round-11): `assign` is consumed by BOTH
+    # the query projection and the corpus probe side, and the plan ran
+    # the whole corpus x centroids distance pass + window TWICE (no
+    # ReuseExchange across the differing downstream projections). The
+    # cut computes it once inside the first action; spread first so the
+    # CPU-heavy pass isn't serialized on the one-file fixture scan
+    # (no-op at real scale). A/B min 1.93 -> 0.89 s, results equal.
+    assign = _pin(
+        spread_small_scan(e)
+        .crossJoin(F.broadcast(cent))  # bounded: k centroids
         .select("vec_id", "embedding", "cid", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "embedding", "cid"),
+        eager=False,
     )
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -779,30 +791,48 @@ def _pq_d2(a, b):
     oracle=_PQ_ORACLE,
 )
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     cents = e.filter(F.col("vec_id") % _PQ_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    out = None
-    for s in range(_PQ_SUBSPACES):
-        d2 = _pq_d2(_pq_slice(F.col("embedding"), s), _pq_slice(F.col("cv"), s))
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-        best = (
-            e.crossJoin(F.broadcast(cents))  # bounded: k centroids
-            .select("vec_id", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "vec_id",
-                F.col("cid").alias(f"code_{s}"),
-                F.col("d2").alias(f"d2_{s}"),
-            )
-        )
-        out = best if out is None else out.join(best, "vec_id")
-    err = sum(F.col(f"d2_{s}") for s in range(_PQ_SUBSPACES))
-    return out.select(
+    # ONE corpus x codebook pass for all subspaces (round-11): the old
+    # per-subspace loop ran a separate crossJoin + per-vector window per
+    # subspace and joined the results — the whole corpus x codebook
+    # distance pass duplicated x{sub} (8 parquet scans / 8 Exchanges in
+    # the plan). One projection computes every subspace's d2, and one
+    # groupBy takes min(struct(d2, cid)) per subspace — identical to
+    # the row_number(d2 asc, cid asc)=1 pick (struct comparison is
+    # lexicographic, exact integers), with the per-vector minima
+    # partially aggregated MAP-SIDE instead of shuffling the whole
+    # corpus x codebook product to a window sort (guide §2.3). Spread
+    # first: the fused pass is one CPU-heavy projection, and the
+    # one-file fixture scan would run it on a single task (no-op at
+    # real scale). A/B min 1.60 -> 0.93 s, codes byte-identical.
+    pairs = spread_small_scan(e).crossJoin(F.broadcast(cents)).select(
+        # bounded: k centroids
         "vec_id",
-        *[F.col(f"code_{s}") for s in range(_PQ_SUBSPACES)],
+        "cid",
+        *[
+            _pq_d2(_pq_slice(F.col("embedding"), s), _pq_slice(F.col("cv"), s)).alias(
+                f"d2_{s}"
+            )
+            for s in range(_PQ_SUBSPACES)
+        ],
+    )
+    best = pairs.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d2_{s}").alias("d2"), F.col("cid").alias("cid"))
+            ).alias(f"m_{s}")
+            for s in range(_PQ_SUBSPACES)
+        ]
+    )
+    err = sum(F.col(f"m_{s}.d2") for s in range(_PQ_SUBSPACES))
+    return best.select(
+        "vec_id",
+        *[F.col(f"m_{s}.cid").alias(f"code_{s}") for s in range(_PQ_SUBSPACES)],
         err.alias("quant_err"),
     )
 
@@ -876,16 +906,32 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     # Query-side lookup table: exact d2(query subvector, centroid slice)
-    # for every (qid, sub, cid) — tiny, broadcast.
-    lut = None
-    for s in range(_PQ_SUBSPACES):
-        part = q.crossJoin(F.broadcast(cents)).select(  # bounded: PQ codebook
+    # for every (qid, sub, cid) — tiny, broadcast. One crossJoin with a
+    # per-subspace struct explode (round-11) instead of a {sub}-way
+    # union of crossJoins: identical row multiset, one query x codebook
+    # pass instead of {sub}.
+    lut = (
+        q.crossJoin(F.broadcast(cents))  # bounded: PQ codebook
+        .select(
             "qid",
-            F.lit(s).alias("sub"),
             "cid",
-            _pq_d2(_pq_slice(F.col("qv"), s), _pq_slice(F.col("cv"), s)).alias("d2"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            _pq_d2(
+                                _pq_slice(F.col("qv"), s),
+                                _pq_slice(F.col("cv"), s),
+                            ).alias("d2"),
+                        )
+                        for s in range(_PQ_SUBSPACES)
+                    ]
+                )
+            ).alias("sd"),
         )
-        lut = part if lut is None else lut.unionByName(part)
+        .select("qid", F.col("sd.sub").alias("sub"), "cid", F.col("sd.d2").alias("d2"))
+    )
     codes = emb_pq_codes(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
     long_codes = codes.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -990,8 +1036,13 @@ SELECT qid, neighbor_id, adc_d2, rank FROM r WHERE rank <= {_ADC_TOP_K}
     oracle=_IVF_ADC_ORACLE,
 )
 def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    # IVF assignment (same deterministic construction as sim_topk_ivf)
+    # IVF assignment (same deterministic construction as sim_topk_ivf,
+    # including the round-11 lazy pin: `assign` feeds both the query
+    # projection and the candidate join — one pass, not two).
     cent = e.filter(F.col("vec_id") % IVF_MOD == 0).select(
         F.col("vec_id").alias("ccid"), F.col("embedding").alias("cv")
     )
@@ -999,12 +1050,14 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("ccid").asc()
     )
-    assign = (
-        e.crossJoin(F.broadcast(cent))  # bounded: k centroids
+    assign = _pin(
+        spread_small_scan(e)
+        .crossJoin(F.broadcast(cent))  # bounded: k centroids
         .select("vec_id", "embedding", "ccid", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "ccid")
+        .select("vec_id", "embedding", "ccid"),
+        eager=False,
     )
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -1015,16 +1068,37 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pqcents = e.filter(F.col("vec_id") % _PQ_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("pcv")
     )
-    lut = None
-    for s in range(_PQ_SUBSPACES):
-        part = q.crossJoin(F.broadcast(pqcents)).select(  # bounded: PQ codebook
+    # One crossJoin + per-subspace struct explode (round-11) — same
+    # union-to-explode rewrite as sim_topk_pq_adc's lut.
+    lut = (
+        q.crossJoin(F.broadcast(pqcents))  # bounded: PQ codebook
+        .select(
             "qid",
             "qcid",
-            F.lit(s).alias("sub"),
             "cid",
-            _pq_d2(_pq_slice(F.col("qv"), s), _pq_slice(F.col("pcv"), s)).alias("d2"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            _pq_d2(
+                                _pq_slice(F.col("qv"), s),
+                                _pq_slice(F.col("pcv"), s),
+                            ).alias("d2"),
+                        )
+                        for s in range(_PQ_SUBSPACES)
+                    ]
+                )
+            ).alias("sd"),
         )
-        lut = part if lut is None else lut.unionByName(part)
+        .select(
+            "qid",
+            "qcid",
+            F.col("sd.sub").alias("sub"),
+            "cid",
+            F.col("sd.d2").alias("d2"),
+        )
+    )
     # Candidate codes: same-cluster corpus vectors only (IVF prune)
     codes = emb_pq_codes(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
     cand = codes.join(
@@ -1458,10 +1532,20 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe joins the broadcast query set against one inverted list.
     Same shape as sim_topk_ivf, better centroids (balanced lists where
     mod-seeds cluster poorly)."""
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
+    from spark_stream_kudu_spark.session import spread_small_scan
+
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    vq = _km_quantize(emb)
+    vq = _km_quantize(spread_small_scan(emb))
     cents = trained_codebook(spark, sf_dir)
-    assigned = _km_assign(vq, cents).select("vec_id", "embedding", "cid")
+    # Lazy-pin the assignment (round-11): consumed by the query
+    # projection AND the probe side — the scan-local quantize+assign
+    # pass ran twice without it (same fix as sim_topk_ivf). A/B min
+    # 1.16 -> 0.83 s, results equal.
+    assigned = _pin(
+        _km_assign(vq, cents).select("vec_id", "embedding", "cid"),
+        eager=False,
+    )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
