@@ -270,11 +270,22 @@ GROUP BY 1
     oracle=_LM_ORACLE,
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
+
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    # Lazy pins (round-11): the exploded token table feeds the vocab
+    # aggregate AND the scoring join, and the vocab feeds its total AND
+    # the join — the plan tokenized the corpus three times (3 parquet
+    # scans -> 1). Compute-once via pin(eager=False), no barrier.
+    toks = _pin(
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        ),
+        eager=False,
     )
-    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tc = _pin(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")), eager=False
+    )
     # Total token count derives from the vocab aggregate (sum of counts),
     # not a third corpus pass — the shared tc subtree's shuffle is reused.
     tot = tc.agg(F.sum("c").alias("n"))

@@ -229,18 +229,28 @@ SELECT bigram, n_xy, n_x, n_y, pmi, rank FROM (
     oracle=_COLLOCATIONS_ORACLE,
 )
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
+
     d = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
-    tok = d.select("doc_id", t.alias("t"))
+    # Lazy pins (round-11): the token table feeds BOTH count chains and
+    # the unigram vocab feeds three consumers (ux, uy, the total) — the
+    # plan tokenized the corpus five times (5 parquet scans). One
+    # tokenize pass + one vocab aggregate now serve all consumers
+    # (compute-once via pin(eager=False), no blocking barrier); flat at
+    # fixture scale, x5 -> x1 corpus passes at 100 TB. In production
+    # the vocab table IS a stored artifact of the corpus-stats job.
+    tok = _pin(d.select("doc_id", t.alias("t")), eager=False)
     bc = (
         tok.select(F.explode(_bigrams(F.col("t"))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_xy"))
     )
-    uc = (
+    uc = _pin(
         tok.select(F.explode("t").alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        eager=False,
     )
     tot = uc.agg(F.sum("n").alias("n_uni"))
     tot2 = bc.agg(F.sum("n_xy").alias("n_big"))

@@ -600,9 +600,17 @@ GROUP BY 1, 2
     oracle=_KL_ORACLE,
 )
 def text_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
+
     d = _docs(spark, sf_dir)
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
-    src_counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # Lazy pin (round-11): src_counts feeds the per-source totals, the
+    # global vocab rollup AND the main join — the plan tokenized the
+    # corpus four times without it (4 parquet scans -> 1).
+    src_counts = _pin(
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c")),
+        eager=False,
+    )
     src_totals = src_counts.groupBy("source").agg(F.sum("c").alias("n"))
     glob = src_counts.groupBy("tok").agg(F.sum("c").alias("g"))
     glob_total = glob.agg(F.sum("g").alias("gn"))
