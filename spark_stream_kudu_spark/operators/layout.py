@@ -395,9 +395,16 @@ def ivf_partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("vec_id").orderBy(
             F.col("csim").desc(), F.col("cid").asc()
         )
+        # |corpus|/_IVF_LAYOUT_MOD centroids scale with the corpus:
+        # size-gate the broadcast (footer row count, no job) instead of
+        # forcing it past any threshold (round-12).
+        from spark_stream_kudu_spark.functions.joins import gated_broadcast
+        from spark_stream_kudu_spark.sources.tables import table_num_rows
+
+        n_cent = table_num_rows(sf_dir, "embeddings") // _IVF_LAYOUT_MOD + 1
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         (
-            e.crossJoin(F.broadcast(cent))  # bounded: k centroids
+            e.crossJoin(gated_broadcast(cent, n_cent, spark))
             .select("vec_id", "embedding", "label", "cid", csim.alias("csim"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

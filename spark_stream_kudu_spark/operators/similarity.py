@@ -50,6 +50,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _codebook_rows(sf_dir: str, mod: int) -> int:
+    """Upper bound on a ``vec_id % mod == 0`` codebook's cardinality:
+    ceil(|embeddings| / mod), with |embeddings| read from the parquet
+    footers (driver-side metadata, no Spark job)."""
+    from spark_stream_kudu_spark.sources.tables import table_num_rows
+
+    return table_num_rows(sf_dir, "embeddings") // mod + 1
+
+
+def _gated_codebook(spark: SparkSession, sf_dir: str, df: DataFrame, mod: int) -> DataFrame:
+    """Size-gated broadcast of a mod-derived codebook/centroid table.
+
+    These tables are |corpus|/mod rows — they SCALE with the corpus
+    (the round-11 verdict's flagged class), so a hard ``F.broadcast``
+    would OOM exactly where the fixture can't show it. Under the
+    session threshold the plan is unchanged (broadcast); past it the
+    shuffle_hash fallback applies where the consumer joins on a key,
+    and is ignored by a crossJoin consumer (Spark plans the cartesian
+    pass — the only remaining strategy at that scale anyway)."""
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
+    return gated_broadcast(df, _codebook_rows(sf_dir, mod), spark)
+
+
 _SQL_COS = (
     "(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
     "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
@@ -217,9 +241,13 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut computes it once inside the first action; spread first so the
     # CPU-heavy pass isn't serialized on the one-file fixture scan
     # (no-op at real scale). A/B min 1.93 -> 0.89 s, results equal.
+    # The centroid table is |corpus|/IVF_MOD rows — it scales with the
+    # corpus, so the broadcast is size-gated (round-12): footer row
+    # count, no job. Past the threshold the hint degrades to a plain
+    # cartesian pass instead of an OOMing forced broadcast.
     assign = _pin(
         spread_small_scan(e)
-        .crossJoin(F.broadcast(cent))  # bounded: k centroids
+        .crossJoin(_gated_codebook(spark, sf_dir, cent, IVF_MOD))
         .select("vec_id", "embedding", "cid", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -810,8 +838,11 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first: the fused pass is one CPU-heavy projection, and the
     # one-file fixture scan would run it on a single task (no-op at
     # real scale). A/B min 1.60 -> 0.93 s, codes byte-identical.
-    pairs = spread_small_scan(e).crossJoin(F.broadcast(cents)).select(
-        # bounded: k centroids
+    # The codebook is |corpus|/_PQ_MOD rows (corpus-scaling), so the
+    # broadcast is size-gated (round-12) — same plan under threshold.
+    pairs = spread_small_scan(e).crossJoin(
+        _gated_codebook(spark, sf_dir, cents, _PQ_MOD)
+    ).select(
         "vec_id",
         "cid",
         *[
@@ -909,9 +940,13 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for every (qid, sub, cid) — tiny, broadcast. One crossJoin with a
     # per-subspace struct explode (round-11) instead of a {sub}-way
     # union of crossJoins: identical row multiset, one query x codebook
-    # pass instead of {sub}.
+    # pass instead of {sub}. Broadcast the QUERY side (round-12): q is
+    # N_QUERIES rows by construction, while the codebook scales as
+    # |corpus|/_PQ_MOD — streaming the corpus-scaling side is the shape
+    # that survives any scale; the crossJoin commutes and the select
+    # normalizes column order, so the output is unchanged.
     lut = (
-        q.crossJoin(F.broadcast(cents))  # bounded: PQ codebook
+        cents.crossJoin(F.broadcast(q))  # bounded: N_QUERIES query set
         .select(
             "qid",
             "cid",
@@ -946,8 +981,14 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sc"),
     ).select("neighbor_id", F.col("sc.sub").alias("sub"), F.col("sc.cid").alias("cid"))
+    # The LUT is N_QUERIES x |codebook| x subspaces rows — the codebook
+    # factor scales with the corpus, so the broadcast is size-gated
+    # (round-12); the keyed join degrades to shuffled-hash past it.
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
+    lut_rows = N_QUERIES * _codebook_rows(sf_dir, _PQ_MOD) * _PQ_SUBSPACES
     adc = (
-        long_codes.join(F.broadcast(lut), ["sub", "cid"])  # bounded: N_QUERIES x codebook LUT
+        long_codes.join(gated_broadcast(lut, lut_rows, spark), ["sub", "cid"])
         .groupBy("qid", "neighbor_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )
@@ -1052,7 +1093,8 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = _pin(
         spread_small_scan(e)
-        .crossJoin(F.broadcast(cent))  # bounded: k centroids
+        # |corpus|/IVF_MOD centroids — size-gated, not force-broadcast
+        .crossJoin(_gated_codebook(spark, sf_dir, cent, IVF_MOD))
         .select("vec_id", "embedding", "ccid", csim.alias("csim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -1069,9 +1111,11 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("pcv")
     )
     # One crossJoin + per-subspace struct explode (round-11) — same
-    # union-to-explode rewrite as sim_topk_pq_adc's lut.
+    # union-to-explode rewrite as sim_topk_pq_adc's lut. Broadcast the
+    # bounded N_QUERIES side, stream the corpus-scaling codebook
+    # (round-12, same reasoning as sim_topk_pq_adc).
     lut = (
-        q.crossJoin(F.broadcast(pqcents))  # bounded: PQ codebook
+        pqcents.crossJoin(F.broadcast(q))  # bounded: N_QUERIES query set
         .select(
             "qid",
             "qcid",
@@ -1119,9 +1163,14 @@ def sim_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "neighbor_id", "ncid", F.col("sc.sub").alias("sub"), F.col("sc.cid").alias("cid")
     )
+    # LUT row count carries the corpus-scaling codebook factor —
+    # size-gated broadcast (round-12), shuffled-hash past the gate.
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+
+    lut_rows = N_QUERIES * _codebook_rows(sf_dir, _PQ_MOD) * _PQ_SUBSPACES
     adc = (
         long_codes.join(
-            F.broadcast(lut),  # bounded: N_QUERIES x codebook LUT
+            gated_broadcast(lut, lut_rows, spark),
             (long_codes["sub"] == lut["sub"])
             & (long_codes["cid"] == lut["cid"])
             & (long_codes["ncid"] == lut["qcid"]),

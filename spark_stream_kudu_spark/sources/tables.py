@@ -131,6 +131,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one source table from its parquet footers.
+
+    Driver-side metadata read (no Spark job): footers already hold the
+    per-row-group counts, so this is milliseconds regardless of table
+    size — the same information Spark's own count-star metadata
+    optimization uses. Feed it to ``functions.joins.gated_broadcast``
+    as the row bound for derived tables whose cardinality is a known
+    fraction of a source table (e.g. a ``vec_id % k == 0`` codebook is
+    ceil(|embeddings| / k) rows).
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [root]
+        if os.path.isfile(root)
+        else sorted(glob.glob(os.path.join(root, "*.parquet")))
+    )
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each table as a temp view for the SQL-text entry point.
 

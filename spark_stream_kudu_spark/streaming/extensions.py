@@ -876,6 +876,13 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") % _PQ_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
+    # LUT row bound, computed ONCE outside the per-batch closure: the
+    # stream source is the N_QUERIES query file, the codebook is
+    # |corpus|/_PQ_MOD rows (footer count, no job).
+    from spark_stream_kudu_spark.functions.joins import gated_broadcast
+    from spark_stream_kudu_spark.operators.similarity import _codebook_rows
+
+    lut_rows = N_QUERIES * _codebook_rows(sf_dir, _PQ_MOD) * _PQ_SUBSPACES
     codes = emb_pq_codes(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
     long_codes = codes.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -900,7 +907,9 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lut = None
         for s in range(_PQ_SUBSPACES):
-            part = q.crossJoin(F.broadcast(cents)).select(  # bounded: PQ codebook
+            # the microbatch query set is bounded by the stream source
+            # (the N_QUERIES query file); the codebook side streams
+            part = cents.crossJoin(F.broadcast(q)).select(  # bounded: N_QUERIES stream source
                 "qid",
                 F.lit(s).alias("sub"),
                 "cid",
@@ -909,8 +918,11 @@ def stream_ann_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             lut = part if lut is None else lut.unionByName(part)
+        # |batch| x |codebook| x subspaces rows — the codebook factor
+        # scales with the corpus, so the broadcast is size-gated
+        # (round-12); shuffled-hash past the gate.
         adc = (
-            long_codes.join(F.broadcast(lut), ["sub", "cid"])  # bounded: |microbatch| x codebook
+            long_codes.join(gated_broadcast(lut, lut_rows, spark), ["sub", "cid"])
             .groupBy("qid", "neighbor_id")
             .agg(F.sum("d2").alias("adc_d2"))
         )
