@@ -1405,8 +1405,18 @@ def stream_substring_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        span_store(substr_spans(batch_df), batch_id)
-        doc_store(substr_doc_sizes(batch_df), batch_id)
+        # The two store writes are data-independent (both derive from
+        # batch_df and read only their OWN store) — stage them as
+        # concurrent driver-thread jobs and promote after both finish
+        # (round-12, guide §2.6; sinks.py compute/commit separation).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_span = pool.submit(span_store.compute, substr_spans(batch_df), batch_id)
+            f_doc = pool.submit(doc_store.compute, substr_doc_sizes(batch_df), batch_id)
+            f_span.result(), f_doc.result()
+        span_store.commit()
+        doc_store.commit()
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -1577,11 +1587,22 @@ def stream_incremental_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             # materializes the checkpoint and the merge reads it back.
             .localCheckpoint(eager=False)
         )
-        pair_store(verified, batch_id)
         # ``prev`` is this batch's read of the band store and nothing
         # wrote it since — hand it to the sink so the store is
-        # listed/planned once per batch (round-11).
-        band_store(bands, batch_id, current=prev)
+        # listed/planned once per batch (round-11). Overlap the two
+        # store writes (round-12, guide §2.6): the verified-pairs job
+        # reads the band store (via ``prev`` in the candidate plan), so
+        # it could never overlap the band store's PROMOTION — but with
+        # compute/commit separated both jobs only read live directories
+        # and stage aside; the renames run after both finish.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_pair = pool.submit(pair_store.compute, verified, batch_id)
+            f_band = pool.submit(band_store.compute, bands, batch_id, prev)
+            f_pair.result(), f_band.result()
+        pair_store.commit()
+        band_store.commit()
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -2247,8 +2268,27 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # list/plan the store a second time.
         prev = member_store.read(spark)
         partial = semantic_batch_credits(spark, new, prev)
-        dom_store(partial, batch_id)
-        member_store(new, batch_id, current=prev)
+        # Overlap the two data-independent store writes (round-12,
+        # guide §2.6): the credits job and the member merge job read
+        # only LIVE store directories and stage into private side
+        # directories (sinks.py compute/commit separation), so they can
+        # run as concurrent driver-thread jobs — the second job's tasks
+        # back-fill executors freed by the first job's tail. Promotion
+        # (the renames) happens strictly after BOTH jobs finish: the
+        # credits plan reads the member store, so promoting it
+        # mid-flight would yank files from under the running job —
+        # exactly the race the old sequential form existed to avoid.
+        # `new` is already materialized here (the credits size-gate
+        # count was its first action), so the threads share the
+        # checkpointed partitions rather than recomputing them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dom = pool.submit(dom_store.compute, partial, batch_id)
+            f_mem = pool.submit(member_store.compute, new, batch_id, prev)
+            f_dom.result(), f_mem.result()
+        dom_store.commit()
+        member_store.commit()
 
     stream = (
         spark.readStream.schema(emb.schema)

@@ -190,16 +190,30 @@ class UpsertParquetSink:
         exchange here would be redundant."""
         return merged
 
-    def __call__(
+    def compute(
         self, batch_df: DataFrame, batch_id: int, current=_READ_STORE
-    ) -> None:
+    ) -> bool:
+        """Stage this batch's merged store into the side directory —
+        the Spark job, WITHOUT touching the live table. Returns True
+        iff a staged table is ready for :meth:`commit`.
+
+        Compute/commit separation (round-12, guide §2.6): a stream
+        that maintains several stores per batch has data-independent
+        write jobs, but promoting a store mid-flight would yank files
+        out from under any concurrent job still READING it (the
+        credits plan of the semantic-dedup stream reads the member
+        store while the dominator store writes). Staging only reads
+        live directories and writes a private side directory, so any
+        number of sinks may compute concurrently (driver thread pool);
+        the renames happen afterwards, in :meth:`commit`, when no job
+        is in flight."""
         if self._cut_input:
             batch_df = batch_df.localCheckpoint(eager=False)
         # Empty-batch guard (reference O7, kafka_to_kudu.py:23).
         if batch_df.isEmpty():
-            return
+            return False
         if batch_id <= self._last_batch():
-            return  # replayed batch: idempotent no-op
+            return False  # replayed batch: idempotent no-op
         spark = batch_df.sparkSession
         # ``current`` (round-11): a caller that already read this
         # store's CURRENT version for its own batch logic (e.g. the
@@ -216,10 +230,24 @@ class UpsertParquetSink:
         # co-locates future merges and bounds file counts. Write to a
         # side directory then swap — the merge plan reads the current
         # directory, so an in-place overwrite would corrupt its input.
+        tmp = self._data + ".tmp"
+        self._layout(merged).write.mode("overwrite").parquet(tmp)
+        self._staged_batch = batch_id
+        return True
+
+    #: Batch id staged by :meth:`compute` and not yet promoted.
+    _staged_batch: int | None = None
+
+    def commit(self) -> None:
+        """Promote the staged table (renames + replay marker). No-op
+        when nothing is staged. Driver-side only — safe to call while
+        OTHER sinks' jobs run, but every job reading THIS store must
+        have finished."""
+        if self._staged_batch is None:
+            return
         import shutil
 
         tmp = self._data + ".tmp"
-        self._layout(merged).write.mode("overwrite").parquet(tmp)
         # Promote via rename-aside: the previous table is moved to .old
         # (not deleted) before tmp takes its place, so a crash anywhere
         # in the window leaves a recoverable copy instead of no table.
@@ -233,7 +261,14 @@ class UpsertParquetSink:
             shutil.rmtree(old)
         os.makedirs(self.path, exist_ok=True)
         with open(self._marker, "w") as f:
-            f.write(str(batch_id))
+            f.write(str(self._staged_batch))
+        self._staged_batch = None
+
+    def __call__(
+        self, batch_df: DataFrame, batch_id: int, current=_READ_STORE
+    ) -> None:
+        if self.compute(batch_df, batch_id, current):
+            self.commit()
 
 
 def merge_additive(

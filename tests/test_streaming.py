@@ -70,6 +70,47 @@ def test_upsert_sink_idempotent_replay(spark):
     assert final == {1: "a", 2: "B", 3: "c"}
 
 
+def test_sink_compute_commit_separation_overlaps_safely(spark):
+    """Round-12 compute/commit split: (a) compute stages the merge
+    WITHOUT touching the live table (a reader planned before compute
+    still resolves); (b) two sinks whose inputs read EACH OTHER's live
+    stores can compute concurrently and commit afterwards — the exact
+    shape (credits plan reads the member store while the dominator
+    store writes) that forbade overlap before the split; (c) commit is
+    a no-op with nothing staged; (d) replay/empty guards live in
+    compute and still hold. Iterated to shake out rename races."""
+    import glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    d = _mkdirs()
+    a = UpsertParquetSink(os.path.join(d, "a"), key="k")
+    b = UpsertParquetSink(os.path.join(d, "b"), key="k")
+    a.commit()  # nothing staged: must be a no-op, not an error
+    a(spark.createDataFrame([Row(k=0, v=0)]), 0)
+    b(spark.createDataFrame([Row(k=0, v=100)]), 0)
+    for batch in range(1, 11):
+        cur_a, cur_b = a.read(spark), b.read(spark)
+        # each sink's batch input reads the OTHER sink's live store
+        upd_a = cur_b.select("k", (F.col("v") + 1).alias("v")).unionByName(
+            spark.createDataFrame([Row(k=batch, v=batch)])
+        )
+        upd_b = cur_a.select("k", (F.col("v") - 1).alias("v"))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(a.compute, upd_a, batch)
+            fb = pool.submit(b.compute, upd_b, batch)
+            assert fa.result() and fb.result()
+        # staged, not yet promoted: live tables still show the old batch
+        assert os.path.isdir(a._data + ".tmp")
+        a.commit()
+        b.commit()
+        assert not glob.glob(os.path.join(d, "*", "data.tmp"))
+    # replayed batch id: compute refuses, commit stays a no-op
+    assert a.compute(spark.createDataFrame([Row(k=9, v=-1)]), 10) is False
+    a.commit()
+    final_a = {r["k"]: r["v"] for r in a.read(spark).collect()}
+    assert final_a[10] == 10 and len(final_a) == 11
+
+
 def test_merge_by_key_last_writer_wins_within_batch(spark):
     cur = spark.createDataFrame([Row(k=1, v="old", __batch_id=0)]).drop("__batch_id")
     upd = spark.createDataFrame(
