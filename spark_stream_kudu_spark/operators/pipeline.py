@@ -1425,22 +1425,40 @@ GROUP BY status
 )
 def pipeline_ivm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_stream_kudu_spark.functions.hashing import md5_int32
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
 
     tune_session(spark)
     o = load_table(spark, sf_dir, "orders")
     pct = md5_int32(F.col("o_orderkey").cast("string")) % 100
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     bumped = F.floor(F.col("o_totalprice") * 110 + F.lit(0.5)).cast("long")
-    base = o.filter(pct < 80).select(
-        F.col("o_orderkey").alias("okey"),
-        F.col("o_orderstatus").alias("status"),
-        cents.alias("price_cents"),
+    # ONE slice source (round-12): base and changes are projections of
+    # the same orders slice, and every union branch below re-derived
+    # them — 6 pruned parquet scans of orders (+ 6 md5 classifier
+    # evaluations) in the plan. Lazy-pin the classified slice once; the
+    # branches become cheap filters over the checkpointed rows. Same
+    # expressions over the same rows, so results are unchanged.
+    src = _pin(
+        o.select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+            cents.alias("__cents"),
+            bumped.alias("__bumped"),
+            pct.alias("__pct"),
+        ),
+        eager=False,
     )
-    changes = o.filter((pct >= 80) | (pct < 20)).select(
-        F.col("o_orderkey").alias("okey"),
-        F.when(pct >= 80, "I").when(pct < 10, "D").otherwise("U").alias("op"),
-        F.col("o_orderstatus").alias("status"),
-        F.when(pct >= 80, cents).otherwise(bumped).alias("price_cents"),
+    p = F.col("__pct")
+    base = src.filter(p < 80).select(
+        "okey", "status", F.col("__cents").alias("price_cents")
+    )
+    changes = src.filter((p >= 80) | (p < 20)).select(
+        "okey",
+        F.when(p >= 80, "I").when(p < 10, "D").otherwise("U").alias("op"),
+        "status",
+        F.when(p >= 80, F.col("__cents")).otherwise(F.col("__bumped")).alias(
+            "price_cents"
+        ),
     )
     # The stored MV (in production: read from the keyed store, not
     # recomputed — recomputed here once so the query is self-contained).

@@ -164,11 +164,38 @@ FROM {child} c"""
     oracle=_FK_ORACLE,
 )
 def q78_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_stream_kudu_spark.functions.lineage import pin as _pin
+
     tune_session(spark)
+    # Shared slice sources (round-12): the old loop scanned each CHILD
+    # twice per relation (anti-join probe + total count) — 6 lineitem
+    # scans + 2 orders scans — and orders a third time as relation 1's
+    # parent. One lazy-pinned fk-column projection per fact table feeds
+    # every subtree instead: lineitem's three fk columns in one pass,
+    # orders' (pk, fk) pair in one pass serving BOTH its child and
+    # parent roles. The anti-join still runs against the raw parent
+    # key multiset — no pk-uniqueness assumption is introduced (an
+    # anti-join is duplicate-insensitive on its build side; property
+    # test with duplicate parents in tests/test_analytics.py).
+    li = _pin(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        ),
+        eager=False,
+    )
+    ords = _pin(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        eager=False,
+    )
+    slices = {"lineitem": li, "orders": ords}
     out: DataFrame | None = None
     for name, child, fk_col, parent, pk in _FK_RELATIONS:
-        ch = load_table(spark, sf_dir, child)
-        pa = load_table(spark, sf_dir, parent).select(pk)
+        ch = slices[child].select(fk_col)
+        pa = (
+            slices[parent]
+            if parent in slices
+            else load_table(spark, sf_dir, parent)
+        ).select(pk)
         # Parent pk tables are entity-scale (customer/orders/part/
         # supplier): un-hinted, exactly the degrade-to-shuffled-anti
         # behavior the docstring promises at 100 TB.

@@ -1439,26 +1439,93 @@ def _km_update(assigned: DataFrame) -> DataFrame:
 def _km_collect_centroids(upd: DataFrame) -> list[tuple[int, list[int]]]:
     """Bounded k-row collect of an update table back to literal arrays."""
     rows = (
-        upd.groupBy("cid")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
-        .select("cid", F.transform("pc", lambda x: x["comp"]).alias("cq"))
+        _km_cents_table(upd)
         .collect()
     )
     return sorted((int(r["cid"]), [int(v) for v in r["cq"]]) for r in rows)
 
 
+def _km_cents_table(upd: DataFrame) -> DataFrame:
+    """The update table rolled up to ``(cid, cq)`` centroid arrays —
+    the DataFrame twin of ``_km_collect_centroids``'s literal list."""
+    return (
+        upd.groupBy("cid")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+        .select("cid", F.transform("pc", lambda x: x["comp"]).alias("cq"))
+    )
+
+
+def _km_assign_chained(vq: DataFrame, upd: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against the PREVIOUS round's update
+    TABLE — no driver collect. The k centroids roll up to ONE row of
+    (cid array, 2-D component array), broadcast, and the argmin is the
+    SAME row-local ``array_min`` over (dist, cid) structs as
+    ``_km_best`` — just reading the arrays from a column instead of a
+    literal. Same exact integer arithmetic, same cid-sorted array
+    order, same tie-break -> bit-identical assignment, and no extra
+    corpus-sized exchange (a per-vector groupBy argmin would shuffle
+    every row once per round). Output schema matches ``_km_assign``."""
+    cents_row = (
+        _km_cents_table(upd)
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cq"))).alias("cc"))
+        .select(
+            F.transform("cc", lambda x: x["cid"]).alias("__cids"),
+            F.transform("cc", lambda x: x["cq"]).alias("__comps"),
+        )
+    )
+    pairs = F.transform(
+        F.col("__comps"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("xq"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.get(F.col("__cids"), i).alias("cid"),
+        ),
+    )
+    return (
+        vq.crossJoin(F.broadcast(cents_row))  # bounded: 1-row centroid rollup
+        .withColumn("cid", F.array_min(pairs)["cid"])
+        .select(*vq.columns, "cid")
+    )
+
+
+#: Driver-sync cadence of the Lloyd loop: rounds are CHAINED in the DAG
+#: (assignment joins the previous round's update table) and only every
+#: _KM_SYNC_INTERVAL-th round collects centroids back to literals —
+#: bounding plan growth like the BPE trainer's super-round batches
+#: while cutting driver round-trips to ceil(rounds/interval) (§5: the
+#: per-round collect was a blocking driver barrier per iteration).
+_KM_SYNC_INTERVAL = 4
+
+
 def lloyd_rounds(emb: DataFrame, k: int, rounds: int) -> DataFrame:
     """``rounds`` exact-integer Lloyd iterations over ``(vec_id,
-    embedding)`` rows, seeded from ``vec_id < k``."""
+    embedding)`` rows, seeded from ``vec_id < k``.
+
+    Driver round-trips are batched (round-12): within a sync interval
+    the rounds chain lazily through ``_km_assign_chained`` (the first
+    round of each interval still uses the literal fast path — its
+    centroids are on the driver already), so ``rounds`` iterations cost
+    ceil(rounds / _KM_SYNC_INTERVAL) collects instead of ``rounds``.
+    Centroids are bit-identical either way (exact integer arithmetic,
+    same argmin tie-break — asserted for both paths in
+    tests/test_invariants.py)."""
     vq = _km_quantize(emb.select("vec_id", "embedding")).select("vec_id", "xq")
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["xq"]])
         for r in vq.where(F.col("vec_id") < k).collect()
     ]
     upd = None
-    for rnd in range(rounds):
+    rnd = 0
+    while rnd < rounds:
+        take = min(_KM_SYNC_INTERVAL, rounds - rnd)
         upd = _km_update(_km_assign(vq, cents))
-        if rnd == rounds - 1:
+        for _ in range(take - 1):
+            upd = _km_update(_km_assign_chained(vq, upd))
+        rnd += take
+        if rnd == rounds:
             break  # final round's table IS the output; no re-collect
         cents = _km_collect_centroids(upd)
     return upd.select(

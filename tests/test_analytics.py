@@ -138,3 +138,49 @@ def test_weighted_sample_rate_tracks_length(spark, sf_smoke):
     )
     by_side = {r.long_doc: r.rate for r in rates}
     assert by_side[True] > by_side[False]
+
+
+def test_fk_orphans_audit_insensitive_to_duplicate_parents(spark, sf_smoke):
+    """The q78 slice-source rewrite (round-12) must not smuggle in a
+    parent-pk-uniqueness assumption: an anti-join probe is duplicate-
+    insensitive on its build side, so orphan counts are identical
+    whether the parent key multiset carries duplicates or not — the
+    exact reason the left-join + count-if-null fusion was REJECTED
+    (it would multiply child rows per duplicate parent). Also anchors
+    n_child: the pinned fk-column slice must not change row counts."""
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "fk long"
+    )
+    parent_dup = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,)], "pk long"
+    )
+
+    def orphans(pa):
+        return (
+            child.join(pa, child["fk"] == pa["pk"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]["n"]
+        )
+
+    # fk=2 and fk=NULL are orphans (NULL never equi-matches): 2 rows,
+    # regardless of parent duplication.
+    assert orphans(parent_dup) == 2
+    assert orphans(parent_dup.dropDuplicates(["pk"])) == 2
+
+    # The registered audit's totals equal the raw table counts (the
+    # fk-column pin is a projection — it must not change cardinality),
+    # and every orphan count matches a from-scratch distinct-parent
+    # recompute.
+    from spark_stream_kudu_spark.operators.profiling import _FK_RELATIONS
+    from spark_stream_kudu_spark.sources.tables import load_table
+
+    audit = {
+        r["fk"]: (r["n_child"], r["n_orphans"])
+        for r in ALL["q78_fk_orphans"].builder(spark, sf_smoke).collect()
+    }
+    for name, child_t, fk_col, parent_t, pk in _FK_RELATIONS:
+        ch = load_table(spark, sf_smoke, child_t)
+        pa = load_table(spark, sf_smoke, parent_t).select(pk).distinct()
+        n_child = ch.count()
+        n_orph = ch.join(pa, ch[fk_col] == pa[pk], "left_anti").count()
+        assert audit[name] == (n_child, n_orph), name

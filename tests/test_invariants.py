@@ -341,6 +341,38 @@ def test_kmeans_partition_invariant_and_separates_planted_clusters(spark):
     assert abs(c0 - c1) > 15  # -10ish vs +10ish on dim 0
 
 
+def test_kmeans_chained_rounds_bit_identical_to_per_round_sync(
+    spark, monkeypatch
+):
+    """The round-12 driver-sync batching (rounds chained in the DAG via
+    _km_assign_chained, collect every _KM_SYNC_INTERVAL rounds) must
+    produce BIT-identical centroids to the per-round-collect loop
+    (_KM_SYNC_INTERVAL=1 reproduces it exactly: every round takes the
+    literal fast path and syncs). Run enough rounds that both the
+    chained path and a mid-loop re-sync are exercised."""
+    import spark_stream_kudu_spark.operators.similarity as sim
+
+    rows = []
+    for i in range(60):
+        blob = i % 3
+        base = [-8.0, 0.5, 9.0][blob]
+        jit = (i // 3) * 0.125
+        rows.append((i, [base + jit, base - jit, base * 0.5, base + 0.25 * blob]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(interval, rounds):
+        monkeypatch.setattr(sim, "_KM_SYNC_INTERVAL", interval)
+        return sorted(
+            (r["cluster_id"], r["pos"], r["comp_q20"], r["n_members"])
+            for r in sim.lloyd_rounds(emb, 3, rounds).collect()
+        )
+
+    for rounds in (2, 5):
+        per_round = run(1, rounds)  # the pre-round-12 loop, exactly
+        chained = run(4, rounds)  # chained rounds + one mid re-sync at 5
+        assert per_round == chained, f"rounds={rounds}: centroids diverged"
+
+
 def test_bpe_merge_greedy_nonoverlap_semantics(spark):
     """'b b b b b' under top pair (b,b) must merge greedily left-to-right
     without overlap: 2 merges, not 4 — the property both engines'
