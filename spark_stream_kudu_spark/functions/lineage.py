@@ -139,6 +139,26 @@ def release_pins() -> int:
     return n
 
 
+_REL_UPGRADE_WARNED = False
+
+
+def _warn_reliable_upgrade_once() -> None:
+    """One process-level note when a lazy pin is upgraded to an eager
+    reliable checkpoint, so every round-11 barrier reappearing under
+    SPARK_GRAFT_PIN_MODE=reliable is attributable (round-11 advice)."""
+    global _REL_UPGRADE_WARNED
+    if not _REL_UPGRADE_WARNED:
+        _REL_UPGRADE_WARNED = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "pin(eager=False) upgraded to an EAGER reliable checkpoint "
+            "(%s=reliable): one blocking driver job per pin returns — "
+            "perf deltas vs the default lazy mode are expected",
+            PIN_MODE_ENV,
+        )
+
+
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a multiply-consumed rollup once, via the mechanism
     selected by ``SPARK_GRAFT_PIN_MODE`` (module docstring).
@@ -147,16 +167,21 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     materialized — callers rely on it being computed exactly once
     before any branch consumes the result.
 
-    ``eager=False`` (round-11): the pin still guarantees compute-once
-    (all modes register a materialization point the first consuming
-    action fills and later consumers read back), but defers that
-    materialization into the first action instead of running a
-    blocking driver job per pin. Use it when every consumer lives in
-    the query's final job anyway — an eager pin's barrier serializes
-    phases that otherwise overlap on idle cores (measured losing on
-    the verify-family A/Bs). The reliable mode stays eager by design:
-    a durable checkpoint's point is that the data reaches stable
-    store before the query proceeds."""
+    ``eager=False`` (round-11): materialization is deferred into the
+    first consuming action instead of a blocking driver job per pin.
+    Compute-once is then BEST-EFFORT, not guaranteed: the backing
+    persist fills per-task during that first action, so sibling stages
+    scheduled concurrently inside the same action can each recompute
+    not-yet-cached partitions. Values are identical regardless — which
+    is exactly why lazy pins must only wrap DETERMINISTIC lineage
+    (every pinned subtree here is). Use it when every consumer lives
+    in the query's final job anyway — an eager pin's barrier
+    serializes phases that otherwise overlap on idle cores (measured
+    losing on the verify-family A/Bs). The reliable mode stays eager
+    by design — a durable checkpoint's point is that the data reaches
+    stable store before the query proceeds — so a lazy-tuned caller
+    sees its barriers reappear there; that upgrade is logged once per
+    process so a reliable-mode perf delta stays attributable."""
     mode = pin_mode()
     if mode == "persist":
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -166,6 +191,8 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
         return df
     if mode == "reliable":
         spark = df.sparkSession
+        if not eager:
+            _warn_reliable_upgrade_once()
         if not configure_reliable_checkpoints(spark):
             raise RuntimeError(
                 f"{PIN_MODE_ENV}=reliable requires {RELIABLE_CKPT_ENV} "

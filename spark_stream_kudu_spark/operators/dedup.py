@@ -308,6 +308,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs with a bucket-size cap.
 
+    ``d`` is ONLY used to build signatures when ``sig`` is None: a
+    caller supplying a prebuilt signature frame (the round-11 shared
+    tokenize+shingle pass) must build it from the same corpus — ``d``
+    is ignored in that case and nothing here can cross-check the two
+    (round-11 advice: don't desynchronize them).
+
     Candidate generation never materializes a whole bucket as one array
     row — that (a ``collect_list`` over an adversarial mega-bucket) is
     itself the OOM at crawl scale, regardless of how the pairs are then
