@@ -2050,8 +2050,11 @@ def stream_global_rowid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = UpsertParquetSink(os.path.join(base, "ids"), key="event_id")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        current = sink.read(batch_df.sparkSession)
-        offset = 0 if current is None else current.count()  # 1-value job
+        # Store size from the parquet footers (round-12): the old
+        # current.count() paid one scan job per batch for a number the
+        # footers hold. The store's key is event_id, so its row count
+        # IS the number of ids minted so far.
+        offset = sink.num_rows() or 0
         ids = two_phase_rowid(
             batch_df.withColumn("bucket", F.col("ts").cast("date")),
             "bucket",
@@ -2308,10 +2311,13 @@ def stream_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     doms = dom_store.read(spark)
     out = members.select("vec_id", "cluster_id", "cdist_q20")
     if doms is not None:
+        # Row bound for the gate from the store's parquet footers
+        # (round-12): the old members.count() paid one full scan job
+        # for a number the footers already hold.
         out = out.join(
             gated_broadcast(
                 doms.select("vec_id", "n_dominators"),
-                members.count(),
+                member_store.num_rows(),
                 spark,
                 bytes_per_row=16,
             ),

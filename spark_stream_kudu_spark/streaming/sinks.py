@@ -164,6 +164,22 @@ class UpsertParquetSink:
         except (FileNotFoundError, ValueError):
             return -1
 
+    def num_rows(self) -> int | None:
+        """Exact row count of the live store from its parquet footers
+        (driver-side metadata, no Spark job) — None when the store is
+        missing. The cheap source for row bounds fed to size-gated
+        joins over the store (a ``count()`` would cost a scan job)."""
+        if not os.path.isdir(self._data):
+            return None
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(self._data, "*.parquet"))
+        )
+
     def read(self, spark) -> DataFrame | None:
         # Only a MISSING table reads as empty. Transient read failures
         # must propagate: swallowing them would make the next merge
